@@ -1,0 +1,214 @@
+"""Config system: dataclasses + YAML/CLI parsing.
+
+Mirrors the knob surface of the reference config layer
+(/root/reference/scripts/args.py:16-96) so reference YAML configs port 1:1,
+while adding TPU-specific knobs (mesh shape, dtype policy, index engine).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import sys
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional
+
+import yaml
+
+BEIR_DATASETS = (
+    "trec-covid,nfcorpus,nq,hotpotqa,fiqa,arguana,webis-touche2020,"
+    "dbpedia-entity,scidocs,fever,climate-fever,scifact,quora"
+)
+MIRACL_DATASETS = "bn,te,es,fr,id,hi,ru,ar,zh,fa,ja,fi,sw,ko,en"
+TYDI_DATASETS = (
+    "arabic,bengali,english,finnish,indonesian,japanese,korean,russian,swahili,telugu"
+)
+NANO_BEIR_DATASETS = (
+    "NanoClimateFEVER,NanoDBPedia,NanoFEVER,NanoFiQA2018,NanoHotpotQA,"
+    "NanoNFCorpus,NanoNQ,NanoQuoraRetrieval,NanoSCIDOCS,NanoArguAna,"
+    "NanoSciFact,NanoTouche2020"
+)
+
+
+def _null(v):
+    """Reference configs use the string "null" to mean None (args.py:65-72)."""
+    return None if v == "null" else v
+
+
+@dataclass
+class ModelArguments:
+    """Knob parity with reference ModelArguments (args.py:54-72)."""
+
+    inf_free: bool = True
+    model_name_or_path: Optional[str] = None
+    tokenizer_name: Optional[str] = None
+    idf_path: Optional[str] = None
+    idf_requires_grad: bool = False
+    prune_ratio: Optional[float] = None
+    preprocess_func: Optional[str] = None
+    use_l0: bool = False
+
+    # --- TPU-native extensions ---
+    # Named architecture preset used when model_name_or_path is not a local
+    # checkpoint directory ("mini" / "distill" / "base"); see models/bert.py.
+    arch: Optional[str] = None
+    param_dtype: str = "float32"
+    compute_dtype: str = "bfloat16"
+
+    def __post_init__(self):
+        self.idf_path = _null(self.idf_path)
+        self.preprocess_func = _null(self.preprocess_func)
+        if self.tokenizer_name is None:
+            self.tokenizer_name = self.model_name_or_path
+
+
+@dataclass
+class DataArguments:
+    """Knob parity with reference DataTrainingArguments (args.py:16-51)."""
+
+    max_seq_length: int = 512
+    eval_max_seq_length: int = 512
+    train_file: Optional[str] = None
+    train_file_dir: Optional[str] = None
+    data_type: str = "kd"
+    loss_types: List[str] = field(default_factory=lambda: ["kldiv"])
+    beir_dir: str = "data/beir"
+    miracl_dir: str = "mdata/miracl_eval"
+    beir_datasets: str = BEIR_DATASETS
+    miracl_datasets: str = MIRACL_DATASETS
+    sample_num_one_query: int = 2
+    use_in_batch_negatives: bool = False
+    flops_d_lambda: float = 1e-3
+    flops_d_T: float = 10000
+    flops_q_lambda: Optional[float] = None
+    flops_q_T: Optional[float] = None
+    ranking_loss_weight: float = 1.0
+    kd_ensemble_teacher_kwargs: Dict[str, Any] = field(default_factory=dict)
+    idf_lr: Optional[float] = None
+    first_rank_thresh: int = 10000
+    use_two_phase: bool = False
+    skip_ingest: bool = False
+    do_search: bool = True
+    query_prune: float = 0.0
+    flops_threshold: Optional[int] = None
+    swap_times: float = 0
+    temperature: float = 1.0
+    score_scale: float = 1.0
+
+    # --- TPU-native extensions ---
+    # Pad-to buckets for tokenized batches; static shapes keep XLA recompiles
+    # bounded (one compiled step per bucket).
+    seq_buckets: List[int] = field(default_factory=lambda: [64, 128, 256, 512])
+
+
+@dataclass
+class TrainingArguments:
+    """The subset of HF TrainingArguments the reference recipes exercise,
+    plus TPU-specific scheduling/mesh knobs.
+    """
+
+    output_dir: str = "output/run"
+    per_device_train_batch_size: int = 8
+    per_device_eval_batch_size: int = 50
+    learning_rate: float = 2e-5
+    weight_decay: float = 0.01
+    max_steps: int = 1000
+    warmup_steps: int = 0
+    lr_scheduler_type: str = "linear"
+    max_grad_norm: Optional[float] = None
+    logging_steps: int = 10
+    save_strategy: str = "steps"
+    save_steps: int = 500
+    seed: int = 42
+    fp16: bool = False  # accepted for config parity; TPU path uses bf16
+    bf16: bool = True
+    log_level: str = "info"
+    dataloader_drop_last: bool = True
+    dataloader_num_workers: int = 0
+    dataloader_pin_memory: bool = True
+    dataloader_persistent_workers: bool = False
+    dataloader_prefetch_factor: Optional[int] = None
+
+    # --- TPU-native extensions ---
+    # Data-parallel mesh size; -1 = all local devices.
+    dp_size: int = -1
+    donate_state: bool = True
+    profile_dir: Optional[str] = None
+
+    def __post_init__(self):
+        self.max_grad_norm = _null(self.max_grad_norm)
+
+
+_IGNORED_KEYS = {
+    # HF TrainingArguments knobs that appear in reference YAMLs but have no
+    # effect in the TPU build (logged, not errors).
+    "log_level_replica",
+    "half_precision_backend",
+    "save_safetensors",
+    "save_total_limit",
+}
+
+
+def _split_fields(raw: Dict[str, Any]):
+    groups = {}
+    leftovers = {}
+    cls_fields = {
+        "model": {f.name for f in dataclasses.fields(ModelArguments)},
+        "data": {f.name for f in dataclasses.fields(DataArguments)},
+        "train": {f.name for f in dataclasses.fields(TrainingArguments)},
+    }
+    buckets = {"model": {}, "data": {}, "train": {}}
+    for k, v in raw.items():
+        placed = False
+        for name, fields_ in cls_fields.items():
+            if k in fields_:
+                buckets[name][k] = v
+                placed = True
+                break
+        if not placed and k not in _IGNORED_KEYS:
+            leftovers[k] = v
+    groups.update(buckets)
+    return buckets, leftovers
+
+
+def parse_config(
+    source: Optional[Any] = None,
+) -> tuple[ModelArguments, DataArguments, TrainingArguments]:
+    """Parse a YAML file path, a dict, or argv into the three arg groups.
+
+    Reference parity: `python cli/train_ir.py cfg.yaml` consumes a single flat
+    YAML (args.py:81-96). A dict input is used programmatically / in tests.
+    """
+    if source is None:
+        source = sys.argv[1] if len(sys.argv) == 2 else {}
+    if isinstance(source, str):
+        with open(source) as f:
+            raw = yaml.safe_load(f) or {}
+    elif isinstance(source, dict):
+        raw = dict(source)
+    else:
+        raise TypeError(f"unsupported config source: {type(source)}")
+
+    buckets, leftovers = _split_fields(raw)
+    if leftovers:
+        import logging
+
+        logging.getLogger(__name__).warning("unknown config keys ignored: %s", leftovers)
+
+    model_args = ModelArguments(**buckets["model"])
+    data_args = DataArguments(**buckets["data"])
+    training_args = TrainingArguments(**buckets["train"])
+    os.makedirs(training_args.output_dir, exist_ok=True)
+    return model_args, data_args, training_args
+
+
+def snapshot_config(model_args, data_args, training_args, path: str):
+    """Write the resolved config into the output dir for reproducibility
+    (reference: train_ir.py:33-44)."""
+    blob = {
+        "model_args": dataclasses.asdict(model_args),
+        "data_args": dataclasses.asdict(data_args),
+        "training_args": dataclasses.asdict(training_args),
+    }
+    with open(path, "w") as f:
+        yaml.dump(blob, f, sort_keys=False)

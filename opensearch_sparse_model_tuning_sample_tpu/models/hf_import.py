@@ -1,0 +1,261 @@
+"""Checkpoint import/export between our functional param tree and the
+HuggingFace BERT-for-MaskedLM on-disk layout.
+
+Import: a local checkpoint directory (config.json + model.safetensors or
+pytorch_model.bin) -> (BertConfig, params pytree, optional idf vector).
+Export: params -> HF-named safetensors + config.json + vocab.txt (+ idf.json
+when the IDF vector is trainable, reference trainer `_save`,
+/root/reference/scripts/train/trainer.py:37-49,145-156), so checkpoints
+round-trip with the reference's `checkpoint-{step}` eval loop
+(evaluate_beir.py:33-38, 365-378).
+
+No torch dependency on the import path: safetensors are read with the numpy
+backend; pytorch_model.bin falls back to torch CPU if present.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from .bert import BertConfig, round_up
+
+
+def _read_state_dict(ckpt_dir: str) -> Dict[str, np.ndarray]:
+    st = os.path.join(ckpt_dir, "model.safetensors")
+    if os.path.exists(st):
+        from safetensors.numpy import load_file
+
+        return load_file(st)
+    pt = os.path.join(ckpt_dir, "pytorch_model.bin")
+    if os.path.exists(pt):
+        import torch
+
+        sd = torch.load(pt, map_location="cpu", weights_only=True)
+        return {k: v.numpy() for k, v in sd.items()}
+    raise FileNotFoundError(f"no model.safetensors / pytorch_model.bin in {ckpt_dir}")
+
+
+def _strip_prefix(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    # HF sometimes nests everything under "bert." — normalize to that form.
+    if any(k.startswith("bert.") for k in sd):
+        return sd
+    return {f"bert.{k}" if not k.startswith("cls.") else k: v for k, v in sd.items()}
+
+
+def config_from_hf_json(path: str, param_dtype, compute_dtype) -> BertConfig:
+    with open(path) as f:
+        hf = json.load(f)
+    return BertConfig(
+        vocab_size=hf["vocab_size"],
+        hidden_size=hf["hidden_size"],
+        num_hidden_layers=hf["num_hidden_layers"],
+        num_attention_heads=hf["num_attention_heads"],
+        intermediate_size=hf["intermediate_size"],
+        max_position_embeddings=hf.get("max_position_embeddings", 512),
+        type_vocab_size=hf.get("type_vocab_size", 2),
+        layer_norm_eps=hf.get("layer_norm_eps", 1e-12),
+        hidden_dropout_prob=hf.get("hidden_dropout_prob", 0.1),
+        attention_probs_dropout_prob=hf.get("attention_probs_dropout_prob", 0.1),
+        param_dtype=param_dtype,
+        compute_dtype=compute_dtype,
+    )
+
+
+def _pad_vocab_rows(x: np.ndarray, padded: int) -> np.ndarray:
+    if x.shape[0] == padded:
+        return x
+    out = np.zeros((padded,) + x.shape[1:], dtype=x.dtype)
+    out[: x.shape[0]] = x
+    return out
+
+
+def params_from_state_dict(
+    sd: Dict[str, np.ndarray], cfg: BertConfig
+) -> Dict[str, Any]:
+    sd = _strip_prefix(sd)
+    dt = cfg.param_dtype
+    pv = cfg.padded_vocab_size
+
+    def t(name):  # torch Linear stores [out, in]; our kernel is [in, out]
+        return jnp.asarray(sd[name].T, dtype=dt)
+
+    def a(name):
+        return jnp.asarray(sd[name], dtype=dt)
+
+    def dense(prefix):
+        return {"kernel": t(prefix + ".weight"), "bias": a(prefix + ".bias")}
+
+    def ln(prefix):
+        return {"scale": a(prefix + ".weight"), "bias": a(prefix + ".bias")}
+
+    word = _pad_vocab_rows(sd["bert.embeddings.word_embeddings.weight"], pv)
+    mlm_bias_key = (
+        "cls.predictions.bias"
+        if "cls.predictions.bias" in sd
+        else "cls.predictions.decoder.bias"
+    )
+    mlm_bias = _pad_vocab_rows(sd[mlm_bias_key], pv)
+
+    params = {
+        "embeddings": {
+            "word_embeddings": jnp.asarray(word, dtype=dt),
+            "position_embeddings": a("bert.embeddings.position_embeddings.weight"),
+            "token_type_embeddings": a("bert.embeddings.token_type_embeddings.weight"),
+            "layer_norm": ln("bert.embeddings.LayerNorm"),
+        },
+        "encoder": {"layers": []},
+        "mlm_head": {
+            "transform": dense("cls.predictions.transform.dense"),
+            "layer_norm": ln("cls.predictions.transform.LayerNorm"),
+            "bias": jnp.asarray(mlm_bias, dtype=dt),
+        },
+    }
+    for i in range(cfg.num_hidden_layers):
+        pre = f"bert.encoder.layer.{i}"
+        params["encoder"]["layers"].append(
+            {
+                "attention": {
+                    "query": dense(f"{pre}.attention.self.query"),
+                    "key": dense(f"{pre}.attention.self.key"),
+                    "value": dense(f"{pre}.attention.self.value"),
+                    "output": dense(f"{pre}.attention.output.dense"),
+                    "layer_norm": ln(f"{pre}.attention.output.LayerNorm"),
+                },
+                "ffn": {
+                    "intermediate": dense(f"{pre}.intermediate.dense"),
+                    "output": dense(f"{pre}.output.dense"),
+                    "layer_norm": ln(f"{pre}.output.LayerNorm"),
+                },
+            }
+        )
+    return params
+
+
+def load_checkpoint(
+    ckpt_dir: str, param_dtype=jnp.float32, compute_dtype=jnp.bfloat16
+) -> Tuple[BertConfig, Dict[str, Any], Optional[np.ndarray]]:
+    cfg = config_from_hf_json(
+        os.path.join(ckpt_dir, "config.json"), param_dtype, compute_dtype
+    )
+    params = params_from_state_dict(_read_state_dict(ckpt_dir), cfg)
+    idf = None
+    idf_path = os.path.join(ckpt_dir, "idf.json")
+    if os.path.exists(idf_path):
+        from .tokenizer import WordPieceTokenizer, load_idf_weights
+
+        vt = os.path.join(ckpt_dir, "vocab.txt")
+        if os.path.exists(vt):
+            tok = WordPieceTokenizer.from_vocab_file(vt)
+            idf = load_idf_weights(idf_path, tok)
+    return cfg, params, idf
+
+
+# ---------------------------------------------------------------------------
+# Export
+# ---------------------------------------------------------------------------
+
+
+def state_dict_from_params(params: Dict[str, Any], cfg: BertConfig) -> Dict[str, np.ndarray]:
+    def np32(x):
+        return np.asarray(x, dtype=np.float32)
+
+    def np32t(x):
+        # torch Linear convention is [out, in]; ascontiguousarray because
+        # safetensors serializes the raw buffer and silently ignores strides
+        return np.ascontiguousarray(np32(x).T)
+
+    v = cfg.vocab_size
+    sd = {
+        "bert.embeddings.word_embeddings.weight": np32(
+            params["embeddings"]["word_embeddings"]
+        )[:v],
+        "bert.embeddings.position_embeddings.weight": np32(
+            params["embeddings"]["position_embeddings"]
+        ),
+        "bert.embeddings.token_type_embeddings.weight": np32(
+            params["embeddings"]["token_type_embeddings"]
+        ),
+        "bert.embeddings.LayerNorm.weight": np32(params["embeddings"]["layer_norm"]["scale"]),
+        "bert.embeddings.LayerNorm.bias": np32(params["embeddings"]["layer_norm"]["bias"]),
+        "cls.predictions.transform.dense.weight": np32t(
+            params["mlm_head"]["transform"]["kernel"]
+        ),
+        "cls.predictions.transform.dense.bias": np32(params["mlm_head"]["transform"]["bias"]),
+        "cls.predictions.transform.LayerNorm.weight": np32(
+            params["mlm_head"]["layer_norm"]["scale"]
+        ),
+        "cls.predictions.transform.LayerNorm.bias": np32(
+            params["mlm_head"]["layer_norm"]["bias"]
+        ),
+        "cls.predictions.bias": np32(params["mlm_head"]["bias"])[:v],
+        "cls.predictions.decoder.weight": np32(params["embeddings"]["word_embeddings"])[:v],
+    }
+    for i, layer in enumerate(params["encoder"]["layers"]):
+        pre = f"bert.encoder.layer.{i}"
+        att, ffn = layer["attention"], layer["ffn"]
+        for name, p in (
+            (f"{pre}.attention.self.query", att["query"]),
+            (f"{pre}.attention.self.key", att["key"]),
+            (f"{pre}.attention.self.value", att["value"]),
+            (f"{pre}.attention.output.dense", att["output"]),
+            (f"{pre}.intermediate.dense", ffn["intermediate"]),
+            (f"{pre}.output.dense", ffn["output"]),
+        ):
+            sd[name + ".weight"] = np32t(p["kernel"])
+            sd[name + ".bias"] = np32(p["bias"])
+        for name, p in (
+            (f"{pre}.attention.output.LayerNorm", att["layer_norm"]),
+            (f"{pre}.output.LayerNorm", ffn["layer_norm"]),
+        ):
+            sd[name + ".weight"] = np32(p["scale"])
+            sd[name + ".bias"] = np32(p["bias"])
+    return sd
+
+
+def save_checkpoint(model, output_dir: str):
+    """Write an HF-layout checkpoint dir from a SparseEncoderModel.
+
+    Mirrors reference ModelWrapper.save (trainer.py:37-49): backbone +
+    tokenizer always; idf.json only when the idf vector is trainable.
+    """
+    from safetensors.numpy import save_file
+
+    os.makedirs(output_dir, exist_ok=True)
+    cfg = model.cfg
+    sd = state_dict_from_params(model.params["bert"], cfg)
+    save_file(sd, os.path.join(output_dir, "model.safetensors"))
+    with open(os.path.join(output_dir, "config.json"), "w") as f:
+        json.dump(
+            {
+                "architectures": ["BertForMaskedLM"],
+                "model_type": "bert",
+                "vocab_size": cfg.vocab_size,
+                "hidden_size": cfg.hidden_size,
+                "num_hidden_layers": cfg.num_hidden_layers,
+                "num_attention_heads": cfg.num_attention_heads,
+                "intermediate_size": cfg.intermediate_size,
+                "max_position_embeddings": cfg.max_position_embeddings,
+                "type_vocab_size": cfg.type_vocab_size,
+                "layer_norm_eps": cfg.layer_norm_eps,
+                "hidden_dropout_prob": cfg.hidden_dropout_prob,
+                "attention_probs_dropout_prob": cfg.attention_probs_dropout_prob,
+                "hidden_act": "gelu",
+                "pad_token_id": cfg.pad_token_id,
+            },
+            f,
+            indent=2,
+        )
+    model.tokenizer.save_pretrained(output_dir)
+    if model.idf_requires_grad:
+        idf = np.asarray(model.params["idf_vector"], dtype=np.float32)
+        idf_json = {
+            model.tokenizer.convert_id_to_token(i): float(idf[i])
+            for i in np.nonzero(idf)[0]
+        }
+        with open(os.path.join(output_dir, "idf.json"), "w") as f:
+            json.dump(idf_json, f)

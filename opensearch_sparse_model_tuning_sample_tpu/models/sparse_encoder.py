@@ -1,0 +1,300 @@
+"""Sparse encoder: BERT-MLM backbone -> vocab-space sparse representations.
+
+Functional equivalent of the reference `SparseModel` / `SparseEncoder` /
+`SparsePostProcessor` (/root/reference/scripts/model/sparse_encoders.py:42-181),
+re-designed TPU-first:
+
+  * params are one pytree {"bert": ..., "idf_vector": [V]} so the whole model
+    (incl. the learnable IDF vector, reference :86-95) differentiates and
+    shards as a unit;
+  * `encode_doc` / `encode_query_inf_free` are pure functions jitted inside
+    the train step — no nn.Module state;
+  * batch encoding for ingest/search jits once per (batch, seq-bucket) shape
+    and accumulates the FLOPS count statistic on device.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import bert
+from .bert import BertConfig
+from .tokenizer import WordPieceTokenizer, load_idf_weights
+from ..ops.activations import (
+    activation_count,
+    inf_free_activation,
+    sparse_activation,
+    special_token_mask,
+)
+
+
+@dataclass
+class SparseEncoderModel:
+    """Bundle of config + params + tokenizer (host-side convenience object).
+
+    The math lives in module-level pure functions; this class only carries
+    static metadata into them.
+    """
+
+    cfg: BertConfig
+    params: Dict[str, Any]  # {"bert": pytree, "idf_vector": [V] f32}
+    tokenizer: WordPieceTokenizer
+    use_l0: bool = False
+    prune_ratio: Optional[float] = None
+    idf_requires_grad: bool = False
+    _special_mask: Any = None
+
+    def __post_init__(self):
+        if self._special_mask is None:
+            self._special_mask = np.asarray(
+                special_token_mask(self.tokenizer.special_token_ids, self.cfg.vocab_size)
+            )
+
+    @property
+    def vocab_size(self) -> int:
+        return self.cfg.vocab_size
+
+    @property
+    def special_mask(self) -> np.ndarray:
+        return self._special_mask
+
+
+# ---------------------------------------------------------------------------
+# Pure encode functions (used inside the jitted train/eval steps)
+# ---------------------------------------------------------------------------
+
+
+def encode_doc(
+    params: Dict[str, Any],
+    cfg: BertConfig,
+    input_ids: jax.Array,
+    attention_mask: jax.Array,
+    use_l0: bool = False,
+    prune_ratio: Optional[float] = None,
+    deterministic: bool = True,
+    rng: Optional[jax.Array] = None,
+) -> jax.Array:
+    """Full forward: MLM logits -> masked max-pool -> log1p(relu) [-> log1p]
+    [-> prune]. Output [B, vocab_size] fp32 (padded vocab columns dropped).
+
+    Reference `_encode` (sparse_encoders.py:107-119).
+    """
+    logits = bert.apply(
+        params["bert"], cfg, input_ids, attention_mask,
+        deterministic=deterministic, rng=rng,
+    )
+    rep = sparse_activation(logits, attention_mask, use_l0=use_l0, prune_ratio=prune_ratio)
+    return rep[:, : cfg.vocab_size]
+
+
+def encode_query_inf_free(
+    params: Dict[str, Any],
+    cfg: BertConfig,
+    input_ids: jax.Array,
+    special_mask: jax.Array,
+) -> jax.Array:
+    """Inference-free query encoding (reference `_encode_inf_free`,
+    sparse_encoders.py:121-127): no transformer forward at all."""
+    return inf_free_activation(
+        input_ids, params["idf_vector"], special_mask, cfg.vocab_size
+    )
+
+
+def encode(
+    params,
+    cfg,
+    input_ids,
+    attention_mask,
+    special_mask,
+    inf_free: bool,
+    use_l0: bool = False,
+    prune_ratio: Optional[float] = None,
+    deterministic: bool = True,
+    rng=None,
+):
+    """Dispatch mirroring reference `SparseModel.forward` (:100-105).
+    `inf_free` is a Python static — two jitted variants, no lax.cond."""
+    if inf_free:
+        return encode_query_inf_free(params, cfg, input_ids, special_mask)
+    return encode_doc(
+        params, cfg, input_ids, attention_mask, use_l0, prune_ratio,
+        deterministic, rng,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Host-side batch encoder (ingest / search path)
+# ---------------------------------------------------------------------------
+
+
+def sparse_to_token_weight_dicts(
+    reps: np.ndarray, tokenizer: WordPieceTokenizer
+) -> List[Dict[str, float]]:
+    """Dense [B, V] -> list of {token: weight} maps (nonzero entries only).
+
+    Equivalent of reference SparsePostProcessor (sparse_encoders.py:130-150)
+    without its sentinel-at-index-0 trick: plain per-row nonzero extraction.
+    """
+    out = []
+    for row in reps:
+        (idx,) = np.nonzero(row)
+        out.append({tokenizer.convert_id_to_token(i): float(row[i]) for i in idx})
+    return out
+
+
+class BatchEncoder:
+    """Tokenize -> jitted forward -> sparse reps; accumulates per-token
+    activation counts for the FLOPS statistic.
+
+    Reference `SparseEncoder` (sparse_encoders.py:153-181). TPU-first: the
+    forward jits once per sequence bucket; counts accumulate on device and
+    only transfer at `count()`.
+    """
+
+    def __init__(
+        self,
+        model: SparseEncoderModel,
+        max_length: int = 512,
+        seq_buckets: Optional[List[int]] = None,
+        do_count: bool = True,
+    ):
+        self.model = model
+        self.max_length = max_length
+        self.seq_buckets = sorted(
+            b for b in (seq_buckets or [64, 128, 256, 512]) if b <= max_length
+        ) or [max_length]
+        if self.seq_buckets[-1] < max_length:
+            self.seq_buckets.append(max_length)
+        self.do_count = do_count
+        self.reset_count()
+        self._special_mask_dev = jnp.asarray(model.special_mask)
+
+        cfg = model.cfg
+        self._doc_fwd = jax.jit(
+            partial(
+                encode_doc, cfg=cfg, use_l0=model.use_l0, prune_ratio=model.prune_ratio
+            )
+        )
+        self._q_fwd = jax.jit(partial(encode_query_inf_free, cfg=cfg))
+
+    def reset_count(self):
+        self.count_tensor = np.zeros((self.model.vocab_size,), dtype=np.int64)
+        self._n_encoded = 0
+
+    def _bucket(self, n: int) -> int:
+        for b in self.seq_buckets:
+            if n <= b:
+                return b
+        return self.seq_buckets[-1]
+
+    def encode_batch(self, texts: List[str], inf_free: bool = False) -> np.ndarray:
+        feats = self.model.tokenizer(texts, max_length=self.max_length)
+        L = self._bucket(feats["input_ids"].shape[1])
+        feats = self.model.tokenizer(texts, max_length=self.max_length, pad_to=L)
+        ids = jnp.asarray(feats["input_ids"])
+        mask = jnp.asarray(feats["attention_mask"])
+        if inf_free:
+            reps = self._q_fwd(
+                params=self.model.params, input_ids=ids,
+                special_mask=self._special_mask_dev,
+            )
+        else:
+            reps = self._doc_fwd(
+                params=self.model.params, input_ids=ids, attention_mask=mask
+            )
+        if self.do_count:
+            self.count_tensor += np.asarray(activation_count(reps), dtype=np.int64)
+            self._n_encoded += len(texts)
+        return np.asarray(reps)
+
+    def encode(self, texts: List[str], inf_free: bool = False) -> List[Dict[str, float]]:
+        reps = self.encode_batch(texts, inf_free=inf_free)
+        return sparse_to_token_weight_dicts(reps, self.model.tokenizer)
+
+
+# ---------------------------------------------------------------------------
+# Construction
+# ---------------------------------------------------------------------------
+
+
+def build_model(
+    model_name_or_path: Optional[str] = None,
+    arch: Optional[str] = None,
+    tokenizer_name: Optional[str] = None,
+    idf_path: Optional[str] = None,
+    idf_requires_grad: bool = False,
+    prune_ratio: Optional[float] = None,
+    preprocess_func: Optional[str] = None,
+    use_l0: bool = False,
+    inf_free: bool = True,
+    seed: int = 0,
+    param_dtype=jnp.float32,
+    compute_dtype=jnp.bfloat16,
+) -> SparseEncoderModel:
+    """Factory mirroring reference `get_model` (utils.py:50-68).
+
+    Resolution order for weights:
+      1. local checkpoint dir (our orbax/safetensors layout or HF layout)
+      2. random init from an `arch` preset (offline-first default: "mini")
+    """
+    from . import hf_import
+
+    tokenizer = WordPieceTokenizer.from_pretrained(
+        tokenizer_name or model_name_or_path, preprocess_func=preprocess_func
+    )
+
+    ckpt_dir = model_name_or_path if model_name_or_path and os.path.isdir(model_name_or_path) else None
+    if ckpt_dir:
+        cfg, bert_params, loaded_idf = hf_import.load_checkpoint(
+            ckpt_dir, param_dtype=param_dtype, compute_dtype=compute_dtype
+        )
+    else:
+        cfg = bert.config_from_preset(
+            arch or "mini",
+            vocab_size=tokenizer.vocab_size,
+            param_dtype=param_dtype,
+            compute_dtype=compute_dtype,
+        )
+        bert_params = bert.init(jax.random.PRNGKey(seed), cfg)
+        loaded_idf = None
+
+    if loaded_idf is not None and idf_path is None:
+        idf = loaded_idf
+    else:
+        idf = load_idf_weights(
+            idf_path if (inf_free and idf_path) else None, tokenizer
+        )
+
+    params = {"bert": bert_params, "idf_vector": jnp.asarray(idf, dtype=jnp.float32)}
+    return SparseEncoderModel(
+        cfg=cfg,
+        params=params,
+        tokenizer=tokenizer,
+        use_l0=use_l0,
+        prune_ratio=prune_ratio,
+        idf_requires_grad=idf_requires_grad,
+    )
+
+
+def from_model_args(model_args, seed: int = 0) -> SparseEncoderModel:
+    return build_model(
+        model_name_or_path=model_args.model_name_or_path,
+        arch=getattr(model_args, "arch", None),
+        tokenizer_name=model_args.tokenizer_name,
+        idf_path=model_args.idf_path,
+        idf_requires_grad=model_args.idf_requires_grad,
+        prune_ratio=model_args.prune_ratio,
+        preprocess_func=model_args.preprocess_func,
+        use_l0=model_args.use_l0,
+        inf_free=model_args.inf_free,
+        seed=seed,
+        param_dtype=jnp.dtype(model_args.param_dtype),
+        compute_dtype=jnp.dtype(model_args.compute_dtype),
+    )

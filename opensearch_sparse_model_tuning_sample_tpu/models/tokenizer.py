@@ -1,0 +1,283 @@
+"""Self-contained WordPiece tokenizer (BERT-uncased semantics).
+
+The reference delegates tokenization to HF AutoTokenizer
+(/root/reference/scripts/model/sparse_encoders.py:60). This build ships its
+own implementation so the framework is fully standalone: BasicTokenizer
+(lowercase, NFD accent-strip, punctuation split, CJK spacing) + greedy
+longest-match-first WordPiece, with static-shape batch encoding (pad-to-bucket)
+for the TPU collators.
+
+A native C++ fast path (native/wordpiece.cpp) is used for bulk encoding when
+built; this module is the reference implementation and fallback.
+
+Also hosts the text preprocessors (`to_lower`, `blank_prefix`,
+`blank_prefix_lower`) mirroring sparse_encoders.py:25-39.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import unicodedata
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+PAD, UNK, CLS, SEP, MASK = "[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"
+SPECIAL_TOKENS = (PAD, UNK, CLS, SEP, MASK)
+
+
+def _is_whitespace(ch):
+    if ch in (" ", "\t", "\n", "\r"):
+        return True
+    return unicodedata.category(ch) == "Zs"
+
+
+def _is_control(ch):
+    if ch in ("\t", "\n", "\r"):
+        return False
+    return unicodedata.category(ch).startswith("C")
+
+
+def _is_punctuation(ch):
+    cp = ord(ch)
+    # ASCII non-alphanumeric are treated as punctuation (BERT behavior)
+    if (33 <= cp <= 47) or (58 <= cp <= 64) or (91 <= cp <= 96) or (123 <= cp <= 126):
+        return True
+    return unicodedata.category(ch).startswith("P")
+
+
+def _is_cjk(cp: int) -> bool:
+    return (
+        0x4E00 <= cp <= 0x9FFF
+        or 0x3400 <= cp <= 0x4DBF
+        or 0x20000 <= cp <= 0x2A6DF
+        or 0x2A700 <= cp <= 0x2B73F
+        or 0x2B740 <= cp <= 0x2B81F
+        or 0x2B820 <= cp <= 0x2CEAF
+        or 0xF900 <= cp <= 0xFAFF
+        or 0x2F800 <= cp <= 0x2FA1F
+    )
+
+
+class TextPreProcessors:
+    """Text preprocessors applied before tokenization (reference
+    sparse_encoders.py:25-39; selected by `preprocess_func` config)."""
+
+    @staticmethod
+    def to_lower(texts):
+        return [t.lower() for t in texts]
+
+    @staticmethod
+    def blank_prefix(texts):
+        return [" " + t for t in texts]
+
+    @staticmethod
+    def blank_prefix_lower(texts):
+        return [" " + t.lower() for t in texts]
+
+
+class WordPieceTokenizer:
+    def __init__(
+        self,
+        vocab: Dict[str, int],
+        do_lower_case: bool = True,
+        max_input_chars_per_word: int = 100,
+        preprocess_func: Optional[str] = None,
+    ):
+        self.vocab = vocab
+        self.ids_to_tokens = {v: k for k, v in vocab.items()}
+        self.do_lower_case = do_lower_case
+        self.max_input_chars_per_word = max_input_chars_per_word
+        self.pad_id = vocab[PAD]
+        self.unk_id = vocab[UNK]
+        self.cls_id = vocab[CLS]
+        self.sep_id = vocab[SEP]
+        self.special_token_ids = [vocab[t] for t in SPECIAL_TOKENS if t in vocab]
+        self.vocab_size = len(vocab)
+        self.preprocess = (
+            getattr(TextPreProcessors, preprocess_func) if preprocess_func else None
+        )
+        self._native = None  # set by native.load() when the C++ path is built
+
+    # ------------------------------------------------------------- loading
+    @classmethod
+    def from_vocab_file(cls, path: str, **kw) -> "WordPieceTokenizer":
+        vocab = {}
+        with open(path, encoding="utf-8") as f:
+            for i, line in enumerate(f):
+                vocab[line.rstrip("\n")] = i
+        return cls(vocab, **kw)
+
+    @classmethod
+    def from_idf_asset(cls, path: str, **kw) -> "WordPieceTokenizer":
+        """Vocab from the bundled idf asset (token order == id order)."""
+        if path.endswith(".npz"):
+            blob = np.load(path, allow_pickle=False)
+            tokens = [str(t) for t in blob["tokens"]]
+        else:  # an idf.json-style {token: weight} map in id order
+            tokens = list(json.load(open(path)).keys())
+        return cls({t: i for i, t in enumerate(tokens)}, **kw)
+
+    @classmethod
+    def from_pretrained(cls, path_or_name: Optional[str], **kw) -> "WordPieceTokenizer":
+        """Resolve vocab from a local checkpoint dir (vocab.txt), a vocab/idf
+        file path, or fall back to the bundled asset."""
+        if path_or_name:
+            if os.path.isdir(path_or_name):
+                vf = os.path.join(path_or_name, "vocab.txt")
+                if os.path.exists(vf):
+                    return cls.from_vocab_file(vf, **kw)
+            elif os.path.exists(path_or_name):
+                if path_or_name.endswith((".npz", ".json")):
+                    return cls.from_idf_asset(path_or_name, **kw)
+                return cls.from_vocab_file(path_or_name, **kw)
+        asset = os.path.join(_repo_root(), "assets", "idf.npz")
+        return cls.from_idf_asset(asset, **kw)
+
+    # ----------------------------------------------------------- tokenize
+    def _clean(self, text: str) -> str:
+        out = []
+        for ch in text:
+            cp = ord(ch)
+            if cp == 0 or cp == 0xFFFD or _is_control(ch):
+                continue
+            if _is_whitespace(ch):
+                out.append(" ")
+            elif _is_cjk(cp):
+                out.append(f" {ch} ")
+            else:
+                out.append(ch)
+        return "".join(out)
+
+    def _basic_tokenize(self, text: str) -> List[str]:
+        text = self._clean(text)
+        tokens = []
+        for tok in text.split():
+            if tok in SPECIAL_TOKENS:  # HF never-splits special tokens
+                tokens.append(tok)
+                continue
+            if self.do_lower_case:
+                tok = tok.lower()
+                tok = unicodedata.normalize("NFD", tok)
+                tok = "".join(c for c in tok if unicodedata.category(c) != "Mn")
+            # split on punctuation
+            cur = []
+            for ch in tok:
+                if _is_punctuation(ch):
+                    if cur:
+                        tokens.append("".join(cur))
+                        cur = []
+                    tokens.append(ch)
+                else:
+                    cur.append(ch)
+            if cur:
+                tokens.append("".join(cur))
+        return tokens
+
+    def _wordpiece(self, word: str) -> List[str]:
+        if len(word) > self.max_input_chars_per_word:
+            return [UNK]
+        out, start, n = [], 0, len(word)
+        while start < n:
+            end = n
+            piece = None
+            while start < end:
+                sub = word[start:end]
+                if start > 0:
+                    sub = "##" + sub
+                if sub in self.vocab:
+                    piece = sub
+                    break
+                end -= 1
+            if piece is None:
+                return [UNK]
+            out.append(piece)
+            start = end
+        return out
+
+    def tokenize(self, text: str) -> List[str]:
+        toks = []
+        for w in self._basic_tokenize(text):
+            toks.extend(self._wordpiece(w))
+        return toks
+
+    def convert_tokens_to_ids(self, tokens: Sequence[str]) -> List[int]:
+        return [self.vocab.get(t, self.unk_id) for t in tokens]
+
+    def convert_id_to_token(self, i: int) -> str:
+        return self.ids_to_tokens.get(int(i), UNK)
+
+    def encode_ids(self, text: str, max_length: int) -> List[int]:
+        """[CLS] tokens[:max_length-2] [SEP] — HF truncation semantics."""
+        ids = self.convert_tokens_to_ids(self.tokenize(text))
+        ids = ids[: max_length - 2]
+        return [self.cls_id] + ids + [self.sep_id]
+
+    # --------------------------------------------------------- batch path
+    def __call__(
+        self,
+        texts: Sequence[str],
+        max_length: int = 512,
+        pad_to: Optional[int] = None,
+        **_ignored,
+    ) -> Dict[str, np.ndarray]:
+        """Batch-encode -> {input_ids, attention_mask} int32 ndarrays.
+
+        `pad_to=None` pads to the longest sequence (reference `padding=True`,
+        collator.py:32-52); pass a bucket length for static TPU shapes.
+        """
+        if self.preprocess is not None:
+            texts = self.preprocess(list(texts))
+        if self._native is not None:
+            seqs = self._native.encode_batch(texts, max_length)
+        else:
+            seqs = [self.encode_ids(t, max_length) for t in texts]
+        L = pad_to if pad_to is not None else max(len(s) for s in seqs)
+        B = len(seqs)
+        input_ids = np.full((B, L), self.pad_id, dtype=np.int32)
+        attention_mask = np.zeros((B, L), dtype=np.int32)
+        for i, s in enumerate(seqs):
+            s = s[:L]
+            input_ids[i, : len(s)] = s
+            attention_mask[i, : len(s)] = 1
+        return {"input_ids": input_ids, "attention_mask": attention_mask}
+
+    def save_pretrained(self, output_dir: str):
+        os.makedirs(output_dir, exist_ok=True)
+        with open(os.path.join(output_dir, "vocab.txt"), "w", encoding="utf-8") as f:
+            for i in range(self.vocab_size):
+                f.write(self.ids_to_tokens[i] + "\n")
+        with open(os.path.join(output_dir, "tokenizer_config.json"), "w") as f:
+            json.dump(
+                {
+                    "tokenizer_class": "BertTokenizer",
+                    "do_lower_case": self.do_lower_case,
+                },
+                f,
+            )
+
+
+def _repo_root() -> str:
+    return os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def load_idf_weights(path: Optional[str], tokenizer: WordPieceTokenizer) -> np.ndarray:
+    """[vocab] idf vector from an .npz asset or an idf.json token->weight map
+    (reference init: sparse_encoders.py:86-94 — missing tokens default 1.0)."""
+    idf = np.ones((tokenizer.vocab_size,), dtype=np.float32)
+    if path is None:
+        return idf
+    if path.endswith(".npz"):
+        blob = np.load(path, allow_pickle=False)
+        tokens, weights = blob["tokens"], blob["weights"]
+        for t, w in zip(tokens, weights):
+            i = tokenizer.vocab.get(str(t))
+            if i is not None:
+                idf[i] = w
+    else:
+        for t, w in json.load(open(path)).items():
+            i = tokenizer.vocab.get(t)
+            if i is not None:
+                idf[i] = w
+    return idf

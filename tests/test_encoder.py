@@ -1,0 +1,163 @@
+"""Sparse-encoder math parity tests (hand-computed oracles, numpy)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from opensearch_sparse_model_tuning_sample_tpu.models import bert
+from opensearch_sparse_model_tuning_sample_tpu.models import sparse_encoder as se
+from opensearch_sparse_model_tuning_sample_tpu.ops.activations import (
+    activation_count,
+    inf_free_activation,
+    sparse_activation,
+    special_token_mask,
+)
+
+
+def test_sparse_activation_matches_hand_math():
+    # [B=1, L=3, V=4] with one masked position
+    logits = jnp.array(
+        [[[1.0, -2.0, 0.5, 3.0], [2.0, 1.0, -1.0, 0.0], [9.0, 9.0, 9.0, 9.0]]]
+    )
+    mask = jnp.array([[1, 1, 0]])  # last position masked out
+    rep = np.asarray(sparse_activation(logits, mask))
+    # masked max-pool: max over positions 0,1 (pos 2 multiplied by 0)
+    pooled = np.array([2.0, 1.0, 0.5, 3.0])
+    expect = np.log1p(np.maximum(pooled, 0.0))
+    np.testing.assert_allclose(rep[0], expect, rtol=1e-6)
+
+
+def test_sparse_activation_l0_double_log():
+    logits = jnp.array([[[4.0, 0.0]]], dtype=jnp.float32)
+    mask = jnp.ones((1, 1), dtype=jnp.int32)
+    rep = np.asarray(sparse_activation(logits, mask, use_l0=True))
+    np.testing.assert_allclose(rep[0, 0], np.log1p(np.log1p(4.0)), rtol=1e-6)
+
+
+def test_sparse_activation_prune_ratio():
+    logits = jnp.array([[[10.0, 4.0, 0.2, 8.0]]], dtype=jnp.float32)
+    mask = jnp.ones((1, 1), dtype=jnp.int32)
+    rep = np.asarray(sparse_activation(logits, mask, prune_ratio=0.5))
+    vals = np.log1p(np.array([10.0, 4.0, 0.2, 8.0]))
+    thresh = vals.max() * 0.5
+    expect = vals * (vals > thresh)
+    np.testing.assert_allclose(rep[0], expect, rtol=1e-6)
+
+
+def test_inf_free_activation():
+    V = 16
+    ids = jnp.array([[1, 3, 3, 5, 0]])  # duplicates + special(0)
+    idf = jnp.arange(V, dtype=jnp.float32) - 2.0  # some negatives -> relu
+    smask = special_token_mask([0, 5], V)
+    out = np.asarray(inf_free_activation(ids, idf, smask, V))
+    expect = np.zeros(V)
+    expect[1] = max(1.0 - 2.0, 0)  # idf[1] = -1 -> relu -> 0
+    expect[3] = 3 - 2.0
+    # token 5 and 0 are special -> zeroed
+    np.testing.assert_allclose(out[0], expect, rtol=1e-6)
+
+
+def test_activation_count():
+    reps = jnp.array([[0.0, 1.0, 2.0], [0.0, 0.0, 3.0]])
+    np.testing.assert_array_equal(np.asarray(activation_count(reps)), [0, 1, 2])
+
+
+def test_masked_positions_cannot_win_max(tiny_model):
+    """Padding rows must not contribute: same text padded to different
+    lengths yields identical reps."""
+    tok = tiny_model.tokenizer
+    f1 = tok(["sparse retrieval"], max_length=64, pad_to=16)
+    f2 = tok(["sparse retrieval"], max_length=64, pad_to=32)
+    r1 = se.encode_doc(
+        tiny_model.params, tiny_model.cfg,
+        jnp.asarray(f1["input_ids"]), jnp.asarray(f1["attention_mask"]),
+    )
+    r2 = se.encode_doc(
+        tiny_model.params, tiny_model.cfg,
+        jnp.asarray(f2["input_ids"]), jnp.asarray(f2["attention_mask"]),
+    )
+    np.testing.assert_allclose(np.asarray(r1), np.asarray(r2), atol=2e-3)
+
+
+def test_padded_vocab_columns_dropped(tiny_model):
+    assert tiny_model.cfg.padded_vocab_size % 128 == 0
+    f = tiny_model.tokenizer(["hello"], max_length=16)
+    rep = se.encode_doc(
+        tiny_model.params, tiny_model.cfg,
+        jnp.asarray(f["input_ids"]), jnp.asarray(f["attention_mask"]),
+    )
+    assert rep.shape[-1] == tiny_model.cfg.vocab_size == 30522
+
+
+def test_inf_free_query_is_bag_of_tokens(tiny_model):
+    enc = se.BatchEncoder(tiny_model, max_length=32)
+    out = enc.encode(["hello world hello"], inf_free=True)[0]
+    assert set(out.keys()) == {"hello", "world"}
+    # idf-weighted: weight equals relu(idf[token])
+    idf = np.asarray(tiny_model.params["idf_vector"])
+    hid = tiny_model.tokenizer.vocab["hello"]
+    assert out["hello"] == pytest.approx(max(idf[hid], 0.0))
+
+
+def test_hf_checkpoint_roundtrip(tiny_model, tmp_path):
+    from opensearch_sparse_model_tuning_sample_tpu.models import hf_import
+
+    d = str(tmp_path / "ckpt")
+    tiny_model.idf_requires_grad = True
+    hf_import.save_checkpoint(tiny_model, d)
+    cfg, params, idf = hf_import.load_checkpoint(d)
+    assert cfg.hidden_size == tiny_model.cfg.hidden_size
+    f = tiny_model.tokenizer(["roundtrip of the weights"], max_length=16)
+    ids, mask = jnp.asarray(f["input_ids"]), jnp.asarray(f["attention_mask"])
+    a = bert.apply(tiny_model.params["bert"], tiny_model.cfg, ids, mask)
+    b = bert.apply(params, cfg, ids, mask)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    assert idf is not None
+    np.testing.assert_allclose(
+        idf, np.asarray(tiny_model.params["idf_vector"]), rtol=1e-6
+    )
+
+
+def test_forward_matches_hf_torch_bert(tmp_path, tiny_model):
+    """Numerical parity of the whole MLM forward vs torch BertForMaskedLM
+    loaded from our exported checkpoint (the reference backbone semantics,
+    sparse_encoders.py:108)."""
+    torch = pytest.importorskip("torch")
+    import transformers
+
+    from opensearch_sparse_model_tuning_sample_tpu.models import hf_import
+
+    d = str(tmp_path / "ckpt")
+    hf_import.save_checkpoint(tiny_model, d)
+    hf_model = transformers.BertForMaskedLM.from_pretrained(d)
+    hf_model.eval()
+
+    f = tiny_model.tokenizer(
+        ["numerical parity check", "a second, longer sentence for padding"],
+        max_length=32,
+    )
+    ids, mask = f["input_ids"], f["attention_mask"]
+    with torch.no_grad():
+        t_logits = hf_model(
+            input_ids=torch.tensor(ids.astype(np.int64)),
+            attention_mask=torch.tensor(mask.astype(np.int64)),
+        ).logits.numpy()
+
+    # fp32 compute for the parity check
+    cfg32 = bert.BertConfig(
+        **{
+            **{k: getattr(tiny_model.cfg, k) for k in (
+                "vocab_size", "hidden_size", "num_hidden_layers",
+                "num_attention_heads", "intermediate_size",
+                "max_position_embeddings", "type_vocab_size", "layer_norm_eps",
+            )},
+            "compute_dtype": jnp.float32,
+        }
+    )
+    j_logits = np.asarray(
+        bert.apply(tiny_model.params["bert"], cfg32, jnp.asarray(ids), jnp.asarray(mask))
+    )[:, :, : cfg32.vocab_size]
+    # compare only attended positions (padding rows are arbitrary)
+    sel = mask.astype(bool)
+    np.testing.assert_allclose(j_logits[sel], t_logits[sel], atol=2e-4, rtol=1e-3)
