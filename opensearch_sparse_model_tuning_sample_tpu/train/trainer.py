@@ -1,0 +1,345 @@
+"""Training orchestration: one jitted, mesh-sharded train step + host loop.
+
+Replaces the reference's HF-Trainer subclass
+(/root/reference/scripts/train/trainer.py:52-218) with the idiomatic JAX
+design:
+
+  * the entire step — teacher forwards, student q/d forwards, FLOPS/L0
+    regularizer with its quadratic lambda ramp, ranking losses, AdamW update —
+    is ONE jitted function over a global batch whose leading dims are sharded
+    over the mesh's `data` axis; XLA inserts the all-gathers the reference
+    does by hand (gather_rep, utils.py:16-23) and the backward scatter makes
+    each device contribute exactly its local-slice gradient, so the
+    DP-vs-DDP xnum_processes loss rescale (trainer.py:139-141) disappears;
+  * optimizer state is donated (no HBM copy per step);
+  * the learnable IDF vector gets its own LR via optax.multi_transform
+    (reference train_ir.py:85-101);
+  * checkpoints export in the HF `checkpoint-{step}` layout for eval-loop
+    parity (trainer.py:145-156) plus an orbax train-state for exact resume
+    (which the reference cannot do).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import time
+from dataclasses import dataclass
+from functools import partial
+from typing import Any, Callable, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..core.mesh import DATA_AXIS, make_mesh
+from ..models import hf_import, sparse_encoder as se
+from ..ops import flops as flops_ops
+from ..ops.losses import LossSpec, build_loss_specs
+from .teachers import TeacherEnsemble
+
+logger = logging.getLogger(__name__)
+
+
+@dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jax.Array  # scalar int32
+
+    def tree_flatten(self):
+        return (self.params, self.opt_state, self.step), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+jax.tree_util.register_pytree_node(
+    TrainState, TrainState.tree_flatten, TrainState.tree_unflatten
+)
+
+
+def linear_warmup_linear_decay(lr: float, warmup_steps: int, total_steps: int):
+    """HF get_linear_schedule_with_warmup equivalent (train_ir.py:103-107)."""
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = jnp.maximum(warmup_steps, 1)
+        wu = step / warm
+        decay = jnp.maximum(
+            0.0, (total_steps - step) / jnp.maximum(total_steps - warmup_steps, 1)
+        )
+        return lr * jnp.where(step < warmup_steps, wu, decay)
+
+    return schedule
+
+
+def make_optimizer(model_args, data_args, training_args) -> optax.GradientTransformation:
+    sched = linear_warmup_linear_decay(
+        training_args.learning_rate, training_args.warmup_steps, training_args.max_steps
+    )
+    # torch AdamW defaults; weight decay on ALL params (the reference builds
+    # AdamW over model.parameters() directly, train_ir.py:86-90)
+    base = optax.adamw(sched, b1=0.9, b2=0.999, eps=1e-8,
+                       weight_decay=training_args.weight_decay)
+
+    if not model_args.idf_requires_grad:
+        idf_tx = optax.set_to_zero()  # frozen (requires_grad=False parity)
+    elif data_args.idf_lr is not None:
+        idf_sched = linear_warmup_linear_decay(
+            data_args.idf_lr, training_args.warmup_steps, training_args.max_steps
+        )
+        idf_tx = optax.adamw(idf_sched, b1=0.9, b2=0.999, eps=1e-8,
+                             weight_decay=training_args.weight_decay)
+    else:
+        idf_tx = base
+
+    def label_fn(params):
+        return {"bert": jax.tree_util.tree_map(lambda _: "bert", params["bert"]),
+                "idf_vector": "idf"}
+
+    tx = optax.multi_transform({"bert": base, "idf": idf_tx}, label_fn)
+    if training_args.max_grad_norm:
+        tx = optax.chain(optax.clip_by_global_norm(training_args.max_grad_norm), tx)
+    return tx
+
+
+def make_train_step(
+    model: se.SparseEncoderModel,
+    loss_specs: List[LossSpec],
+    model_args,
+    data_args,
+    tx: optax.GradientTransformation,
+    teacher_ensemble: Optional[TeacherEnsemble] = None,
+    mesh=None,
+) -> Callable:
+    """Build the jitted train step.
+
+    Batch layout (all leading dims globally sized, sharded over `data`):
+      q_input_ids/q_attention_mask   [B, Lq]
+      d_input_ids/d_attention_mask   [B*G, Ld]
+      scores (optional)              [B, G] teacher scores from the dataset
+      teacher_q / teacher_d (opt)    per-teacher feature dicts (kd-ensemble)
+    """
+    cfg = model.cfg
+    special_mask = jnp.asarray(model.special_mask)
+    inf_free = model_args.inf_free
+    use_l0 = model_args.use_l0
+    prune_ratio = model_args.prune_ratio
+    needs_teacher_scores = any(s.kind in ("kldiv", "marginmse") for s in loss_specs)
+
+    def loss_fn(params, batch, step, rng):
+        # ---- teacher scores (frozen forwards or dataset-provided) ----
+        teacher_scores = batch.get("scores")
+        if teacher_ensemble is not None:
+            teacher_scores = teacher_ensemble.get_scores(
+                batch["teacher_q"], batch["teacher_d"]
+            )
+        if needs_teacher_scores and teacher_scores is None:
+            raise ValueError("kldiv/marginmse losses need teacher scores")
+
+        # ---- student forwards ----
+        rng_d, rng_q = jax.random.split(rng)
+        d_rep = se.encode_doc(
+            params, cfg, batch["d_input_ids"], batch["d_attention_mask"],
+            use_l0=use_l0, prune_ratio=prune_ratio,
+            deterministic=False, rng=rng_d,
+        )
+        if inf_free:
+            q_rep = se.encode_query_inf_free(
+                params, cfg, batch["q_input_ids"], special_mask
+            )
+        else:
+            q_rep = se.encode_doc(
+                params, cfg, batch["q_input_ids"], batch["q_attention_mask"],
+                use_l0=use_l0, prune_ratio=prune_ratio,
+                deterministic=False, rng=rng_q,
+            )
+
+        # ---- FLOPS/L0 regularizer with quadratic lambda ramp ----
+        group_num = d_rep.shape[0] // q_rep.shape[0]
+        d_flops = flops_ops.flops_value(
+            d_rep, group_num, flops_threshold=data_args.flops_threshold
+        )
+        flops_loss = d_flops * flops_ops.get_lambda(
+            step, data_args.flops_d_lambda, data_args.flops_d_T
+        )
+        if not inf_free and data_args.flops_q_lambda:
+            q_flops = flops_ops.flops_value(q_rep)
+            flops_loss = flops_loss + q_flops * flops_ops.get_lambda(
+                step, data_args.flops_q_lambda, data_args.flops_q_T
+            )
+
+        # ---- ranking losses ----
+        ranking_loss = 0.0
+        for spec in loss_specs:
+            ranking_loss = ranking_loss + spec(q_rep, d_rep, teacher_scores)
+
+        loss = ranking_loss + flops_loss
+        nonzero_mask = d_rep > 0
+        nnz = jnp.sum(nonzero_mask)
+        metrics = {
+            "loss": loss,
+            "ranking_loss": ranking_loss,
+            "d_flops": d_flops,
+            "flops_loss": flops_loss,
+            "avg_doc_length": nnz / d_rep.shape[0],
+            "nonzero_mean": jnp.sum(jnp.where(nonzero_mask, d_rep, 0.0))
+            / jnp.maximum(nnz, 1),
+            "nonzero_max": jnp.max(d_rep),
+        }
+        return loss, metrics
+
+    def train_step(state: TrainState, batch, rng):
+        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, state.step, rng
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return TrainState(new_params, new_opt, state.step + 1), metrics
+
+    if mesh is not None:
+        repl = NamedSharding(mesh, P())
+        shard = NamedSharding(mesh, P(DATA_AXIS))
+
+        def batch_sharding(batch):
+            return jax.tree_util.tree_map(lambda _: shard, batch)
+
+        return jax.jit(
+            train_step,
+            donate_argnums=(0,),
+        )
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
+class Trainer:
+    """Host-side loop: data -> device, step, log, checkpoint.
+
+    Mirrors the observable behavior of the reference SparseModelTrainer
+    (moving-average ranking loss with 0.99 decay + periodic health stats,
+    trainer.py:57,120-137; checkpoint-{step} saves, :145-156).
+    """
+
+    def __init__(
+        self,
+        model: se.SparseEncoderModel,
+        model_args,
+        data_args,
+        training_args,
+        loss_specs: Optional[List[LossSpec]] = None,
+        teacher_ensemble: Optional[TeacherEnsemble] = None,
+        mesh=None,
+    ):
+        self.model = model
+        self.model_args = model_args
+        self.data_args = data_args
+        self.args = training_args
+        self.loss_specs = loss_specs or build_loss_specs(data_args)
+        self.teacher_ensemble = teacher_ensemble
+        self.mesh = mesh if mesh is not None else make_mesh(training_args.dp_size)
+        self.tx = make_optimizer(model_args, data_args, training_args)
+        # own a copy: the jitted step donates the state, which would
+        # invalidate the caller's (model's) param arrays otherwise
+        init_params = jax.tree_util.tree_map(jnp.array, model.params)
+        self.state = TrainState(
+            params=init_params,
+            opt_state=self.tx.init(model.params),
+            step=jnp.asarray(0, jnp.int32),
+        )
+        self._step_fn = make_train_step(
+            model, self.loss_specs, model_args, data_args, self.tx,
+            teacher_ensemble=teacher_ensemble, mesh=self.mesh,
+        )
+        self.ranking_loss_moving_avg = 0.0
+        self._rng = jax.random.PRNGKey(training_args.seed)
+
+    # ------------------------------------------------------------------
+    def _place(self, batch):
+        shard = NamedSharding(self.mesh, P(DATA_AXIS))
+        return jax.tree_util.tree_map(
+            lambda x: jax.device_put(jnp.asarray(x), shard), batch
+        )
+
+    def train_step(self, batch) -> Dict[str, float]:
+        self._rng, sub = jax.random.split(self._rng)
+        batch = self._place(batch)
+        self.state, metrics = self._step_fn(self.state, batch, sub)
+        return metrics
+
+    def train(self, batch_iter, max_steps: Optional[int] = None):
+        max_steps = max_steps or self.args.max_steps
+        t0 = time.time()
+        step = int(self.state.step)
+        for batch in batch_iter:
+            if step >= max_steps:
+                break
+            metrics = self.train_step(batch)
+            step += 1
+            if step % self.args.logging_steps == 0 or step == 1:
+                m = {k: float(v) for k, v in metrics.items()}
+                self.ranking_loss_moving_avg = (
+                    0.01 * m["ranking_loss"] + 0.99 * self.ranking_loss_moving_avg
+                )
+                dt = time.time() - t0
+                logger.info(
+                    "Step %d. ranking loss moving avg:%.5f, d_flops: %.4f, "
+                    "flops_loss: %.5f avg doc length: %.1f nonzero mean/max: "
+                    "%.4f/%.4f (%.2f steps/s)",
+                    step, self.ranking_loss_moving_avg, m["d_flops"],
+                    m["flops_loss"], m["avg_doc_length"], m["nonzero_mean"],
+                    m["nonzero_max"], step / max(dt, 1e-9),
+                )
+            if (
+                self.args.save_strategy == "steps"
+                and self.args.save_steps
+                and step % self.args.save_steps == 0
+            ):
+                self.save_checkpoint(step)
+        if self.args.save_strategy != "no" and step % (self.args.save_steps or 1) != 0:
+            self.save_checkpoint(step)
+        return self.state
+
+    # ------------------------------------------------------------------
+    def save_checkpoint(self, step: int):
+        out = os.path.join(self.args.output_dir, f"checkpoint-{step}")
+        self.model.params = jax.device_get(self.state.params)
+        hf_import.save_checkpoint(self.model, out)
+        logger.info("Saving model checkpoint to %s", out)
+
+    def save_train_state(self, path: Optional[str] = None):
+        """Full resumable state via orbax (optimizer + step), beyond what the
+        reference can resume."""
+        import orbax.checkpoint as ocp
+
+        path = path or os.path.join(os.path.abspath(self.args.output_dir), "train_state")
+        ckpt = ocp.StandardCheckpointer()
+        ckpt.save(
+            path,
+            {
+                "params": jax.device_get(self.state.params),
+                "opt_state": jax.device_get(self.state.opt_state),
+                "step": int(self.state.step),
+            },
+            force=True,
+        )
+        ckpt.wait_until_finished()
+
+    def restore_train_state(self, path: Optional[str] = None):
+        import orbax.checkpoint as ocp
+
+        path = path or os.path.join(os.path.abspath(self.args.output_dir), "train_state")
+        ckpt = ocp.StandardCheckpointer()
+        target = {
+            "params": jax.device_get(self.state.params),
+            "opt_state": jax.device_get(self.state.opt_state),
+            "step": 0,
+        }
+        restored = ckpt.restore(path, target=target)
+        self.state = TrainState(
+            params=restored["params"],
+            opt_state=restored["opt_state"],
+            step=jnp.asarray(restored["step"], jnp.int32),
+        )
