@@ -1,0 +1,225 @@
+"""Data pipeline: dataset grouping semantics, samplers, collators, loader,
+embedding store."""
+
+import numpy as np
+import pytest
+
+from opensearch_sparse_model_tuning_sample_tpu.data.collator import build_collator
+from opensearch_sparse_model_tuning_sample_tpu.data.datasets import (
+    BEIRCorpusDataset,
+    CombinedDataset,
+    CombinedRandomSampler,
+    HostShardDataset,
+    KnowledgeDistillDataset,
+    KnowledgeDistillIdsDataset,
+    KeyValueDataset,
+    PosNegsDataset,
+    partial_shuffle,
+)
+from opensearch_sparse_model_tuning_sample_tpu.data.loader import DataLoader, epochs
+from opensearch_sparse_model_tuning_sample_tpu.models.tokenizer import WordPieceTokenizer
+from opensearch_sparse_model_tuning_sample_tpu.train.embedding_store import (
+    EmbeddingStore,
+    LocalVectorStore,
+)
+
+
+@pytest.fixture(scope="module")
+def tok():
+    return WordPieceTokenizer.from_pretrained(None)
+
+
+# ---------------------------------------------------------------- datasets
+
+
+def test_posnegs_chunks_negatives():
+    rows = [{"query": "q0", "pos": "p0", "negs": [f"n{i}" for i in range(7)]}]
+    ds = PosNegsDataset(rows, sample_num=3)
+    # 7 negs -> 2 full chunks of 3, remainder dropped
+    assert len(ds) == 2
+    q, p, negs = ds[0]
+    assert (q, p) == ("q0", "p0") and negs == ["n0", "n1", "n2"]
+    assert ds[1][2] == ["n3", "n4", "n5"]
+
+
+def test_kd_strided_group_sampling():
+    # 6 docs, sample_num=2 -> step=3 -> groups (0,3),(1,4),(2,5):
+    # each group spans the rank range
+    rows = [{"query": "q", "docs": [f"d{i}" for i in range(6)],
+             "scores": [float(10 - i) for i in range(6)]}]
+    ds = KnowledgeDistillDataset(rows, sample_num=2, score_scale=2.0)
+    assert len(ds) == 3
+    q, docs, scores = ds[0]
+    assert docs == ["d0", "d3"]
+    assert scores == [20.0, 14.0]  # score_scale applied
+    assert ds[1][1] == ["d1", "d4"]
+    assert ds[2][1] == ["d2", "d5"]
+
+
+def test_kd_first_rank_filter():
+    rows = [
+        {"query": "keep", "docs": ["a", "b"], "scores": [1, 2], "first_rank": 3},
+        {"query": "drop", "docs": ["a", "b"], "scores": [1, 2], "first_rank": 99},
+        {"query": "dropneg", "docs": ["a", "b"], "scores": [1, 2], "first_rank": -1},
+    ]
+    ds = KnowledgeDistillDataset(rows, sample_num=2, first_rank_thresh=10)
+    assert len(ds) == 1 and ds[0][0] == "keep"
+
+
+def test_kd_ids_dataset():
+    rows = [{"query": "q", "q_id": 7, "docs": ["d0", "d1", "d2", "d3"],
+             "d_ids": [10, 11, 12, 13], "scores": [4.0, 3.0, 2.0, 1.0]}]
+    ds = KnowledgeDistillIdsDataset(rows, sample_num=2)
+    q, q_id, docs, d_ids, scores = ds[0]
+    assert q_id == 7 and docs == ["d0", "d2"] and d_ids == [10, 12]
+
+
+def test_partial_shuffle():
+    lst = list(range(100))
+    np.random.seed(0)
+    out = partial_shuffle(lst, 5)
+    assert sorted(out) == lst and out != lst
+    assert partial_shuffle(lst, 0) == lst
+    full = partial_shuffle(lst, 60)  # >= n/2 -> full shuffle
+    assert sorted(full) == lst
+
+
+def test_host_shard_modulo():
+    base = list(range(10))
+    s0 = HostShardDataset(base, 0, 3)
+    s1 = HostShardDataset(base, 1, 3)
+    assert [s0[i] for i in range(len(s0))] == [0, 3, 6, 9]
+    assert [s1[i] for i in range(len(s1))] == [1, 4, 7]
+    sd = HostShardDataset(base, 0, 3, drop=True)
+    assert len(sd) == 3  # 10 -> 9 then /3
+
+
+def test_beir_corpus_dataset():
+    corpus = {
+        "d1": {"title": "T", "text": "body"},
+        "d2": {"title": "", "text": ""},  # filtered
+        "d3": {"title": "", "text": "only body"},
+    }
+    ds = BEIRCorpusDataset(corpus)
+    assert len(ds) == 2
+    assert ds[0] == ("d1", "T body")
+    assert ds[1] == ("d3", "only body")
+
+
+def test_combined_sampler_homogeneous_batches():
+    d0 = [("q", "p", ["n"]) for _ in range(6)]
+    d1 = [("r", "s", ["t"]) for _ in range(4)]
+    sampler = CombinedRandomSampler([d0, d1], batch_size=2, seed=0)
+    batches = list(iter(sampler))
+    assert len(batches) == 5  # 3 + 2
+    for b in batches:
+        ds_ids = {i for i, _ in b}
+        assert len(ds_ids) == 1  # each batch from ONE dataset
+    # fixed seed -> identical dataset visiting order across "hosts"
+    order_a = [b[0][0] for b in batches]
+    order_b = [b[0][0] for b in list(iter(CombinedRandomSampler([d0, d1], 2, seed=0)))]
+    assert order_a == order_b
+
+
+# ---------------------------------------------------------------- collators
+
+
+def test_posnegs_collator_layout(tok):
+    coll = build_collator("posnegs", tok, max_length=64, seq_buckets=[16, 32])
+    rows = [("q one", "pos one", ["neg a", "neg b"]),
+            ("q two", "pos two", ["neg c", "neg d"])]
+    batch = coll(rows)
+    B, G = 2, 3
+    assert batch["q_input_ids"].shape[0] == B
+    assert batch["d_input_ids"].shape[0] == B * G
+    # group layout: positive first within each group
+    pos_row = batch["d_input_ids"][0]
+    ref = tok(["pos one"], max_length=64, pad_to=batch["d_input_ids"].shape[1])
+    np.testing.assert_array_equal(pos_row, ref["input_ids"][0])
+
+
+def test_kd_collator_scores(tok):
+    coll = build_collator("kd", tok, max_length=64, seq_buckets=[16])
+    rows = [("q", ["d1", "d2"], [3.0, 1.0])]
+    batch = coll(rows)
+    np.testing.assert_array_equal(batch["scores"], [[3.0, 1.0]])
+
+
+def test_collator_bucket_static_shapes(tok):
+    coll = build_collator("kd", tok, max_length=512, seq_buckets=[16, 32])
+    short = coll([("hi", ["a", "b"], [None, None])])
+    assert short["q_input_ids"].shape[1] == 16
+    long = coll([(" ".join(["w"] * 25), ["a", "b"], [None, None])])
+    assert long["q_input_ids"].shape[1] == 32
+
+
+# ------------------------------------------------------------------ loader
+
+
+def test_loader_drop_last_and_epochs(tok):
+    rows = [{"query": f"q{i}", "pos": f"p{i}", "negs": ["n", "m"]} for i in range(5)]
+    ds = PosNegsDataset(rows, sample_num=2)
+    coll = build_collator("posnegs", tok, max_length=32, seq_buckets=[16])
+    loader = DataLoader(ds, batch_size=2, collate_fn=coll, prefetch=2)
+    batches = list(loader)
+    assert len(batches) == 2  # 5 rows -> 2 full batches
+    stream = list(epochs(loader, 7))
+    assert len(stream) == 7  # cycles epochs
+
+
+def test_combined_loader(tok):
+    rows_a = [{"query": "a", "pos": "p", "negs": ["n"]}] * 4
+    rows_b = [{"query": "b", "pos": "p", "negs": ["n"]}] * 2
+    ds = CombinedDataset([PosNegsDataset(rows_a, 1), PosNegsDataset(rows_b, 1)])
+    coll = build_collator("posnegs", tok, max_length=32, seq_buckets=[16])
+    loader = DataLoader(ds, batch_size=2, collate_fn=coll)
+    assert len(list(loader)) == 3
+
+
+# --------------------------------------------------------- embedding store
+
+
+def test_vector_store_roundtrip(tmp_path):
+    store = LocalVectorStore(str(tmp_path))
+    vecs = np.arange(12, dtype=np.float16).reshape(3, 4)
+    store.store("vector", 5, [100, 101, 102], vecs)
+    out = store.get("vector", 5, [102, 100])
+    np.testing.assert_array_equal(out, vecs[[2, 0]])
+    # extend
+    store.store("vector", 5, [103], np.ones((1, 4), np.float16))
+    np.testing.assert_array_equal(
+        store.get("vector", 5, [103]), np.ones((1, 4), np.float16)
+    )
+
+
+def test_embedding_store_prefetch_protocol(tmp_path):
+    backend = LocalVectorStore(str(tmp_path))
+    backend.store("vector_q", 1, [1, 2], np.eye(2, dtype=np.float16))
+    svc = EmbeddingStore(backend)
+    svc.register_task("vector_q", 1, [1, 2])
+    out = svc.fetch_embedding("vector_q", 1, [1, 2])
+    np.testing.assert_array_equal(out, np.eye(2, dtype=np.float16))
+    with pytest.raises(ValueError):
+        svc.fetch_embedding("vector_q", 1, [9, 9])  # never registered
+    svc.register_task("vector_q", 1, [99])  # missing id -> stored error
+    with pytest.raises(RuntimeError):
+        svc.fetch_embedding("vector_q", 1, [99])
+    svc.shutdown()
+
+
+def test_kd_ids_collator_with_store(tok, tmp_path):
+    backend = LocalVectorStore(str(tmp_path))
+    backend.store("vector_q", 3, [1], np.full((1, 8), 0.5, np.float16))
+    backend.store("vector", 3, [10, 11], np.full((2, 8), 0.25, np.float16))
+    svc = EmbeddingStore(backend)
+    coll = build_collator(
+        "kd-ids", tok, max_length=32, teacher_tokenizer_ids=["3"],
+        seq_buckets=[16], embedding_store=svc,
+    )
+    rows = [("q", 1, ["d0", "d1"], [10, 11], [2.0, 1.0])]
+    batch = coll(rows)
+    assert "__pending__" in batch["teacher_q"][0]
+    batch = coll.resolve_pending(batch)
+    assert batch["teacher_q"][0]["embeddings"].shape == (1, 8)
+    assert batch["teacher_d"][0]["embeddings"].shape == (2, 8)
+    svc.shutdown()
