@@ -1,0 +1,137 @@
+"""Benchmark: query throughput on the native on-device sparse index.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
+
+Headline: queries/sec over a 128K-doc synthetic SPLADE-like corpus (avg ~120
+active terms/doc, vocab 30522) with inference-free queries, k=10 — the
+workload the reference serves through a single-node OpenSearch instance
+(north star in BASELINE.md: beat it by >10x on queries/sec). The first run
+writes its result to BENCH_BASELINE.json; later runs report vs that anchor
+so round-over-round progress is visible.
+
+Extras: p50 query latency (per batch), ingest-side index build rate, and
+encoder forward throughput.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def make_corpus(n_docs, vocab, avg_terms, seed):
+    rng = np.random.default_rng(seed)
+    # zipf-ish token popularity, like real vocab usage
+    pop = rng.zipf(1.3, size=vocab).astype(np.float64)
+    pop /= pop.sum()
+    l_max = 128
+    toks = np.zeros((n_docs, l_max), dtype=np.int32)
+    ws = np.zeros((n_docs, l_max), dtype=np.float32)
+    lens = rng.poisson(avg_terms, size=n_docs).clip(8, l_max)
+    for i in range(n_docs):
+        t = rng.choice(vocab, size=lens[i], replace=False, p=pop)
+        w = rng.gamma(2.0, 0.5, size=lens[i]).astype(np.float32)
+        order = np.argsort(-w)
+        toks[i, : lens[i]] = t[order]
+        ws[i, : lens[i]] = w[order]
+    return toks, ws
+
+
+def main():
+    import jax
+
+    from opensearch_sparse_model_tuning_sample_tpu.index.engine import (
+        IndexConfig,
+        SparseIndex,
+    )
+
+    vocab = 30522
+    n_docs = 131072
+    n_queries = 512
+    k = 10
+    qbatch = 64
+
+    rng = np.random.default_rng(0)
+    toks, ws = make_corpus(n_docs, vocab, avg_terms=110, seed=1)
+
+    cfg = IndexConfig(
+        engine="sparse", l_max=128, block_docs=2048, query_batch=qbatch,
+        weight_dtype="bfloat16",
+    )
+    idx = SparseIndex(vocab, cfg)
+    # direct ingestion of prebuilt sparse rows (isolates index perf from the
+    # encoder; encoder throughput is reported separately)
+    t0 = time.time()
+    idx.doc_ids = [str(i) for i in range(n_docs)]
+    idx._tok_chunks = [toks]
+    idx._w_chunks = [ws]
+    idx.count_tensor = np.bincount(
+        toks[ws > 0].reshape(-1), minlength=vocab
+    ).astype(np.int64)
+    idx.finalize()
+    build_s = time.time() - t0
+
+    # inference-free style queries: ~6 active idf-weighted terms
+    q = np.zeros((n_queries, vocab), dtype=np.float32)
+    for i in range(n_queries):
+        t = rng.choice(vocab, size=6, replace=False)
+        q[i, t] = rng.uniform(2.0, 10.0, size=6)
+
+    # warmup/compile
+    idx.search(q[:qbatch], k=k)
+
+    lat = []
+    t0 = time.time()
+    for s in range(0, n_queries, qbatch):
+        tb = time.time()
+        idx.search(q[s : s + qbatch], k=k)
+        lat.append(time.time() - tb)
+    wall = time.time() - t0
+    qps = n_queries / wall
+    p50_ms = float(np.median(lat) / qbatch * 1000)
+
+    # encoder forward throughput (the ingest hot path)
+    from opensearch_sparse_model_tuning_sample_tpu.models import sparse_encoder as se
+
+    model = se.build_model(arch="mini", idf_path=os.path.join(REPO, "assets/idf.npz"))
+    enc = se.BatchEncoder(model, max_length=128, seq_buckets=[128], do_count=False)
+    texts = ["a benchmark document about sparse retrieval on tensor units"] * 256
+    enc.encode_batch(texts)  # compile
+    t0 = time.time()
+    for _ in range(4):
+        enc.encode_batch(texts)
+    enc_dps = 4 * 256 / (time.time() - t0)
+
+    anchor_path = os.path.join(REPO, "BENCH_BASELINE.json")
+    if os.path.exists(anchor_path):
+        anchor = json.load(open(anchor_path)).get("qps", qps)
+    else:
+        anchor = qps
+        with open(anchor_path, "w") as f:
+            json.dump({"qps": qps, "note": "round-1 anchor on this hardware"}, f)
+
+    print(
+        json.dumps(
+            {
+                "metric": "sparse_index_queries_per_sec_128k_docs",
+                "value": round(qps, 1),
+                "unit": "queries/s",
+                "vs_baseline": round(qps / anchor, 3),
+                "extra": {
+                    "p50_query_latency_ms": round(p50_ms, 3),
+                    "index_build_s": round(build_s, 2),
+                    "encoder_docs_per_sec_mini_L128": round(enc_dps, 1),
+                    "n_docs": n_docs,
+                    "k": k,
+                    "platform": jax.devices()[0].platform,
+                },
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

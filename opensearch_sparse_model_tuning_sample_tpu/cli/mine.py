@@ -1,0 +1,58 @@
+"""Hard-negative mining entry point (reference demo_train_data.py).
+
+Usage: `python -m ...cli.mine config.yaml` — mines top-k hard negatives for
+the train split of the configured BEIR dataset with the current model and
+saves `data/{ds}_train` for the training recipes.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+
+from ..core.config import parse_config
+from ..core.mesh import make_mesh
+from ..eval.beir import load_dataset_auto, synthetic_beir
+from ..mine.hard_negatives import mine_hard_negatives
+from ..models import sparse_encoder as se
+from ..utils.logging_utils import set_logging
+
+logger = logging.getLogger(__name__)
+
+
+def main(config_source=None):
+    model_args, data_args, training_args = parse_config(config_source)
+    set_logging(training_args.output_dir, "mine.log", training_args.log_level)
+    datasets = data_args.beir_datasets.split(",")
+    if len(datasets) != 1:
+        raise ValueError("can only accept one beir dataset")
+    name = datasets[0]
+
+    mesh = make_mesh(training_args.dp_size)
+    model = se.from_model_args(model_args, seed=training_args.seed)
+
+    if name == "synthetic":
+        corpus, queries, qrels = synthetic_beir()
+    else:
+        corpus, queries, qrels = load_dataset_auto(
+            data_args.beir_dir, name, split="train"
+        )
+
+    save_path = os.path.join("data", f"{name}_train")
+    rows = mine_hard_negatives(
+        corpus, queries, qrels, model,
+        out_dir=os.path.join(training_args.output_dir, "tmp"),
+        index_name=name.lower(),
+        save_path=save_path,
+        max_length=data_args.max_seq_length,
+        batch_size=training_args.per_device_eval_batch_size,
+        result_size=50,
+        inf_free=model_args.inf_free,
+        mesh=mesh,
+    )
+    logger.info("mined %d rows -> %s", len(rows), save_path)
+    return rows
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,346 @@
+"""BEIR evaluation harness: ingest -> search -> metrics, all on-device.
+
+Replaces the reference's OpenSearch-backed loop
+(/root/reference/evaluate_beir.py:139-226, ingest.py:23-117, search.py:13-104)
+with the native index: `ingest` encodes the corpus into a SparseIndex (sharded
+over the mesh), `search` encodes queries (inference-free by default) and runs
+on-device top-k; the FLOPS statistic ⟨avg q-activations, avg d-activations⟩,
+q_length and d_length are preserved exactly (search.py:82-93).
+
+Data loading is offline-first: BEIR-format local dirs (corpus.jsonl /
+queries.jsonl / qrels/<split>.tsv — the layout of the public BEIR zips) or HF
+`save_to_disk` datasets; a deterministic synthetic corpus generator covers
+tests and benchmarks in zero-egress environments.
+"""
+
+from __future__ import annotations
+
+import csv
+import json
+import logging
+import os
+import time
+from typing import Dict, Iterable, List, Optional, Tuple
+
+import numpy as np
+
+from ..core.config import NANO_BEIR_DATASETS
+from ..data.datasets import BEIRCorpusDataset, HostShardDataset, KeyValueDataset
+from ..index.engine import IndexConfig, SparseIndex
+from ..models.sparse_encoder import BatchEncoder, SparseEncoderModel
+from . import trec_eval
+from .metrics_sink import emit_metrics
+
+logger = logging.getLogger(__name__)
+
+Corpus = Dict[str, Dict[str, str]]
+Queries = Dict[str, str]
+Qrels = Dict[str, Dict[str, int]]
+
+
+# ---------------------------------------------------------------------------
+# Data loading (offline-first)
+# ---------------------------------------------------------------------------
+
+
+def load_beir_dir(path: str, split: str = "test") -> Tuple[Corpus, Queries, Qrels]:
+    """Standard BEIR zip layout: corpus.jsonl, queries.jsonl, qrels/<split>.tsv."""
+    corpus: Corpus = {}
+    with open(os.path.join(path, "corpus.jsonl"), encoding="utf-8") as f:
+        for line in f:
+            r = json.loads(line)
+            corpus[str(r["_id"])] = {
+                "title": r.get("title", ""),
+                "text": r.get("text", ""),
+            }
+    queries: Queries = {}
+    with open(os.path.join(path, "queries.jsonl"), encoding="utf-8") as f:
+        for line in f:
+            r = json.loads(line)
+            queries[str(r["_id"])] = r["text"]
+    qrels: Qrels = {}
+    with open(os.path.join(path, "qrels", f"{split}.tsv"), encoding="utf-8") as f:
+        reader = csv.reader(f, delimiter="\t")
+        header = next(reader)
+        for row in reader:
+            qid, did, score = str(row[0]), str(row[1]), int(row[2])
+            qrels.setdefault(qid, {})[did] = score
+    queries = {q: t for q, t in queries.items() if q in qrels}
+    return corpus, queries, qrels
+
+
+def load_beir_hf_disk(path: str) -> Tuple[Corpus, Queries, Qrels]:
+    """HF `save_to_disk` dir with corpus/queries/qrels sub-datasets."""
+    import datasets as hfds
+
+    ds_c = hfds.Dataset.load_from_disk(os.path.join(path, "corpus"))
+    ds_q = hfds.Dataset.load_from_disk(os.path.join(path, "queries"))
+    ds_r = hfds.Dataset.load_from_disk(os.path.join(path, "qrels"))
+    corpus = {
+        str(r["_id"]): {"title": r.get("title", ""), "text": r["text"]} for r in ds_c
+    }
+    queries = {str(r["_id"]): r["text"] for r in ds_q}
+    qrels: Qrels = {}
+    for r in ds_r:
+        qrels.setdefault(str(r["query-id"]), {})[str(r["corpus-id"])] = int(
+            r.get("score", 1)
+        )
+    queries = {q: t for q, t in queries.items() if q in qrels}
+    return corpus, queries, qrels
+
+
+def load_dataset_auto(root: str, name: str, split: str = "test"):
+    path = os.path.join(root, name)
+    if os.path.exists(os.path.join(path, "corpus.jsonl")):
+        return load_beir_dir(path, split)
+    if os.path.exists(os.path.join(path, "corpus")):
+        return load_beir_hf_disk(path)
+    raise FileNotFoundError(f"no BEIR data at {path} (need corpus.jsonl or HF dirs)")
+
+
+def synthetic_beir(
+    n_docs: int = 200, n_queries: int = 20, seed: int = 0
+) -> Tuple[Corpus, Queries, Qrels]:
+    """Deterministic synthetic retrieval task: each query names the topic
+    words of its relevant docs, so a working pipeline scores near-perfect
+    NDCG and a broken one doesn't."""
+    rng = np.random.default_rng(seed)
+    vocab = [
+        "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
+        "hotel", "india", "juliet", "kilo", "lima", "mike", "november",
+        "oscar", "papa", "quebec", "romeo", "sierra", "tango",
+    ]
+    corpus: Corpus = {}
+    topics = []
+    doc_words = []
+    for i in range(n_docs):
+        topic = list(rng.choice(vocab, size=3, replace=False))
+        topics.append(topic)
+        filler = list(rng.choice(vocab, size=4, replace=True))
+        words = topic * 3 + filler
+        doc_words.append(set(words))
+        corpus[f"d{i}"] = {"title": f"about {topic[0]}", "text": " ".join(words)}
+    queries: Queries = {}
+    qrels: Qrels = {}
+    for qi in range(n_queries):
+        di = int(rng.integers(0, n_docs))
+        q_terms = set(topics[di])
+        queries[f"q{qi}"] = " ".join(topics[di])
+        # ground truth by containment: the source doc is rel 2; any other doc
+        # containing the whole query triple is rel 1 (rare by construction)
+        rel = {f"d{di}": 2}
+        for dj in range(n_docs):
+            if dj != di and q_terms <= doc_words[dj]:
+                rel[f"d{dj}"] = 1
+        qrels[f"q{qi}"] = rel
+    return corpus, queries, qrels
+
+
+# ---------------------------------------------------------------------------
+# Ingest / search (reference ingest.py / search.py equivalents)
+# ---------------------------------------------------------------------------
+
+
+def ingest(
+    dataset,  # sequence of (doc_id, text)
+    model: SparseEncoderModel,
+    out_dir: str,
+    index_name: str,
+    max_length: int = 512,
+    batch_size: int = 50,
+    index_cfg: Optional[IndexConfig] = None,
+    mesh=None,
+    rank: int = 0,
+    world_size: int = 1,
+    doc_inf_free: bool = False,
+) -> SparseIndex:
+    """Encode a corpus and build the on-device index.
+
+    Multi-host: shard the corpus with (rank, world_size) like the reference's
+    DDPDatasetWithRank ingest (ingest.py:43-45); single-host TPU meshes keep
+    world_size=1 and shard inside the index instead.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    if world_size > 1:
+        dataset = HostShardDataset(dataset, rank, world_size)
+    encoder = BatchEncoder(model, max_length=max_length, do_count=True)
+    index = SparseIndex(model.vocab_size, index_cfg, mesh)
+    t0 = time.time()
+    n = len(dataset)
+    for start in range(0, n, batch_size):
+        rows = [dataset[i] for i in range(start, min(start + batch_size, n))]
+        ids = [r[0] for r in rows]
+        texts = [r[1] for r in rows]
+        # doc_inf_free=True gives an idf-weighted lexical index (a BM25-ish
+        # baseline and the test oracle); the real path is the full forward
+        reps = encoder.encode_batch(texts, inf_free=doc_inf_free)
+        index.add(ids, reps)
+    index.finalize()
+    np.save(
+        os.path.join(out_dir, f"{index_name}.corpus.npy"), index.avg_doc_activation
+    )
+    dt = time.time() - t0
+    logger.info(
+        "ingested %d docs into %s in %.1fs (%.1f docs/s)", n, index_name, dt,
+        n / max(dt, 1e-9),
+    )
+    return index
+
+
+def search(
+    queries: Queries,
+    model: SparseEncoderModel,
+    index: SparseIndex,
+    out_dir: str,
+    index_name: str,
+    max_length: int = 512,
+    batch_size: int = 50,
+    result_size: int = 15,
+    inf_free: bool = True,
+    query_prune: float = 0.0,
+    return_text: bool = False,
+    corpus_texts: Optional[Dict[str, str]] = None,
+) -> Dict:
+    """Encode queries, top-k search, FLOPS stats — reference search.py:13-104."""
+    qd = KeyValueDataset(queries)
+    encoder = BatchEncoder(model, max_length=max_length, do_count=True)
+    run_res: Dict[str, Dict[str, float]] = {}
+    t0 = time.time()
+    n = len(qd)
+    for start in range(0, n, batch_size):
+        rows = [qd[i] for i in range(start, min(start + batch_size, n))]
+        ids = [r[0] for r in rows]
+        texts = [r[1] for r in rows]
+        reps = encoder.encode_batch(texts, inf_free=inf_free)
+        hits = index.search(reps, k=result_size, query_prune=query_prune)
+        for _id, h in zip(ids, hits):
+            run_res[_id] = h
+    qps = n / max(time.time() - t0, 1e-9)
+
+    # drop self-hits (mining on train splits, reference search.py:78-80)
+    for qid, doc_dict in run_res.items():
+        doc_dict.pop(qid, None)
+
+    count_q = encoder.count_tensor.astype(np.float64) / max(n, 1)
+    count_d = np.load(os.path.join(out_dir, f"{index_name}.corpus.npy"))
+    flops = float(count_q @ count_d)
+    q_length = float(count_q.sum())
+    d_length = float(count_d.sum())
+    logger.info(
+        "Index_name: %s, flops: %s, d_length:%s, q_length:%s (%.1f q/s)",
+        index_name, flops, d_length, q_length, qps,
+    )
+    out = {
+        "run_res": run_res,
+        "flops": flops,
+        "q_length": q_length,
+        "d_length": d_length,
+        "qps": qps,
+    }
+    if return_text and corpus_texts is not None:
+        out["run_texts"] = {
+            qid: [corpus_texts[d] for d in docs] for qid, docs in run_res.items()
+        }
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Harness (reference evaluate_beir.py:139-328)
+# ---------------------------------------------------------------------------
+
+
+def eval_suffix(model_args, data_args) -> str:
+    """Result-dir suffix encoding eval knobs (evaluate_beir.py:41-52)."""
+    suffix = "_2p" if data_args.use_two_phase else ""
+    if data_args.query_prune > 0:
+        suffix += f"_{data_args.query_prune}"
+    if data_args.eval_max_seq_length != 512:
+        suffix += f"_{data_args.eval_max_seq_length}"
+    if model_args.prune_ratio is not None:
+        suffix += f"_{model_args.prune_ratio}"
+    return suffix
+
+
+def evaluate_datasets(
+    datasets: List[str],
+    load_fn,
+    model: SparseEncoderModel,
+    model_args,
+    data_args,
+    training_args,
+    eval_dir: str,
+    mesh=None,
+    metrics_index: str = "beir_eval",
+    step: Optional[str] = None,
+) -> Dict[str, float]:
+    """Per dataset: load -> ingest -> search -> NDCG@10; write CSV + avg
+    JSON + metrics records. Returns avg_res."""
+    os.makedirs(eval_dir, exist_ok=True)
+    result = {"dataset": [], "flops": [], "NDCG@10": [], "q_length": [], "d_length": []}
+    for name in datasets:
+        corpus, queries, qrels = load_fn(name)
+        logger.info("Loaded %s: %d docs, %d queries", name, len(corpus), len(queries))
+        ds = BEIRCorpusDataset(corpus)
+        index = None
+        if not data_args.skip_ingest:
+            index = ingest(
+                ds, model, eval_dir, name.lower(),
+                max_length=data_args.eval_max_seq_length,
+                batch_size=training_args.per_device_eval_batch_size,
+                mesh=mesh,
+            )
+        if not data_args.do_search:
+            continue
+        if index is None:
+            raise ValueError("skip_ingest without a prebuilt index")
+        res = search(
+            queries, model, index, eval_dir, name.lower(),
+            max_length=data_args.eval_max_seq_length,
+            batch_size=training_args.per_device_eval_batch_size,
+            inf_free=model_args.inf_free,
+            query_prune=data_args.query_prune,
+        )
+        ndcg, _map, recall, p = trec_eval.evaluate(qrels, res["run_res"], [1, 10])
+        logger.info("retrieve metrics for %s: %s %s %s %s", name, ndcg, _map, recall, p)
+        result["dataset"].append(name)
+        result["NDCG@10"].append(ndcg["NDCG@10"])
+        result["flops"].append(res["flops"])
+        result["q_length"].append(res["q_length"])
+        result["d_length"].append(res["d_length"])
+
+    if not data_args.do_search or not result["dataset"]:
+        return {}
+
+    avg_res = {
+        key: sum(result[key]) / len(result[key])
+        for key in ["flops", "q_length", "d_length", "NDCG@10"]
+    }
+    tag = f"_step{step}" if step is not None else ""
+    with open(os.path.join(eval_dir, f"beir_statistics{tag}.csv"), "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["dataset", "flops", "NDCG@10", "q_length", "d_length"])
+        for i, name in enumerate(result["dataset"]):
+            w.writerow(
+                [name, result["flops"][i], result["NDCG@10"][i],
+                 result["q_length"][i], result["d_length"][i]]
+            )
+    with open(os.path.join(eval_dir, f"avg_res{tag}.json"), "w") as f:
+        json.dump(avg_res, f)
+
+    doc_id = training_args.output_dir + eval_suffix(model_args, data_args) + tag
+    ts = time.time()
+    emit_metrics(
+        {**avg_res, "timestamp": ts, "dataset_number": len(result["dataset"])},
+        metrics_index, doc_id,
+    )
+    emit_metrics(
+        {
+            "records": [
+                {k: result[k][i] for k in result}
+                for i in range(len(result["dataset"]))
+            ],
+            "timestamp": ts,
+        },
+        f"{metrics_index}_records", doc_id,
+    )
+    return avg_res

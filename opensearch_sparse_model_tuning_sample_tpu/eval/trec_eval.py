@@ -1,0 +1,89 @@
+"""TREC-style retrieval metrics (pytrec_eval-compatible conventions).
+
+Replaces the reference's `beir.retrieval.evaluation.EvaluateRetrieval`
+(used at /root/reference/evaluate_beir.py:187-190) — same metric definitions
+as trec_eval so numbers are comparable:
+
+  * NDCG@k: linear-gain DCG, rel / log2(rank+1)  (trec_eval `ndcg_cut`)
+  * MAP@k, Recall@k (graded rel > 0 counts as relevant), P@k
+
+`evaluate(qrels, run, k_values)` returns the same four-dict structure BEIR's
+EvaluateRetrieval.evaluate does: ({NDCG@k}, {MAP@k}, {Recall@k}, {P@k}).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Sequence, Tuple
+
+Qrels = Dict[str, Dict[str, int]]
+Run = Dict[str, Dict[str, float]]
+
+
+def _ranked(doc_scores: Dict[str, float]) -> List[str]:
+    return [d for d, _ in sorted(doc_scores.items(), key=lambda kv: (-kv[1], kv[0]))]
+
+
+def ndcg_at_k(qrels_q: Dict[str, int], ranked: List[str], k: int) -> float:
+    dcg = 0.0
+    for i, d in enumerate(ranked[:k]):
+        rel = qrels_q.get(d, 0)
+        if rel > 0:
+            dcg += rel / math.log2(i + 2)
+    ideal = sorted((r for r in qrels_q.values() if r > 0), reverse=True)[:k]
+    idcg = sum(r / math.log2(i + 2) for i, r in enumerate(ideal))
+    return dcg / idcg if idcg > 0 else 0.0
+
+
+def average_precision_at_k(qrels_q: Dict[str, int], ranked: List[str], k: int) -> float:
+    n_rel = sum(1 for r in qrels_q.values() if r > 0)
+    if n_rel == 0:
+        return 0.0
+    hits, ap = 0, 0.0
+    for i, d in enumerate(ranked[:k]):
+        if qrels_q.get(d, 0) > 0:
+            hits += 1
+            ap += hits / (i + 1)
+    return ap / min(n_rel, k)
+
+
+def recall_at_k(qrels_q: Dict[str, int], ranked: List[str], k: int) -> float:
+    rel_docs = {d for d, r in qrels_q.items() if r > 0}
+    if not rel_docs:
+        return 0.0
+    got = sum(1 for d in ranked[:k] if d in rel_docs)
+    return got / len(rel_docs)
+
+
+def precision_at_k(qrels_q: Dict[str, int], ranked: List[str], k: int) -> float:
+    got = sum(1 for d in ranked[:k] if qrels_q.get(d, 0) > 0)
+    return got / k
+
+
+def evaluate(
+    qrels: Qrels, run: Run, k_values: Sequence[int] = (1, 10)
+) -> Tuple[Dict[str, float], Dict[str, float], Dict[str, float], Dict[str, float]]:
+    """BEIR EvaluateRetrieval.evaluate-compatible: averages over queries that
+    appear in qrels."""
+    ndcg = {f"NDCG@{k}": 0.0 for k in k_values}
+    _map = {f"MAP@{k}": 0.0 for k in k_values}
+    recall = {f"Recall@{k}": 0.0 for k in k_values}
+    precision = {f"P@{k}": 0.0 for k in k_values}
+
+    qids = [q for q in qrels if any(r > 0 for r in qrels[q].values())]
+    n = len(qids)
+    if n == 0:
+        return ndcg, _map, recall, precision
+
+    for qid in qids:
+        ranked = _ranked(run.get(qid, {}))
+        for k in k_values:
+            ndcg[f"NDCG@{k}"] += ndcg_at_k(qrels[qid], ranked, k)
+            _map[f"MAP@{k}"] += average_precision_at_k(qrels[qid], ranked, k)
+            recall[f"Recall@{k}"] += recall_at_k(qrels[qid], ranked, k)
+            precision[f"P@{k}"] += precision_at_k(qrels[qid], ranked, k)
+
+    for d in (ndcg, _map, recall, precision):
+        for key in d:
+            d[key] = round(d[key] / n, 5)
+    return ndcg, _map, recall, precision

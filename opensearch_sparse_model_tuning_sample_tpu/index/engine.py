@@ -1,0 +1,390 @@
+"""On-device sparse retrieval engine — the OpenSearch/Lucene replacement.
+
+The reference outsources its entire index/score/top-k layer to an external
+OpenSearch node (`rank_features` index + `neural_sparse` query,
+/root/reference/scripts/ingest.py:59-83, search.py:59-70, utils.py:71-136).
+Here the corpus lives in TPU HBM and scoring is XLA/Pallas:
+
+  * **sparse engine** (default): a doc-major forward index — per doc, up to
+    L_max (token_id, weight) pairs, impact-(weight-)sorted. Scoring scans doc
+    blocks under `lax.scan`, gathers the query columns for each block's
+    token ids, contracts against the block weights on the VPU/MXU, and
+    maintains a running top-k on chip. Memory ∝ nnz, works for multi-million
+    doc corpora.
+  * **dense engine**: exact Q @ Dᵀ on the MXU over the dense [N, V] matrix —
+    the correctness oracle and the fastest path for small corpora.
+
+Multi-chip: the corpus shards over the mesh's `data` axis under `shard_map`;
+each device computes its local top-k and the shards merge with one
+all-gather (SURVEY.md §5 comm design). Query-prune and two-phase search
+(reference search.py:27-42, sparse_encoders.py:184-194) are engine knobs.
+
+The engine also keeps the per-token activation-count statistics the FLOPS
+metric needs (reference ingest.py:108-117, search.py:82-93).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import math
+import os
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..core.mesh import DATA_AXIS
+
+logger = logging.getLogger(__name__)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@dataclass
+class IndexConfig:
+    engine: str = "sparse"  # "sparse" | "dense"
+    l_max: int = 256  # max stored (token, weight) pairs per doc
+    block_docs: int = 1024  # docs scored per scan step
+    query_batch: int = 16  # queries scored together
+    weight_dtype: str = "bfloat16"
+    two_phase_ratio: float = 0.4  # phase-1 keeps tokens with weight > ratio*max
+    two_phase_expand: int = 5  # phase-1 candidate pool = expand * k
+
+
+class SparseIndex:
+    """Host-facing index: accumulate sparse doc reps, finalize to device
+    arrays, search.
+
+    Typical flow (mirrors reference ingest -> search):
+        idx = SparseIndex(vocab_size, cfg, mesh)
+        idx.add(ids, reps)            # per encoded batch
+        idx.finalize()
+        ids, scores = idx.search(q_reps, k=10)
+    """
+
+    def __init__(
+        self,
+        vocab_size: int,
+        cfg: Optional[IndexConfig] = None,
+        mesh: Optional[Mesh] = None,
+    ):
+        self.vocab_size = vocab_size
+        self.cfg = cfg or IndexConfig()
+        self.mesh = mesh
+        self.doc_ids: List[str] = []
+        self._tok_chunks: List[np.ndarray] = []
+        self._w_chunks: List[np.ndarray] = []
+        self._dense_chunks: List[np.ndarray] = []
+        self.count_tensor = np.zeros((vocab_size,), dtype=np.int64)
+        self._finalized = False
+        self._search_fn = None
+
+    # ------------------------------------------------------------- ingest
+    def add(self, doc_ids: Sequence[str], reps: np.ndarray):
+        """Add a batch of sparse doc representations [B, V] (fp32)."""
+        assert not self._finalized, "index already finalized"
+        assert reps.shape[1] == self.vocab_size
+        self.doc_ids.extend(map(str, doc_ids))
+        self.count_tensor += (reps > 0).sum(axis=0).astype(np.int64)
+        if self.cfg.engine == "dense":
+            self._dense_chunks.append(reps.astype(np.float32))
+            return
+        L = self.cfg.l_max
+        B = reps.shape[0]
+        toks = np.zeros((B, L), dtype=np.int32)
+        ws = np.zeros((B, L), dtype=np.float32)
+        # keep the top-L_max activations per doc (impact order)
+        for b in range(B):
+            (nz,) = np.nonzero(reps[b])
+            vals = reps[b, nz]
+            if nz.size > L:
+                keep = np.argpartition(vals, -L)[-L:]
+                nz, vals = nz[keep], vals[keep]
+            order = np.argsort(-vals)  # impact-sorted
+            nz, vals = nz[order], vals[order]
+            toks[b, : nz.size] = nz
+            ws[b, : nz.size] = vals
+        self._tok_chunks.append(toks)
+        self._w_chunks.append(ws)
+
+    @property
+    def n_docs(self) -> int:
+        return len(self.doc_ids)
+
+    @property
+    def avg_doc_activation(self) -> np.ndarray:
+        """Average per-token activation count (the `{index}.corpus.bin`
+        statistic, reference ingest.py:108-117)."""
+        return self.count_tensor.astype(np.float64) / max(self.n_docs, 1)
+
+    # ----------------------------------------------------------- finalize
+    def finalize(self):
+        if self._finalized:
+            return
+        n_shards = self.mesh.devices.size if self.mesh is not None else 1
+        blk = self.cfg.block_docs
+        n = self.n_docs
+        n_pad = _round_up(max(n, 1), blk * n_shards)
+
+        if self.cfg.engine == "dense":
+            D = (
+                np.concatenate(self._dense_chunks, axis=0)
+                if self._dense_chunks
+                else np.zeros((0, self.vocab_size), np.float32)
+            )
+            pad = np.zeros((n_pad - n, self.vocab_size), np.float32)
+            D = np.concatenate([D, pad], axis=0)
+            self._docs_dev = jnp.asarray(D, dtype=jnp.dtype(self.cfg.weight_dtype))
+            self._tok_dev = None
+        else:
+            toks = (
+                np.concatenate(self._tok_chunks, axis=0)
+                if self._tok_chunks
+                else np.zeros((0, self.cfg.l_max), np.int32)
+            )
+            ws = (
+                np.concatenate(self._w_chunks, axis=0)
+                if self._w_chunks
+                else np.zeros((0, self.cfg.l_max), np.float32)
+            )
+            toks = np.concatenate(
+                [toks, np.zeros((n_pad - n, self.cfg.l_max), np.int32)], axis=0
+            )
+            ws = np.concatenate(
+                [ws, np.zeros((n_pad - n, self.cfg.l_max), np.float32)], axis=0
+            )
+            self._tok_dev = jnp.asarray(toks)
+            self._docs_dev = jnp.asarray(ws, dtype=jnp.dtype(self.cfg.weight_dtype))
+
+        if self.mesh is not None:
+            sh = NamedSharding(self.mesh, P(DATA_AXIS))
+            self._docs_dev = jax.device_put(self._docs_dev, sh)
+            if self._tok_dev is not None:
+                self._tok_dev = jax.device_put(self._tok_dev, sh)
+
+        self._n_pad = n_pad
+        self._tok_chunks, self._w_chunks, self._dense_chunks = [], [], []
+        self._finalized = True
+        logger.info(
+            "index finalized: %d docs (padded %d) engine=%s shards=%d",
+            n, n_pad, self.cfg.engine, n_shards,
+        )
+
+    # ------------------------------------------------------------- search
+    def _build_search_fn(self, k: int):
+        cfg = self.cfg
+        blk = cfg.block_docs
+        engine = cfg.engine
+
+        def local_topk(q, docs, toks, base_offset):
+            """Top-k over one shard's docs. q [Bq, V] f32; docs
+            [N_loc, ...]; returns (scores [Bq,k], idx [Bq,k]) global ids."""
+            Bq = q.shape[0]
+            n_loc = docs.shape[0]
+            nb = n_loc // blk
+            qc = q.astype(docs.dtype)
+
+            if engine == "dense":
+                blocks = docs.reshape(nb, blk, docs.shape[-1])
+
+                def body(carry, block):
+                    best_s, best_i, bidx = carry
+                    s = jnp.dot(
+                        qc, block.T, preferred_element_type=jnp.float32
+                    )  # [Bq, blk]
+                    gidx = base_offset + bidx * blk + jnp.arange(blk, dtype=jnp.int32)
+                    cat_s = jnp.concatenate([best_s, s], axis=1)
+                    cat_i = jnp.concatenate(
+                        [best_i, jnp.broadcast_to(gidx, (Bq, blk))], axis=1
+                    )
+                    ns, sel = jax.lax.top_k(cat_s, k)
+                    ni = jnp.take_along_axis(cat_i, sel, axis=1)
+                    return (ns, ni, bidx + 1), None
+
+                init = (
+                    jnp.full((Bq, k), -jnp.inf, jnp.float32),
+                    jnp.full((Bq, k), -1, jnp.int32),
+                    jnp.asarray(0, jnp.int32),
+                )
+                (best_s, best_i, _), _ = jax.lax.scan(body, init, blocks)
+                return best_s, best_i
+
+            L = toks.shape[-1]
+            tok_blocks = toks.reshape(nb, blk, L)
+            w_blocks = docs.reshape(nb, blk, L)
+
+            def body(carry, block):
+                best_s, best_i, bidx = carry
+                tok, w = block
+                # gather the query columns for this block's token ids:
+                # [Bq, blk*L] <- q[:, tok]
+                g = jnp.take(q, tok.reshape(-1), axis=1).reshape(Bq, blk, L)
+                s = jnp.einsum(
+                    "qjl,jl->qj", g, w.astype(jnp.float32),
+                    preferred_element_type=jnp.float32,
+                )
+                gidx = base_offset + bidx * blk + jnp.arange(blk, dtype=jnp.int32)
+                cat_s = jnp.concatenate([best_s, s], axis=1)
+                cat_i = jnp.concatenate(
+                    [best_i, jnp.broadcast_to(gidx, (Bq, blk))], axis=1
+                )
+                ns, sel = jax.lax.top_k(cat_s, k)
+                ni = jnp.take_along_axis(cat_i, sel, axis=1)
+                return (ns, ni, bidx + 1), None
+
+            init = (
+                jnp.full((Bq, k), -jnp.inf, jnp.float32),
+                jnp.full((Bq, k), -1, jnp.int32),
+                jnp.asarray(0, jnp.int32),
+            )
+            (best_s, best_i, _), _ = jax.lax.scan(body, init, (tok_blocks, w_blocks))
+            return best_s, best_i
+
+        if self.mesh is None or self.mesh.devices.size == 1:
+
+            @jax.jit
+            def search_fn(q, docs, toks):
+                return local_topk(q, docs, toks, jnp.asarray(0, jnp.int32))
+
+            return search_fn
+
+        mesh = self.mesh
+        n_shards = mesh.devices.size
+        shard_n = self._n_pad // n_shards
+
+        def sharded(q, docs, toks):
+            me = jax.lax.axis_index(DATA_AXIS)
+            s, i = local_topk(q, docs, toks, me.astype(jnp.int32) * shard_n)
+            all_s = jax.lax.all_gather(s, DATA_AXIS)  # [n_shards, Bq, k]
+            all_i = jax.lax.all_gather(i, DATA_AXIS)
+            Bq = q.shape[0]
+            cat_s = jnp.moveaxis(all_s, 0, 1).reshape(Bq, n_shards * k)
+            cat_i = jnp.moveaxis(all_i, 0, 1).reshape(Bq, n_shards * k)
+            ns, sel = jax.lax.top_k(cat_s, k)
+            ni = jnp.take_along_axis(cat_i, sel, axis=1)
+            return ns, ni
+
+        in_specs = (P(), P(DATA_AXIS), P(DATA_AXIS) if self._tok_dev is not None else P())
+        fn = shard_map(
+            sharded, mesh=mesh, in_specs=in_specs, out_specs=(P(), P()),
+            check_vma=False,
+        )
+        return jax.jit(fn)
+
+    def _get_search_fn(self, k: int, Bq: int):
+        key = (k, Bq)
+        if self._search_fn is None or self._search_fn[0] != key:
+            self._search_fn = (key, self._build_search_fn(k))
+        return self._search_fn[1]
+
+    def search(
+        self,
+        q_reps: np.ndarray,  # [B, V] fp32 sparse query reps
+        k: int = 10,
+        query_prune: float = 0.0,
+        exclude_self: Optional[Sequence[str]] = None,
+    ) -> List[Dict[str, float]]:
+        """Top-k search; returns per-query {doc_id: score} maps.
+
+        `query_prune`: drop query tokens with weight <= prune * max weight
+        (reference sparse_embedding_to_query, sparse_encoders.py:184-194).
+        `exclude_self`: per-query id whose hit is dropped (search.py:78-80).
+        """
+        assert self._finalized, "call finalize() first"
+        if self.n_docs == 0:
+            return [dict() for _ in range(q_reps.shape[0])]
+        q = np.asarray(q_reps, dtype=np.float32)
+        if query_prune > 0:
+            thresh = q.max(axis=1, keepdims=True) * query_prune
+            q = np.where(q > thresh, q, 0.0)
+
+        k_eff = min(k + (1 if exclude_self is not None else 0), self.n_docs)
+        Bq = self.cfg.query_batch
+        results: List[Dict[str, float]] = []
+        for start in range(0, q.shape[0], Bq):
+            qb = q[start : start + Bq]
+            pad = Bq - qb.shape[0]
+            if pad:
+                qb = np.concatenate([qb, np.zeros((pad, q.shape[1]), np.float32)])
+            fn = self._get_search_fn(k_eff, Bq)
+            if self._tok_dev is not None:
+                s, i = fn(jnp.asarray(qb), self._docs_dev, self._tok_dev)
+            else:
+                s, i = fn(jnp.asarray(qb), self._docs_dev, jnp.zeros((), jnp.int32))
+            s, i = np.asarray(s), np.asarray(i)
+            for row in range(qb.shape[0] - pad):
+                qi = start + row
+                out = {}
+                for score, idx in zip(s[row], i[row]):
+                    if idx < 0 or idx >= self.n_docs or score <= 0:
+                        continue
+                    did = self.doc_ids[idx]
+                    if exclude_self is not None and did == str(exclude_self[qi]):
+                        continue
+                    if len(out) < k:
+                        out[did] = float(score)
+                results.append(out)
+        return results
+
+    # -------------------------------------------------------- persistence
+    def save(self, path: str):
+        assert self._finalized
+        os.makedirs(path, exist_ok=True)
+        arrs = {
+            "count_tensor": self.count_tensor,
+            "weights": np.asarray(self._docs_dev, dtype=np.float16),
+        }
+        if self._tok_dev is not None:
+            arrs["tokens"] = np.asarray(self._tok_dev)
+        np.savez_compressed(os.path.join(path, "index.npz"), **arrs)
+        meta = {
+            "vocab_size": self.vocab_size,
+            "n_docs": self.n_docs,
+            "engine": self.cfg.engine,
+            "l_max": self.cfg.l_max,
+            "block_docs": self.cfg.block_docs,
+        }
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(meta, f)
+        with open(os.path.join(path, "doc_ids.json"), "w") as f:
+            json.dump(self.doc_ids, f)
+
+    @classmethod
+    def load(cls, path: str, mesh: Optional[Mesh] = None) -> "SparseIndex":
+        meta = json.load(open(os.path.join(path, "meta.json")))
+        blob = np.load(os.path.join(path, "index.npz"))
+        cfg = IndexConfig(
+            engine=meta["engine"], l_max=meta["l_max"], block_docs=meta["block_docs"]
+        )
+        idx = cls(meta["vocab_size"], cfg, mesh)
+        idx.doc_ids = json.load(open(os.path.join(path, "doc_ids.json")))
+        idx.count_tensor = blob["count_tensor"]
+        n_shards = mesh.devices.size if mesh is not None else 1
+        w = blob["weights"].astype(np.float32)
+        n_pad = _round_up(max(len(idx.doc_ids), 1), cfg.block_docs * n_shards)
+        if w.shape[0] < n_pad:  # re-pad for a different mesh size
+            w = np.concatenate([w, np.zeros((n_pad - w.shape[0],) + w.shape[1:], w.dtype)])
+        idx._docs_dev = jnp.asarray(w[:n_pad], dtype=jnp.dtype(cfg.weight_dtype))
+        if "tokens" in blob:
+            t = blob["tokens"]
+            if t.shape[0] < n_pad:
+                t = np.concatenate([t, np.zeros((n_pad - t.shape[0],) + t.shape[1:], t.dtype)])
+            idx._tok_dev = jnp.asarray(t[:n_pad])
+        else:
+            idx._tok_dev = None
+        if mesh is not None:
+            sh = NamedSharding(mesh, P(DATA_AXIS))
+            idx._docs_dev = jax.device_put(idx._docs_dev, sh)
+            if idx._tok_dev is not None:
+                idx._tok_dev = jax.device_put(idx._tok_dev, sh)
+        idx._n_pad = n_pad
+        idx._finalized = True
+        return idx

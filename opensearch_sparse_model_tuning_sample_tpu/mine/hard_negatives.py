@@ -1,0 +1,108 @@
+"""Hard-negative mining: retrieve with the current model, drop positives,
+emit a {query, pos, negs} training dataset.
+
+Parity with /root/reference/demo_train_data.py:43-91 (mine with the current
+model via ingest+search, remove qrel positives from the hits, one training
+row per positive) and prepare_msmarco_hard_negatives.py (join an id-based
+hard-negative set with corpus/query text).
+
+On-device end-to-end: mine -> train -> eval closes without any external
+search engine.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import Dict, Optional
+
+from ..data.datasets import BEIRCorpusDataset, MsMarcoKDDataset
+from ..eval.beir import ingest, search
+from ..index.engine import IndexConfig
+from ..models.sparse_encoder import SparseEncoderModel
+
+logger = logging.getLogger(__name__)
+
+
+def mine_hard_negatives(
+    corpus: Dict[str, Dict[str, str]],
+    queries: Dict[str, str],
+    qrels: Dict[str, Dict[str, int]],
+    model: SparseEncoderModel,
+    out_dir: str,
+    index_name: str,
+    save_path: Optional[str] = None,
+    max_length: int = 512,
+    batch_size: int = 50,
+    result_size: int = 50,
+    inf_free: bool = True,
+    index_cfg: Optional[IndexConfig] = None,
+    mesh=None,
+):
+    """Returns the list of {query, pos, negs} rows; saves an HF dataset when
+    `save_path` is given (reference writes data/{ds}_train)."""
+    ds = BEIRCorpusDataset(corpus)
+    index = ingest(
+        ds, model, out_dir, index_name,
+        max_length=max_length, batch_size=batch_size,
+        index_cfg=index_cfg, mesh=mesh,
+    )
+    res = search(
+        queries, model, index, out_dir, index_name,
+        max_length=max_length, batch_size=batch_size,
+        result_size=result_size, inf_free=inf_free,
+    )
+    run_res = res["run_res"]
+
+    def doc_text(did):
+        d = corpus[did]
+        return (d.get("title", "") + " " + d.get("text", "")).strip()
+
+    rows = []
+    for qid, docs in run_res.items():
+        if qid not in qrels:
+            continue
+        for did in qrels[qid]:
+            docs.pop(did, None)  # drop positives from the negatives pool
+        for positive in qrels[qid]:
+            if positive not in corpus:
+                continue
+            rows.append(
+                {
+                    "query": queries[qid],
+                    "pos": doc_text(positive),
+                    "negs": [doc_text(n) for n in docs if n in corpus],
+                }
+            )
+    logger.info("mined %d training rows from %d queries", len(rows), len(queries))
+
+    if save_path:
+        import datasets as hfds
+
+        hfds.Dataset.from_list(rows).save_to_disk(save_path)
+        logger.info("saved mined dataset to %s", save_path)
+    return rows
+
+
+def prepare_msmarco_kd(
+    hard_negatives_rows,  # rows {query: qid, docs: [doc_ids], scores?}
+    corpus_texts: Dict[str, str],
+    query_texts: Dict[str, str],
+    save_path: str,
+):
+    """Join id-based hard negatives with text (reference
+    prepare_msmarco_hard_negatives.py:1-42, incl. the latin1->utf8 repair)."""
+    import datasets as hfds
+
+    fix = MsMarcoKDDataset.transform_str
+    rows = []
+    for r in hard_negatives_rows:
+        rows.append(
+            {
+                "query": query_texts[r["query"]],
+                "docs": [fix(corpus_texts[d]) for d in r["docs"]],
+                **({"scores": r["scores"]} if "scores" in r else {}),
+            }
+        )
+    hfds.Dataset.from_list(rows).save_to_disk(save_path)
+    return rows

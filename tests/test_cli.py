@@ -1,0 +1,87 @@
+"""End-to-end CLI integration: mine -> train -> evaluate on the synthetic
+task (the run_ft_demo.sh loop, fully on-device)."""
+
+import os
+
+import pytest
+import yaml
+
+
+@pytest.fixture()
+def smoke_cfg(tmp_path):
+    cfg = {
+        "inf_free": True,
+        "arch": "tiny",
+        "idf_path": "assets/idf.npz",
+        "max_seq_length": 32,
+        "train_file": str(tmp_path / "data" / "synthetic_train"),
+        "data_type": "posnegs",
+        "loss_types": ["infonce"],
+        "sample_num_one_query": 2,
+        "use_in_batch_negatives": True,
+        "flops_d_lambda": 0.01,
+        "flops_d_T": 20,
+        "output_dir": str(tmp_path / "out"),
+        "per_device_eval_batch_size": 32,
+        "per_device_train_batch_size": 4,
+        "max_steps": 6,
+        "warmup_steps": 2,
+        "learning_rate": 5e-4,
+        "logging_steps": 100,
+        "save_strategy": "steps",
+        "save_steps": 6,
+        "seq_buckets": [32],
+        "beir_datasets": "synthetic",
+        "dp_size": 1,
+    }
+    path = tmp_path / "smoke.yaml"
+    path.write_text(yaml.dump(cfg))
+    return str(path), cfg
+
+
+def test_mine_train_evaluate_loop(smoke_cfg, tmp_path, monkeypatch):
+    monkeypatch.setenv("METRICS_DIR", str(tmp_path / "metrics"))
+    monkeypatch.chdir(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from opensearch_sparse_model_tuning_sample_tpu.cli import (
+        evaluate_beir,
+        mine,
+        train_ir,
+    )
+
+    path, cfg = smoke_cfg
+
+    # ---- mine (saves into cwd-relative data/<name>_train; redirect) ----
+    import opensearch_sparse_model_tuning_sample_tpu.cli.mine as mine_mod
+
+    rows = None
+    orig_main = mine_mod.mine_hard_negatives
+
+    def patched(*a, **kw):
+        kw["save_path"] = cfg["train_file"]
+        return orig_main(*a, **kw)
+
+    monkeypatch.setattr(mine_mod, "mine_hard_negatives", patched)
+    rows = mine.main(path)
+    assert len(rows) > 0
+    assert os.path.exists(cfg["train_file"])
+
+    # ---- train ----
+    trainer = train_ir.main(path)
+    assert int(trainer.state.step) == 6
+    ckpt = os.path.join(cfg["output_dir"], "checkpoint-6")
+    assert os.path.exists(os.path.join(ckpt, "model.safetensors"))
+    assert os.path.exists(os.path.join(cfg["output_dir"], "train.log"))
+
+    # ---- evaluate (auto-loads checkpoint-{max_steps}) ----
+    avg = evaluate_beir.main(path)
+    assert "NDCG@10" in avg and 0.0 <= avg["NDCG@10"] <= 1.0
+    assert avg["flops"] > 0
+    eval_dir = os.path.join(cfg["output_dir"], "beir_eval")
+    assert os.path.exists(os.path.join(eval_dir, "avg_res.json"))
+    assert os.path.exists(os.path.join(eval_dir, "beir_statistics.csv"))
+    # metrics ledger written
+    from opensearch_sparse_model_tuning_sample_tpu.eval.metrics_sink import (
+        read_metrics,
+    )
+
+    assert len(read_metrics("beir_eval")) == 1

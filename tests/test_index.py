@@ -1,0 +1,147 @@
+"""Index engine: sparse engine vs dense oracle vs numpy brute force,
+sharded vs single-device, persistence, pruning."""
+
+import numpy as np
+import pytest
+
+from opensearch_sparse_model_tuning_sample_tpu.core.mesh import make_mesh
+from opensearch_sparse_model_tuning_sample_tpu.index.engine import (
+    IndexConfig,
+    SparseIndex,
+)
+
+V = 512
+N_DOCS = 300
+N_Q = 7
+rng = np.random.default_rng(42)
+
+
+def make_sparse_reps(n, nnz=20, seed=0):
+    r = np.random.default_rng(seed)
+    reps = np.zeros((n, V), dtype=np.float32)
+    for i in range(n):
+        idx = r.choice(V, size=nnz, replace=False)
+        reps[i, idx] = r.uniform(0.1, 3.0, size=nnz)
+    return reps
+
+
+DOCS = make_sparse_reps(N_DOCS, seed=1)
+QS = make_sparse_reps(N_Q, nnz=8, seed=2)
+BRUTE = QS @ DOCS.T  # [N_Q, N_DOCS] exact scores
+
+
+def brute_topk(k, prune=0.0):
+    q = QS.copy()
+    if prune > 0:
+        thresh = q.max(axis=1, keepdims=True) * prune
+        q = np.where(q > thresh, q, 0.0)
+    scores = q @ DOCS.T
+    out = []
+    for row in scores:
+        idx = np.argsort(-row)[:k]
+        out.append({str(i): float(row[i]) for i in idx if row[i] > 0})
+    return out
+
+
+def build(engine, mesh=None, **cfg_kw):
+    cfg = IndexConfig(engine=engine, l_max=32, block_docs=64, query_batch=4, **cfg_kw)
+    idx = SparseIndex(V, cfg, mesh)
+    for s in range(0, N_DOCS, 100):
+        batch = DOCS[s : s + 100]
+        idx.add([str(i) for i in range(s, s + batch.shape[0])], batch)
+    idx.finalize()
+    return idx
+
+
+@pytest.mark.parametrize("engine", ["dense", "sparse"])
+def test_topk_matches_bruteforce(engine):
+    idx = build(engine)
+    got = idx.search(QS, k=10)
+    want = brute_topk(10)
+    for g, w in zip(got, want):
+        assert set(g.keys()) == set(w.keys())
+        for d in g:
+            assert g[d] == pytest.approx(w[d], rel=2e-2)  # bf16 storage
+
+
+def test_sparse_engine_exactness_fp32():
+    idx = build("sparse", weight_dtype="float32")
+    got = idx.search(QS, k=10)
+    want = brute_topk(10)
+    for g, w in zip(got, want):
+        assert set(g.keys()) == set(w.keys())
+        for d in g:
+            assert g[d] == pytest.approx(w[d], rel=1e-5)
+
+
+def test_query_prune():
+    idx = build("sparse", weight_dtype="float32")
+    got = idx.search(QS, k=10, query_prune=0.5)
+    want = brute_topk(10, prune=0.5)
+    for g, w in zip(got, want):
+        assert set(g.keys()) == set(w.keys())
+
+
+def test_sharded_matches_single_device(mesh8):
+    idx1 = build("sparse", weight_dtype="float32")
+    idx8 = build("sparse", mesh=mesh8, weight_dtype="float32")
+    got1 = idx1.search(QS, k=10)
+    got8 = idx8.search(QS, k=10)
+    for a, b in zip(got1, got8):
+        assert set(a.keys()) == set(b.keys())
+        for d in a:
+            assert a[d] == pytest.approx(b[d], rel=1e-5)
+
+
+def test_exclude_self_hit():
+    idx = build("sparse")
+    # query = doc 0's rep: doc 0 would be its own top hit
+    got = idx.search(DOCS[:1], k=5, exclude_self=["0"])
+    assert "0" not in got[0]
+    assert len(got[0]) == 5
+
+
+def test_count_statistics():
+    idx = build("sparse")
+    expect = (DOCS > 0).sum(axis=0) / N_DOCS
+    np.testing.assert_allclose(idx.avg_doc_activation, expect)
+
+
+def test_save_load_roundtrip(tmp_path):
+    idx = build("sparse")
+    want = idx.search(QS, k=5)
+    idx.save(str(tmp_path / "idx"))
+    idx2 = SparseIndex.load(str(tmp_path / "idx"))
+    got = idx2.search(QS, k=5)
+    for a, b in zip(want, got):
+        assert set(a.keys()) == set(b.keys())
+    np.testing.assert_array_equal(idx.count_tensor, idx2.count_tensor)
+
+
+def test_l_max_truncation_keeps_top_weights():
+    cfg = IndexConfig(engine="sparse", l_max=4, block_docs=64, query_batch=4)
+    idx = SparseIndex(V, cfg)
+    rep = np.zeros((1, V), np.float32)
+    rep[0, :10] = np.arange(1, 11, dtype=np.float32)  # weights 1..10
+    idx.add(["d"], rep)
+    idx.finalize()
+    q = np.zeros((1, V), np.float32)
+    q[0, :10] = 1.0
+    got = idx.search(q, k=1)[0]
+    # only the top-4 weights (7+8+9+10) survive l_max truncation
+    assert got["d"] == pytest.approx(34.0, rel=1e-3)
+
+
+def test_empty_query_returns_empty():
+    idx = build("sparse")
+    got = idx.search(np.zeros((1, V), np.float32), k=5)
+    assert got[0] == {}
+
+
+def test_k_larger_than_corpus():
+    cfg = IndexConfig(engine="sparse", l_max=8, block_docs=16, query_batch=2)
+    idx = SparseIndex(V, cfg)
+    idx.add(["a", "b"], make_sparse_reps(2, nnz=5, seed=3))
+    idx.finalize()
+    got = idx.search(make_sparse_reps(1, nnz=5, seed=3), k=50)
+    assert len(got[0]) <= 2
