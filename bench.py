@@ -23,21 +23,23 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 
 
 def make_corpus(n_docs, vocab, avg_terms, seed):
+    """Vectorized synthetic SPLADE-like corpus: zipf-popular tokens,
+    gamma-distributed weights, per-doc lengths ~ Poisson(avg_terms)."""
     rng = np.random.default_rng(seed)
-    # zipf-ish token popularity, like real vocab usage
     pop = rng.zipf(1.3, size=vocab).astype(np.float64)
     pop /= pop.sum()
+    cdf = np.cumsum(pop)
     l_max = 128
-    toks = np.zeros((n_docs, l_max), dtype=np.int32)
-    ws = np.zeros((n_docs, l_max), dtype=np.float32)
+    # inverse-CDF sampling, all docs at once (duplicates within a doc are
+    # fine for a throughput benchmark)
+    toks = np.searchsorted(cdf, rng.random((n_docs, l_max))).astype(np.int32)
+    ws = rng.gamma(2.0, 0.5, size=(n_docs, l_max)).astype(np.float32)
     lens = rng.poisson(avg_terms, size=n_docs).clip(8, l_max)
-    for i in range(n_docs):
-        t = rng.choice(vocab, size=lens[i], replace=False, p=pop)
-        w = rng.gamma(2.0, 0.5, size=lens[i]).astype(np.float32)
-        order = np.argsort(-w)
-        toks[i, : lens[i]] = t[order]
-        ws[i, : lens[i]] = w[order]
-    return toks, ws
+    mask = np.arange(l_max)[None, :] < lens[:, None]
+    ws = np.where(mask, ws, 0.0)
+    toks = np.where(mask, toks, 0)
+    order = np.argsort(-ws, axis=1)  # impact-sorted
+    return np.take_along_axis(toks, order, axis=1), np.take_along_axis(ws, order, axis=1)
 
 
 def main():
@@ -74,20 +76,22 @@ def main():
     idx.finalize()
     build_s = time.time() - t0
 
-    # inference-free style queries: ~6 active idf-weighted terms
-    q = np.zeros((n_queries, vocab), dtype=np.float32)
+    # inference-free style queries: ~6 active idf-weighted terms, entering
+    # through the serving path (token ids + weights, dense built on device)
+    q_tok = np.zeros((n_queries, 8), dtype=np.int32)
+    q_w = np.zeros((n_queries, 8), dtype=np.float32)
     for i in range(n_queries):
-        t = rng.choice(vocab, size=6, replace=False)
-        q[i, t] = rng.uniform(2.0, 10.0, size=6)
+        q_tok[i, :6] = rng.choice(vocab, size=6, replace=False)
+        q_w[i, :6] = rng.uniform(2.0, 10.0, size=6)
 
     # warmup/compile
-    idx.search(q[:qbatch], k=k)
+    idx.search_tokens(q_tok[:qbatch], q_w[:qbatch], k=k)
 
     lat = []
     t0 = time.time()
     for s in range(0, n_queries, qbatch):
         tb = time.time()
-        idx.search(q[s : s + qbatch], k=k)
+        idx.search_tokens(q_tok[s : s + qbatch], q_w[s : s + qbatch], k=k)
         lat.append(time.time() - tb)
     wall = time.time() - t0
     qps = n_queries / wall
@@ -99,10 +103,10 @@ def main():
     model = se.build_model(arch="mini", idf_path=os.path.join(REPO, "assets/idf.npz"))
     enc = se.BatchEncoder(model, max_length=128, seq_buckets=[128], do_count=False)
     texts = ["a benchmark document about sparse retrieval on tensor units"] * 256
-    enc.encode_batch(texts)  # compile
+    enc.encode_batch_sparse(texts, l_max=128)  # compile
     t0 = time.time()
     for _ in range(4):
-        enc.encode_batch(texts)
+        enc.encode_batch_sparse(texts, l_max=128)
     enc_dps = 4 * 256 / (time.time() - t0)
 
     anchor_path = os.path.join(REPO, "BENCH_BASELINE.json")

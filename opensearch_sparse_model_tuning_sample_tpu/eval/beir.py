@@ -167,14 +167,21 @@ def ingest(
     index = SparseIndex(model.vocab_size, index_cfg, mesh)
     t0 = time.time()
     n = len(dataset)
+    use_sparse_fast_path = index.cfg.engine == "sparse" and not doc_inf_free
     for start in range(0, n, batch_size):
         rows = [dataset[i] for i in range(start, min(start + batch_size, n))]
         ids = [r[0] for r in rows]
         texts = [r[1] for r in rows]
-        # doc_inf_free=True gives an idf-weighted lexical index (a BM25-ish
-        # baseline and the test oracle); the real path is the full forward
-        reps = encoder.encode_batch(texts, inf_free=doc_inf_free)
-        index.add(ids, reps)
+        if use_sparse_fast_path:
+            # on-device top-k sparsification: only l_max (id, weight) pairs
+            # per doc cross the host boundary
+            tok_idx, ws = encoder.encode_batch_sparse(texts, l_max=index.cfg.l_max)
+            index.add_topk(ids, tok_idx, ws)
+        else:
+            # doc_inf_free=True gives an idf-weighted lexical index (a
+            # BM25-ish baseline and the test oracle)
+            reps = encoder.encode_batch(texts, inf_free=doc_inf_free)
+            index.add(ids, reps)
     index.finalize()
     np.save(
         os.path.join(out_dir, f"{index_name}.corpus.npy"), index.avg_doc_activation
@@ -211,7 +218,7 @@ def search(
         rows = [qd[i] for i in range(start, min(start + batch_size, n))]
         ids = [r[0] for r in rows]
         texts = [r[1] for r in rows]
-        reps = encoder.encode_batch(texts, inf_free=inf_free)
+        reps = encoder.encode_batch_device(texts, inf_free=inf_free)
         hits = index.search(reps, k=result_size, query_prune=query_prune)
         for _id, h in zip(ids, hits):
             run_res[_id] = h

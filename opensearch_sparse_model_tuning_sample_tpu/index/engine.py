@@ -86,6 +86,7 @@ class SparseIndex:
         self.count_tensor = np.zeros((vocab_size,), dtype=np.int64)
         self._finalized = False
         self._search_fn = None
+        self._q_builder = None
 
     # ------------------------------------------------------------- ingest
     def add(self, doc_ids: Sequence[str], reps: np.ndarray):
@@ -112,6 +113,26 @@ class SparseIndex:
             nz, vals = nz[order], vals[order]
             toks[b, : nz.size] = nz
             ws[b, : nz.size] = vals
+        self._tok_chunks.append(toks)
+        self._w_chunks.append(ws)
+
+    def add_topk(self, doc_ids: Sequence[str], token_idx: np.ndarray, weights: np.ndarray):
+        """Add pre-sparsified rows (from BatchEncoder.encode_batch_sparse):
+        token_idx/weights [B, k] already impact-sorted, zero-padded."""
+        assert not self._finalized, "index already finalized"
+        assert self.cfg.engine == "sparse", "add_topk requires the sparse engine"
+        self.doc_ids.extend(map(str, doc_ids))
+        active = weights > 0
+        self.count_tensor += np.bincount(
+            token_idx[active].reshape(-1), minlength=self.vocab_size
+        ).astype(np.int64)
+        L = self.cfg.l_max
+        B, k = token_idx.shape
+        toks = np.zeros((B, L), dtype=np.int32)
+        ws = np.zeros((B, L), dtype=np.float32)
+        m = min(k, L)
+        toks[:, :m] = token_idx[:, :m]
+        ws[:, :m] = np.where(active, weights, 0.0)[:, :m]
         self._tok_chunks.append(toks)
         self._w_chunks.append(ws)
 
@@ -301,24 +322,30 @@ class SparseIndex:
         assert self._finalized, "call finalize() first"
         if self.n_docs == 0:
             return [dict() for _ in range(q_reps.shape[0])]
-        q = np.asarray(q_reps, dtype=np.float32)
+        # stay on device when the caller hands us a device array (no D2H/H2D
+        # round-trip between encoder and index)
+        q = q_reps if isinstance(q_reps, jax.Array) else jnp.asarray(
+            np.asarray(q_reps, dtype=np.float32)
+        )
+        q = q.astype(jnp.float32)
         if query_prune > 0:
-            thresh = q.max(axis=1, keepdims=True) * query_prune
-            q = np.where(q > thresh, q, 0.0)
+            thresh = jnp.max(q, axis=1, keepdims=True) * query_prune
+            q = jnp.where(q > thresh, q, 0.0)
 
         k_eff = min(k + (1 if exclude_self is not None else 0), self.n_docs)
         Bq = self.cfg.query_batch
+        n_q = q.shape[0]
         results: List[Dict[str, float]] = []
-        for start in range(0, q.shape[0], Bq):
+        for start in range(0, n_q, Bq):
             qb = q[start : start + Bq]
             pad = Bq - qb.shape[0]
             if pad:
-                qb = np.concatenate([qb, np.zeros((pad, q.shape[1]), np.float32)])
+                qb = jnp.concatenate([qb, jnp.zeros((pad, q.shape[1]), jnp.float32)])
             fn = self._get_search_fn(k_eff, Bq)
             if self._tok_dev is not None:
-                s, i = fn(jnp.asarray(qb), self._docs_dev, self._tok_dev)
+                s, i = fn(qb, self._docs_dev, self._tok_dev)
             else:
-                s, i = fn(jnp.asarray(qb), self._docs_dev, jnp.zeros((), jnp.int32))
+                s, i = fn(qb, self._docs_dev, jnp.zeros((), jnp.int32))
             s, i = np.asarray(s), np.asarray(i)
             for row in range(qb.shape[0] - pad):
                 qi = start + row
@@ -333,6 +360,39 @@ class SparseIndex:
                         out[did] = float(score)
                 results.append(out)
         return results
+
+    def search_tokens(
+        self,
+        q_tokens: np.ndarray,  # [B, q_len] int32 token ids (0-padded)
+        q_weights: np.ndarray,  # [B, q_len] f32 weights (0 = inactive)
+        k: int = 10,
+        **kw,
+    ) -> List[Dict[str, float]]:
+        """Search from (token, weight) pairs — the serving-path entry point.
+
+        Builds the dense query matrix on device with one scatter, so only
+        ~q_len*8 bytes/query cross the host boundary (vs 4*vocab for a dense
+        rep). This is the analog of the reference's `neural_sparse` query
+        body of token->weight maps (sparse_encoders.py:184-194).
+        """
+        if self._q_builder is None:
+            V = self.vocab_size
+
+            @jax.jit
+            def build(tok, w):
+                B = tok.shape[0]
+                q = jnp.zeros((B, V), jnp.float32)
+                b_idx = jnp.broadcast_to(
+                    jnp.arange(B, dtype=jnp.int32)[:, None], tok.shape
+                )
+                return q.at[b_idx, tok].add(jnp.where(w > 0, w, 0.0), mode="drop")
+
+            self._q_builder = build
+        q = self._q_builder(
+            jnp.asarray(q_tokens, dtype=jnp.int32),
+            jnp.asarray(q_weights, dtype=jnp.float32),
+        )
+        return self.search(q, k=k, **kw)
 
     # -------------------------------------------------------- persistence
     def save(self, path: str):

@@ -184,6 +184,26 @@ class BatchEncoder:
         )
         self._q_fwd = jax.jit(partial(encode_query_inf_free, cfg=cfg))
 
+        # ingest fast path: forward + on-device top-k sparsification. Avoids
+        # shipping dense [B, V] reps to the host (the transfer, not the TPU,
+        # bounds ingest throughput) and replaces the host-side per-doc
+        # nonzero/argsort with one lax.top_k.
+        def _doc_fwd_topk(params, input_ids, attention_mask, k):
+            rep = encode_doc(
+                params, cfg, input_ids, attention_mask,
+                use_l0=model.use_l0, prune_ratio=model.prune_ratio,
+            )
+            vals, idx = jax.lax.top_k(rep, k)
+            active = vals > 0
+            vals = jnp.where(active, vals, 0.0)
+            idx = jnp.where(active, idx, 0).astype(jnp.int32)
+            count = jnp.zeros((cfg.vocab_size,), jnp.int32).at[idx].add(
+                active.astype(jnp.int32), mode="drop"
+            )
+            return idx, vals, count
+
+        self._doc_fwd_topk = jax.jit(_doc_fwd_topk, static_argnames=("k",))
+
     def reset_count(self):
         self.count_tensor = np.zeros((self.model.vocab_size,), dtype=np.int64)
         self._n_encoded = 0
@@ -195,9 +215,9 @@ class BatchEncoder:
         return self.seq_buckets[-1]
 
     def encode_batch(self, texts: List[str], inf_free: bool = False) -> np.ndarray:
-        feats = self.model.tokenizer(texts, max_length=self.max_length)
-        L = self._bucket(feats["input_ids"].shape[1])
-        feats = self.model.tokenizer(texts, max_length=self.max_length, pad_to=L)
+        feats = self.model.tokenizer.encode_bucketed(
+            texts, self.max_length, self.seq_buckets
+        )
         ids = jnp.asarray(feats["input_ids"])
         mask = jnp.asarray(feats["attention_mask"])
         if inf_free:
@@ -213,6 +233,45 @@ class BatchEncoder:
             self.count_tensor += np.asarray(activation_count(reps), dtype=np.int64)
             self._n_encoded += len(texts)
         return np.asarray(reps)
+
+    def encode_batch_device(self, texts: List[str], inf_free: bool = False):
+        """Like encode_batch but returns the device array (no D2H transfer —
+        feed straight into the index's search path)."""
+        feats = self.model.tokenizer.encode_bucketed(
+            texts, self.max_length, self.seq_buckets
+        )
+        ids = jnp.asarray(feats["input_ids"])
+        mask = jnp.asarray(feats["attention_mask"])
+        if inf_free:
+            reps = self._q_fwd(
+                params=self.model.params, input_ids=ids,
+                special_mask=self._special_mask_dev,
+            )
+        else:
+            reps = self._doc_fwd(
+                params=self.model.params, input_ids=ids, attention_mask=mask
+            )
+        if self.do_count:
+            self.count_tensor += np.asarray(activation_count(reps), dtype=np.int64)
+            self._n_encoded += len(texts)
+        return reps
+
+    def encode_batch_sparse(self, texts: List[str], l_max: int = 256):
+        """Ingest fast path: (token_idx [B, l_max], weights [B, l_max]) via
+        on-device top-k; only ~l_max*8 bytes/doc cross the host boundary."""
+        feats = self.model.tokenizer.encode_bucketed(
+            texts, self.max_length, self.seq_buckets
+        )
+        idx, vals, count = self._doc_fwd_topk(
+            self.model.params,
+            jnp.asarray(feats["input_ids"]),
+            jnp.asarray(feats["attention_mask"]),
+            k=min(l_max, self.model.vocab_size),
+        )
+        if self.do_count:
+            self.count_tensor += np.asarray(count, dtype=np.int64)
+            self._n_encoded += len(texts)
+        return np.asarray(idx), np.asarray(vals)
 
     def encode(self, texts: List[str], inf_free: bool = False) -> List[Dict[str, float]]:
         reps = self.encode_batch(texts, inf_free=inf_free)
@@ -249,6 +308,7 @@ def build_model(
     tokenizer = WordPieceTokenizer.from_pretrained(
         tokenizer_name or model_name_or_path, preprocess_func=preprocess_func
     )
+    tokenizer.try_attach_native()  # C++ fast path for bulk ingest/search
 
     ckpt_dir = model_name_or_path if model_name_or_path and os.path.isdir(model_name_or_path) else None
     if ckpt_dir:

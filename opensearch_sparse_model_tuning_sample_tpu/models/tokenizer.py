@@ -135,6 +135,17 @@ class WordPieceTokenizer:
         asset = os.path.join(_repo_root(), "assets", "idf.npz")
         return cls.from_idf_asset(asset, **kw)
 
+    def try_attach_native(self) -> bool:
+        """Attach the C++ fast path (native/wordpiece.cpp) when built/buildable;
+        set OSSMT_NO_NATIVE=1 to force pure Python."""
+        if os.environ.get("OSSMT_NO_NATIVE"):
+            return False
+        if self._native is not None:
+            return True
+        from .native_tokenizer import attach_native
+
+        return attach_native(self)
+
     # ----------------------------------------------------------- tokenize
     def _clean(self, text: str) -> str:
         out = []
@@ -233,6 +244,9 @@ class WordPieceTokenizer:
             seqs = self._native.encode_batch(texts, max_length)
         else:
             seqs = [self.encode_ids(t, max_length) for t in texts]
+        return self._pad(seqs, pad_to)
+
+    def _pad(self, seqs, pad_to: Optional[int]) -> Dict[str, np.ndarray]:
         L = pad_to if pad_to is not None else max(len(s) for s in seqs)
         B = len(seqs)
         input_ids = np.full((B, L), self.pad_id, dtype=np.int32)
@@ -242,6 +256,25 @@ class WordPieceTokenizer:
             input_ids[i, : len(s)] = s
             attention_mask[i, : len(s)] = 1
         return {"input_ids": input_ids, "attention_mask": attention_mask}
+
+    def encode_bucketed(
+        self, texts: Sequence[str], max_length: int, buckets: Sequence[int]
+    ) -> Dict[str, np.ndarray]:
+        """Tokenize ONCE and pad to the smallest bucket that fits (static
+        TPU shapes without double tokenization)."""
+        if self.preprocess is not None:
+            texts = self.preprocess(list(texts))
+        if self._native is not None:
+            seqs = self._native.encode_batch(list(texts), max_length)
+        else:
+            seqs = [self.encode_ids(t, max_length) for t in texts]
+        longest = max(len(s) for s in seqs)
+        L = max_length
+        for b in sorted(buckets):
+            if longest <= b <= max_length:
+                L = b
+                break
+        return self._pad(seqs, L)
 
     def save_pretrained(self, output_dir: str):
         os.makedirs(output_dir, exist_ok=True)

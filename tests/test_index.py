@@ -145,3 +145,37 @@ def test_k_larger_than_corpus():
     idx.finalize()
     got = idx.search(make_sparse_reps(1, nnz=5, seed=3), k=50)
     assert len(got[0]) <= 2
+
+
+def test_add_topk_matches_add():
+    """The on-device top-k ingest path must index identically to dense add."""
+    cfg = IndexConfig(engine="sparse", l_max=32, block_docs=64, query_batch=4,
+                      weight_dtype="float32")
+    a = SparseIndex(V, cfg)
+    b = SparseIndex(V, cfg)
+    a.add([str(i) for i in range(N_DOCS)], DOCS)
+    # emulate encode_batch_sparse: top-k extraction with zero padding
+    k = 32
+    idxs = np.argsort(-DOCS, axis=1)[:, :k].astype(np.int32)
+    vals = np.take_along_axis(DOCS, idxs, axis=1)
+    idxs = np.where(vals > 0, idxs, 0)
+    vals = np.where(vals > 0, vals, 0.0)
+    b.add_topk([str(i) for i in range(N_DOCS)], idxs, vals)
+    a.finalize(); b.finalize()
+    ra = a.search(QS, k=10)
+    rb = b.search(QS, k=10)
+    for x, y in zip(ra, rb):
+        assert set(x.keys()) == set(y.keys())
+        for d in x:
+            assert x[d] == pytest.approx(y[d], rel=1e-5)
+    np.testing.assert_array_equal(a.count_tensor, b.count_tensor)
+
+
+def test_search_accepts_device_arrays():
+    import jax.numpy as jnp
+
+    idx = build("sparse", weight_dtype="float32")
+    got_np = idx.search(QS, k=5)
+    got_dev = idx.search(jnp.asarray(QS), k=5)
+    for a, b in zip(got_np, got_dev):
+        assert set(a.keys()) == set(b.keys())
