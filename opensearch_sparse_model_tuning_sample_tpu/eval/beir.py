@@ -205,6 +205,7 @@ def search(
     result_size: int = 15,
     inf_free: bool = True,
     query_prune: float = 0.0,
+    use_two_phase: bool = False,
     return_text: bool = False,
     corpus_texts: Optional[Dict[str, str]] = None,
 ) -> Dict:
@@ -219,7 +220,9 @@ def search(
         ids = [r[0] for r in rows]
         texts = [r[1] for r in rows]
         reps = encoder.encode_batch_device(texts, inf_free=inf_free)
-        hits = index.search(reps, k=result_size, query_prune=query_prune)
+        hits = index.search(
+            reps, k=result_size, query_prune=query_prune, two_phase=use_two_phase
+        )
         for _id, h in zip(ids, hits):
             run_res[_id] = h
     qps = n / max(time.time() - t0, 1e-9)
@@ -306,6 +309,7 @@ def evaluate_datasets(
             batch_size=training_args.per_device_eval_batch_size,
             inf_free=model_args.inf_free,
             query_prune=data_args.query_prune,
+            use_two_phase=data_args.use_two_phase,
         )
         ndcg, _map, recall, p = trec_eval.evaluate(qrels, res["run_res"], [1, 10])
         logger.info("retrieve metrics for %s: %s %s %s %s", name, ndcg, _map, recall, p)

@@ -55,8 +55,8 @@ class IndexConfig:
     block_docs: int = 1024  # docs scored per scan step
     query_batch: int = 16  # queries scored together
     weight_dtype: str = "bfloat16"
-    two_phase_ratio: float = 0.4  # phase-1 keeps tokens with weight > ratio*max
-    two_phase_expand: int = 5  # phase-1 candidate pool = expand * k
+    two_phase_terms: int = 32  # phase-1 scores only the top-impact terms/doc
+    two_phase_expand: int = 8  # phase-1 candidate pool = expand * k
 
 
 class SparseIndex:
@@ -200,10 +200,17 @@ class SparseIndex:
         )
 
     # ------------------------------------------------------------- search
-    def _build_search_fn(self, k: int):
+    def _build_search_fn(self, k: int, two_phase: bool = False):
         cfg = self.cfg
         blk = cfg.block_docs
         engine = cfg.engine
+        # two-phase (reference use_two_phase, search.py:27-42, here with the
+        # doc-major analog of OpenSearch's impact pruning): phase 1 scans the
+        # corpus using only each doc's top-impact l1 terms (rows are
+        # impact-sorted at ingest), phase 2 exactly rescores the candidate
+        # pool. Cuts the dominant gather volume by ~l_max/l1.
+        l1 = min(cfg.two_phase_terms, cfg.l_max) if two_phase else None
+        k1 = min(cfg.two_phase_expand * k, blk) if two_phase else k
 
         def local_topk(q, docs, toks, base_offset):
             """Top-k over one shard's docs. q [Bq, V] f32; docs
@@ -239,15 +246,16 @@ class SparseIndex:
                 return best_s, best_i
 
             L = toks.shape[-1]
-            tok_blocks = toks.reshape(nb, blk, L)
-            w_blocks = docs.reshape(nb, blk, L)
+            Ls = l1 if two_phase else L  # phase-1 terms per doc
+            tok_blocks = toks[:, :Ls].reshape(nb, blk, Ls)
+            w_blocks = docs[:, :Ls].reshape(nb, blk, Ls)
 
             def body(carry, block):
                 best_s, best_i, bidx = carry
                 tok, w = block
                 # gather the query columns for this block's token ids:
-                # [Bq, blk*L] <- q[:, tok]
-                g = jnp.take(q, tok.reshape(-1), axis=1).reshape(Bq, blk, L)
+                # [Bq, blk*Ls] <- q[:, tok]
+                g = jnp.take(q, tok.reshape(-1), axis=1).reshape(Bq, blk, Ls)
                 s = jnp.einsum(
                     "qjl,jl->qj", g, w.astype(jnp.float32),
                     preferred_element_type=jnp.float32,
@@ -257,17 +265,35 @@ class SparseIndex:
                 cat_i = jnp.concatenate(
                     [best_i, jnp.broadcast_to(gidx, (Bq, blk))], axis=1
                 )
-                ns, sel = jax.lax.top_k(cat_s, k)
+                ns, sel = jax.lax.top_k(cat_s, k1)
                 ni = jnp.take_along_axis(cat_i, sel, axis=1)
                 return (ns, ni, bidx + 1), None
 
             init = (
-                jnp.full((Bq, k), -jnp.inf, jnp.float32),
-                jnp.full((Bq, k), -1, jnp.int32),
+                jnp.full((Bq, k1), -jnp.inf, jnp.float32),
+                jnp.full((Bq, k1), -1, jnp.int32),
                 jnp.asarray(0, jnp.int32),
             )
             (best_s, best_i, _), _ = jax.lax.scan(body, init, (tok_blocks, w_blocks))
-            return best_s, best_i
+
+            if not two_phase:
+                return best_s, best_i
+
+            # phase 2: exact rescore of the candidate pool with all L terms
+            local_idx = jnp.clip(best_i - base_offset, 0, n_loc - 1)
+            cand_tok = jnp.take(toks, local_idx, axis=0)  # [Bq, k1, L]
+            cand_w = jnp.take(docs, local_idx, axis=0).astype(jnp.float32)
+            g = jnp.take_along_axis(
+                q, cand_tok.reshape(Bq, -1), axis=1
+            ).reshape(Bq, k1, L)
+            s2 = jnp.sum(g * cand_w, axis=-1)
+            s2 = jnp.where(best_i >= 0, s2, -jnp.inf)
+            ns, sel = jax.lax.top_k(s2, k)
+            ni = jnp.take_along_axis(best_i, sel, axis=1)
+            return ns, ni
+
+        if engine == "dense" and two_phase:
+            two_phase = False  # dense engine is already one exact matmul
 
         if self.mesh is None or self.mesh.devices.size == 1:
 
@@ -300,10 +326,10 @@ class SparseIndex:
         )
         return jax.jit(fn)
 
-    def _get_search_fn(self, k: int, Bq: int):
-        key = (k, Bq)
+    def _get_search_fn(self, k: int, Bq: int, two_phase: bool = False):
+        key = (k, Bq, two_phase)
         if self._search_fn is None or self._search_fn[0] != key:
-            self._search_fn = (key, self._build_search_fn(k))
+            self._search_fn = (key, self._build_search_fn(k, two_phase))
         return self._search_fn[1]
 
     def search(
@@ -312,12 +338,15 @@ class SparseIndex:
         k: int = 10,
         query_prune: float = 0.0,
         exclude_self: Optional[Sequence[str]] = None,
+        two_phase: bool = False,
     ) -> List[Dict[str, float]]:
         """Top-k search; returns per-query {doc_id: score} maps.
 
         `query_prune`: drop query tokens with weight <= prune * max weight
         (reference sparse_embedding_to_query, sparse_encoders.py:184-194).
         `exclude_self`: per-query id whose hit is dropped (search.py:78-80).
+        `two_phase`: impact-ordered approximate phase 1 + exact rescore
+        (reference use_two_phase, search.py:27-42).
         """
         assert self._finalized, "call finalize() first"
         if self.n_docs == 0:
@@ -335,19 +364,26 @@ class SparseIndex:
         k_eff = min(k + (1 if exclude_self is not None else 0), self.n_docs)
         Bq = self.cfg.query_batch
         n_q = q.shape[0]
-        results: List[Dict[str, float]] = []
+        fn = self._get_search_fn(k_eff, Bq, two_phase)
+
+        # dispatch ALL batches before blocking: async dispatch pipelines the
+        # per-call latency (significant over remote/tunnelled runtimes)
+        pending = []
         for start in range(0, n_q, Bq):
             qb = q[start : start + Bq]
             pad = Bq - qb.shape[0]
             if pad:
                 qb = jnp.concatenate([qb, jnp.zeros((pad, q.shape[1]), jnp.float32)])
-            fn = self._get_search_fn(k_eff, Bq)
             if self._tok_dev is not None:
                 s, i = fn(qb, self._docs_dev, self._tok_dev)
             else:
                 s, i = fn(qb, self._docs_dev, jnp.zeros((), jnp.int32))
+            pending.append((start, pad, s, i))
+
+        results: List[Dict[str, float]] = []
+        for start, pad, s, i in pending:
             s, i = np.asarray(s), np.asarray(i)
-            for row in range(qb.shape[0] - pad):
+            for row in range(s.shape[0] - pad):
                 qi = start + row
                 out = {}
                 for score, idx in zip(s[row], i[row]):

@@ -279,6 +279,50 @@ def mlm_logits(params, cfg: BertConfig, hidden: jax.Array) -> jax.Array:
     return logits + p["bias"].astype(jnp.float32)
 
 
+def mlm_maxpool(
+    params,
+    cfg: BertConfig,
+    hidden: jax.Array,  # [B, L, D]
+    attention_mask: jax.Array,  # [B, L]
+    chunk: int = 16,
+) -> jax.Array:
+    """Masked max-pool of MLM logits over the sequence axis WITHOUT ever
+    materializing the [B, L, V] logits tensor.
+
+    The sparse encoder only needs max_l(logits[b, l, v] * mask[b, l])
+    (reference sparse_encoders.py:108-111). Scanning the head over L-chunks
+    keeps peak memory at [B, chunk, V] and carries just the running max
+    [B, V] — ~L/chunk less HBM traffic than the naive head, and the backward
+    pass rematerializes chunks instead of storing full logits.
+    """
+    p = params["mlm_head"]
+    cd = cfg.compute_dtype
+    B, L, D = hidden.shape
+    if L % chunk != 0:
+        chunk = 1
+    h = _gelu(_dense(hidden, p["transform"], cd))
+    h = _layer_norm(h, p["layer_norm"], cfg.layer_norm_eps)
+    wT = params["embeddings"]["word_embeddings"].astype(cd).T
+    bias = p["bias"].astype(jnp.float32)
+    mask = attention_mask.astype(jnp.float32)
+
+    hc = jnp.moveaxis(h.reshape(B, L // chunk, chunk, D), 1, 0)
+    mc = jnp.moveaxis(mask.reshape(B, L // chunk, chunk), 1, 0)
+
+    def body(m, xs):
+        h_chunk, m_chunk = xs
+        logits = (
+            jnp.dot(h_chunk.astype(cd), wT, preferred_element_type=jnp.float32)
+            + bias
+        )
+        masked = logits * m_chunk[:, :, None]
+        return jnp.maximum(m, jnp.max(masked, axis=1)), None
+
+    init = jnp.full((B, wT.shape[-1]), -jnp.inf, jnp.float32)
+    pooled, _ = jax.lax.scan(body, init, (hc, mc))
+    return pooled
+
+
 def apply(
     params,
     cfg: BertConfig,

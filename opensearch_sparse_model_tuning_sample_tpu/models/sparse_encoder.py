@@ -30,6 +30,7 @@ from .tokenizer import WordPieceTokenizer, load_idf_weights
 from ..ops.activations import (
     activation_count,
     inf_free_activation,
+    pooled_activation,
     sparse_activation,
     special_token_mask,
 )
@@ -80,17 +81,23 @@ def encode_doc(
     prune_ratio: Optional[float] = None,
     deterministic: bool = True,
     rng: Optional[jax.Array] = None,
+    head_chunk: int = 16,
 ) -> jax.Array:
     """Full forward: MLM logits -> masked max-pool -> log1p(relu) [-> log1p]
     [-> prune]. Output [B, vocab_size] fp32 (padded vocab columns dropped).
 
-    Reference `_encode` (sparse_encoders.py:107-119).
+    Reference `_encode` (sparse_encoders.py:107-119). TPU-first: the head
+    runs chunked over the sequence (bert.mlm_maxpool) so the [B, L, V]
+    logits tensor is never materialized in HBM.
     """
-    logits = bert.apply(
+    hidden = bert.encode_hidden(
         params["bert"], cfg, input_ids, attention_mask,
         deterministic=deterministic, rng=rng,
     )
-    rep = sparse_activation(logits, attention_mask, use_l0=use_l0, prune_ratio=prune_ratio)
+    pooled = bert.mlm_maxpool(
+        params["bert"], cfg, hidden, attention_mask, chunk=head_chunk
+    )
+    rep = pooled_activation(pooled, use_l0=use_l0, prune_ratio=prune_ratio)
     return rep[:, : cfg.vocab_size]
 
 

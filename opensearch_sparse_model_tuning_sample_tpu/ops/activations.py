@@ -42,6 +42,22 @@ def sparse_activation(
     return values
 
 
+def pooled_activation(
+    pooled: jax.Array,  # [B, V] masked max-pooled logits (fp32)
+    use_l0: bool = False,
+    prune_ratio: Optional[float] = None,
+) -> jax.Array:
+    """The log/prune chain applied to already-pooled logits (the chunked
+    max-pool head path, bert.mlm_maxpool)."""
+    values = jnp.log1p(jax.nn.relu(pooled))
+    if use_l0:
+        values = jnp.log1p(values)
+    if prune_ratio is not None:
+        thresh = jnp.max(values, axis=-1, keepdims=True) * prune_ratio
+        values = values * (values > thresh)
+    return values
+
+
 def inf_free_activation(
     input_ids: jax.Array,  # [B, L] int32
     idf_vector: jax.Array,  # [V] (learnable)

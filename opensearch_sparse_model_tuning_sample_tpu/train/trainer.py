@@ -273,10 +273,21 @@ class Trainer:
         max_steps = max_steps or self.args.max_steps
         t0 = time.time()
         step = int(self.state.step)
+        profiling = False
         for batch in batch_iter:
             if step >= max_steps:
                 break
+            # jax.profiler trace of steps [2, 7) when profile_dir is set —
+            # the tracing/profiling hook the reference lacks (SURVEY.md §5)
+            if self.args.profile_dir and step == 2 and not profiling:
+                jax.profiler.start_trace(self.args.profile_dir)
+                profiling = True
             metrics = self.train_step(batch)
+            if profiling and step >= 6:
+                jax.block_until_ready(metrics["loss"])
+                jax.profiler.stop_trace()
+                profiling = False
+                logger.info("profiler trace written to %s", self.args.profile_dir)
             step += 1
             if step % self.args.logging_steps == 0 or step == 1:
                 m = {k: float(v) for k, v in metrics.items()}

@@ -223,3 +223,28 @@ def test_kd_ids_collator_with_store(tok, tmp_path):
     assert batch["teacher_q"][0]["embeddings"].shape == (1, 8)
     assert batch["teacher_d"][0]["embeddings"].shape == (2, 8)
     svc.shutdown()
+
+
+def test_miracl_datasets():
+    from opensearch_sparse_model_tuning_sample_tpu.data.datasets import (
+        MiraclCorpusDataset,
+        MiraclTrainingDataset,
+    )
+
+    corpus = [{"docid": "m1", "title": "T", "text": "body"}]
+    ds = MiraclCorpusDataset(corpus)
+    assert ds[0] == ("m1", "T body")
+    ds2 = MiraclCorpusDataset(corpus, transform_lambda=str.upper)
+    assert ds2[0][1] == "T BODY"
+
+    train_rows = [
+        {
+            "query": "q",
+            "positive_passages": [{"text": "p1"}, {"text": "p2"}],
+            "negative_passages": [{"text": "n1"}],
+        }
+    ]
+    tds = MiraclTrainingDataset(train_rows)
+    assert len(tds) == 2
+    assert tds[0] == {"query": "q", "pos": "p1", "negs": ["n1"]}
+    assert tds[1]["pos"] == "p2"

@@ -161,3 +161,42 @@ def test_forward_matches_hf_torch_bert(tmp_path, tiny_model):
     # compare only attended positions (padding rows are arbitrary)
     sel = mask.astype(bool)
     np.testing.assert_allclose(j_logits[sel], t_logits[sel], atol=2e-4, rtol=1e-3)
+
+
+def test_chunked_maxpool_head_matches_full_logits(tiny_model):
+    """bert.mlm_maxpool (never materializes [B,L,V]) must equal the naive
+    full-logits masked max-pool."""
+    import jax
+
+    tok = tiny_model.tokenizer
+    f = tok(
+        ["a short one", "a somewhat longer sentence with more tokens in it"],
+        max_length=32, pad_to=32,
+    )
+    ids, mask = jnp.asarray(f["input_ids"]), jnp.asarray(f["attention_mask"])
+    hidden = bert.encode_hidden(tiny_model.params["bert"], tiny_model.cfg, ids, mask)
+    full = bert.mlm_logits(tiny_model.params["bert"], tiny_model.cfg, hidden)
+    naive = jnp.max(full * mask[:, :, None].astype(full.dtype), axis=1)
+    chunked = bert.mlm_maxpool(
+        tiny_model.params["bert"], tiny_model.cfg, hidden, mask, chunk=16
+    )
+    np.testing.assert_allclose(np.asarray(naive), np.asarray(chunked), atol=1e-5)
+
+
+def test_chunked_head_gradients_flow(tiny_model):
+    """The scan-chunked head must be differentiable (training path)."""
+    import jax
+
+    tok = tiny_model.tokenizer
+    f = tok(["gradient check"], max_length=16, pad_to=16)
+    ids, mask = jnp.asarray(f["input_ids"]), jnp.asarray(f["attention_mask"])
+
+    def loss(params):
+        rep = se.encode_doc(params, tiny_model.cfg, ids, mask)
+        return jnp.sum(rep)
+
+    g = jax.grad(loss)(tiny_model.params)
+    gnorm = sum(
+        float(jnp.abs(x).sum()) for x in jax.tree_util.tree_leaves(g["bert"])
+    )
+    assert gnorm > 0

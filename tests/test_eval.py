@@ -152,3 +152,23 @@ def test_metrics_sink_jsonl(tmp_path, monkeypatch):
     assert len(rows) == 2
     assert rows[0]["_id"] == "run_a" and rows[0]["NDCG@10"] == 0.7
     assert "timestamp" in rows[0]
+
+
+def test_import_metrics_cli(tmp_path, monkeypatch):
+    import json as _json
+
+    monkeypatch.setenv("METRICS_DIR", str(tmp_path / "m"))
+    run_dir = tmp_path / "output" / "run1" / "beir_eval_2p"
+    run_dir.mkdir(parents=True)
+    (run_dir / "avg_res.json").write_text(_json.dumps({"NDCG@10": 0.5}))
+    nano_dir = tmp_path / "output" / "run1" / "nano_beir_eval"
+    nano_dir.mkdir(parents=True)
+    (nano_dir / "avg_res_step500.json").write_text(_json.dumps({"NDCG@10": 0.4}))
+
+    from opensearch_sparse_model_tuning_sample_tpu.cli.import_metrics import main
+
+    main([str(tmp_path / "output")])
+    rows = read_metrics("beir_eval")
+    assert any(r["NDCG@10"] == 0.5 and r["_id"].endswith("_2p") for r in rows)
+    rows_n = read_metrics("nano_beir_eval")
+    assert any(r["NDCG@10"] == 0.4 and r["_id"].endswith("_step500") for r in rows_n)

@@ -179,3 +179,39 @@ def test_search_accepts_device_arrays():
     got_dev = idx.search(jnp.asarray(QS), k=5)
     for a, b in zip(got_np, got_dev):
         assert set(a.keys()) == set(b.keys())
+
+
+def test_two_phase_matches_exact_on_easy_corpus():
+    """With docs whose mass concentrates in their top-impact terms (the
+    SPLADE regime), two-phase must recover the exact top-k."""
+    cfg = IndexConfig(engine="sparse", l_max=32, block_docs=64, query_batch=4,
+                      weight_dtype="float32", two_phase_terms=8,
+                      two_phase_expand=8)
+    idx = SparseIndex(V, cfg)
+    idx.add([str(i) for i in range(N_DOCS)], DOCS)
+    idx.finalize()
+    exact = idx.search(QS, k=5)
+    two_phase = idx.search(QS, k=5, two_phase=True)
+    hits = 0
+    total = 0
+    for a, b in zip(exact, two_phase):
+        total += len(a)
+        hits += len(set(a) & set(b))
+        for d in set(a) & set(b):
+            # phase-2 rescoring is exact
+            assert b[d] == pytest.approx(a[d], rel=1e-5)
+    assert hits / total > 0.9, f"two-phase recall {hits/total}"
+
+
+def test_two_phase_sharded(mesh8):
+    cfg = IndexConfig(engine="sparse", l_max=32, block_docs=64, query_batch=4,
+                      weight_dtype="float32", two_phase_terms=16,
+                      two_phase_expand=8)
+    idx = SparseIndex(V, cfg, mesh8)
+    idx.add([str(i) for i in range(N_DOCS)], DOCS)
+    idx.finalize()
+    res = idx.search(QS, k=5, two_phase=True)
+    exact = build("sparse", weight_dtype="float32").search(QS, k=5)
+    hits = sum(len(set(a) & set(b)) for a, b in zip(exact, res))
+    total = sum(len(a) for a in exact)
+    assert hits / total > 0.9
