@@ -114,6 +114,56 @@ def main():
         enc.encode_batch_sparse(texts, l_max=128)
     enc_dps = 4 * 256 / (time.time() - t0)
 
+    # train-step throughput (fwd+bwd+AdamW, mini, the config_infonce shape),
+    # measured as a chain of steps inside one dispatch so remote-runtime
+    # per-call latency doesn't pollute the number
+    import jax.numpy as jnp
+
+    from opensearch_sparse_model_tuning_sample_tpu.core.config import (
+        DataArguments,
+        ModelArguments,
+        TrainingArguments,
+    )
+    from opensearch_sparse_model_tuning_sample_tpu.ops.losses import build_loss_specs
+    from opensearch_sparse_model_tuning_sample_tpu.train import trainer as T
+
+    ma = ModelArguments(inf_free=True, arch="mini")
+    da = DataArguments(loss_types=["infonce"], use_in_batch_negatives=True,
+                       flops_d_lambda=0.05, flops_d_T=200)
+    ta = TrainingArguments(output_dir="/tmp/bench_train", max_steps=100,
+                           warmup_steps=5, save_strategy="no")
+    tx = T.make_optimizer(ma, da, ta)
+    step_fn = T.make_train_step(model, build_loss_specs(da), ma, da, tx)
+    B, G, L = 16, 3, 128
+    tok = model.tokenizer
+    qf = tok(["a typical retrieval query"] * B, max_length=L, pad_to=L)
+    df = tok(["a longer document body resembling a web passage"] * (B * G),
+             max_length=L, pad_to=L)
+    tb = {k: jnp.asarray(v) for k, v in {
+        "q_input_ids": qf["input_ids"], "q_attention_mask": qf["attention_mask"],
+        "d_input_ids": df["input_ids"], "d_attention_mask": df["attention_mask"],
+    }.items()}
+    state = T.TrainState(
+        params=jax.tree_util.tree_map(jnp.array, model.params),
+        opt_state=tx.init(model.params), step=jnp.asarray(0, jnp.int32),
+    )
+    N_CHAIN = 10
+
+    @jax.jit
+    def chain(state, batch, rng):
+        metrics = None
+        for _ in range(N_CHAIN):
+            state, metrics = step_fn(state, batch, rng)
+        return state, metrics
+
+    rng = jax.random.PRNGKey(0)
+    state, m0 = chain(state, tb, rng)
+    float(m0["loss"])  # compile + settle
+    t0 = time.time()
+    state, m1 = chain(state, tb, rng)
+    float(m1["loss"])
+    train_dps = N_CHAIN * B * G / (time.time() - t0)
+
     anchor_path = os.path.join(REPO, "BENCH_BASELINE.json")
     if os.path.exists(anchor_path):
         anchor = json.load(open(anchor_path)).get("qps", qps)
@@ -133,6 +183,7 @@ def main():
                     "p50_query_latency_ms": round(p50_ms, 3),
                     "index_build_s": round(build_s, 2),
                     "encoder_docs_per_sec_mini_L128": round(enc_dps, 1),
+                    "train_docs_per_sec_mini_L128": round(train_dps, 1),
                     "n_docs": n_docs,
                     "k": k,
                     "platform": jax.devices()[0].platform,

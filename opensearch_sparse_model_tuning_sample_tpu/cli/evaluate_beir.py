@@ -78,9 +78,10 @@ def main(config_source=None):
     logger.info("BEIR avg: %s", avg)
 
     # NanoBEIR-style sweep over every checkpoint (evaluate_beir.py:365-378)
-    nano_names = [
-        n for n in os.environ.get("NANO_BEIR_DATASETS", "").split(",") if n
-    ]
+    nano_cfg = data_args.nano_beir_datasets or os.environ.get(
+        "NANO_BEIR_DATASETS", ""
+    )
+    nano_names = [n for n in nano_cfg.split(",") if n]
     if nano_names:
         for file in sorted(os.listdir(training_args.output_dir)):
             if not file.startswith("checkpoint-"):

@@ -95,6 +95,11 @@ class DataArguments:
     temperature: float = 1.0
     score_scale: float = 1.0
 
+    # NanoBEIR-style per-checkpoint eval sweep (reference evaluate_beir.py
+    # :365-378); empty = skip. Dataset names resolve under beir_dir or
+    # "synthetic".
+    nano_beir_datasets: str = ""
+
     # --- TPU-native extensions ---
     # Pad-to buckets for tokenized batches; static shapes keep XLA recompiles
     # bounded (one compiled step per bucket).

@@ -141,6 +141,23 @@ def encode(
 # ---------------------------------------------------------------------------
 
 
+def sparse_embedding_to_query(
+    token_weight_map: Dict[str, float],
+    field_name: str = "text_sparse",
+    query_prune: float = 0,
+) -> Dict:
+    """OpenSearch `neural_sparse` query-body builder — compatibility shim for
+    users migrating from the reference (sparse_encoders.py:184-194) who still
+    hit an external OpenSearch cluster; the native path is
+    `SparseIndex.search_tokens`."""
+    if query_prune > 0:
+        thresh = max(token_weight_map.values()) * query_prune
+        token_weight_map = {
+            t: w for t, w in token_weight_map.items() if w > thresh
+        }
+    return {"neural_sparse": {field_name: {"query_tokens": token_weight_map}}}
+
+
 def sparse_to_token_weight_dicts(
     reps: np.ndarray, tokenizer: WordPieceTokenizer
 ) -> List[Dict[str, float]]:

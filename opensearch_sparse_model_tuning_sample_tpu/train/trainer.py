@@ -194,6 +194,9 @@ def make_train_step(
         return loss, metrics
 
     def train_step(state: TrainState, batch, rng):
+        # derive the per-step dropout rng on device from the base key + step
+        # (no host-side split/transfer per step)
+        rng = jax.random.fold_in(rng, state.step)
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params, batch, state.step, rng
         )
@@ -264,9 +267,9 @@ class Trainer:
         )
 
     def train_step(self, batch) -> Dict[str, float]:
-        self._rng, sub = jax.random.split(self._rng)
+        # the step fn folds the step count into this base key on device
         batch = self._place(batch)
-        self.state, metrics = self._step_fn(self.state, batch, sub)
+        self.state, metrics = self._step_fn(self.state, batch, self._rng)
         return metrics
 
     def train(self, batch_iter, max_steps: Optional[int] = None):

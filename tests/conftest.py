@@ -11,6 +11,10 @@ os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
 os.environ["JAX_PLATFORMS"] = "cpu"
+# do NOT claim the tunnelled TPU from test processes (the axon plugin
+# registers — and holds a device session — for any process importing jax
+# while PALLAS_AXON_POOL_IPS is set, even if tests then run on CPU)
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 os.environ.setdefault("HF_HUB_OFFLINE", "1")
 os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
 
