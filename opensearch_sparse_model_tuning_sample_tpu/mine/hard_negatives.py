@@ -38,14 +38,20 @@ def mine_hard_negatives(
     inf_free: bool = True,
     index_cfg: Optional[IndexConfig] = None,
     mesh=None,
+    doc_inf_free: bool = False,
 ):
     """Returns the list of {query, pos, negs} rows; saves an HF dataset when
-    `save_path` is given (reference writes data/{ds}_train)."""
+    `save_path` is given (reference writes data/{ds}_train).
+
+    `doc_inf_free=True` mines against the idf-weighted lexical index — the
+    offline bootstrap when no pretrained encoder is available (the reference
+    mines with a pretrained doc-v2 model, demo_train_data.py).
+    """
     ds = BEIRCorpusDataset(corpus)
     index = ingest(
         ds, model, out_dir, index_name,
         max_length=max_length, batch_size=batch_size,
-        index_cfg=index_cfg, mesh=mesh,
+        index_cfg=index_cfg, mesh=mesh, doc_inf_free=doc_inf_free,
     )
     res = search(
         queries, model, index, out_dir, index_name,
