@@ -85,3 +85,59 @@ def test_mine_train_evaluate_loop(smoke_cfg, tmp_path, monkeypatch):
     )
 
     assert len(read_metrics("beir_eval")) == 1
+
+
+def test_train_with_remote_teacher_store(tmp_path, monkeypatch):
+    """kd-ids end-to-end: precomputed teacher embeddings from the local
+    store, prefetched at collate time, scored inside the jitted step."""
+    import numpy as np
+    import datasets as hfds
+    import yaml as _yaml
+
+    from opensearch_sparse_model_tuning_sample_tpu.train.embedding_store import (
+        LocalVectorStore,
+    )
+
+    monkeypatch.chdir(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+    # store: 8-dim embeddings for 4 queries and 8 docs under model_id 7
+    store_root = str(tmp_path / "store")
+    backend = LocalVectorStore(store_root)
+    rng = np.random.default_rng(0)
+    backend.store("vector_q", 7, list(range(4)), rng.normal(size=(4, 8)).astype(np.float16))
+    backend.store("vector", 7, list(range(100, 116)), rng.normal(size=(16, 8)).astype(np.float16))
+
+    rows = [
+        {
+            "query": f"query {i}", "q_id": i,
+            "docs": [f"doc {j}" for j in range(4)],
+            "d_ids": [100 + 4 * i + j for j in range(4)],
+        }
+        for i in range(4)
+    ]
+    data_dir = str(tmp_path / "kd_ids_data")
+    hfds.Dataset.from_list(rows).save_to_disk(data_dir)
+
+    cfg = {
+        "inf_free": True, "arch": "tiny", "idf_path": "assets/idf.npz",
+        "max_seq_length": 16, "train_file": data_dir, "data_type": "kd-ids",
+        "loss_types": ["kldiv"], "sample_num_one_query": 2,
+        "use_in_batch_negatives": False,
+        "flops_d_lambda": 0.01, "flops_d_T": 10,
+        "kd_ensemble_teacher_kwargs": {
+            "types": ["remote"], "model_ids": ["7"],
+            "teacher_tokenizer_ids": ["7"], "score_scale": 10,
+            "store_root": store_root,
+        },
+        "output_dir": str(tmp_path / "out"),
+        "per_device_train_batch_size": 2, "max_steps": 3, "warmup_steps": 1,
+        "learning_rate": 1e-4, "logging_steps": 100, "save_strategy": "no",
+        "seq_buckets": [16], "dp_size": 1,
+    }
+    path = tmp_path / "kd_ids.yaml"
+    path.write_text(_yaml.dump(cfg))
+
+    from opensearch_sparse_model_tuning_sample_tpu.cli import train_ir
+
+    trainer = train_ir.main(str(path))
+    assert int(trainer.state.step) == 3
