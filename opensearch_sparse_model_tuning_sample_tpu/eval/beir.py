@@ -168,16 +168,30 @@ def ingest(
     t0 = time.time()
     n = len(dataset)
     use_sparse_fast_path = index.cfg.engine == "sparse" and not doc_inf_free
-    for start in range(0, n, batch_size):
-        rows = [dataset[i] for i in range(start, min(start + batch_size, n))]
-        ids = [r[0] for r in rows]
-        texts = [r[1] for r in rows]
-        if use_sparse_fast_path:
-            # on-device top-k sparsification: only l_max (id, weight) pairs
-            # per doc cross the host boundary
-            tok_idx, ws = encoder.encode_batch_sparse(texts, l_max=index.cfg.l_max)
-            index.add_topk(ids, tok_idx, ws)
-        else:
+    if use_sparse_fast_path:
+        # two-deep pipeline: the device encodes batch i+1 while the host
+        # resolves and indexes batch i (on-device top-k sparsification keeps
+        # the transfer at l_max (id, weight) pairs per doc)
+        pending = None  # (ids, n, device arrays)
+        for start in range(0, n, batch_size):
+            rows = [dataset[i] for i in range(start, min(start + batch_size, n))]
+            ids = [r[0] for r in rows]
+            texts = [r[1] for r in rows]
+            handle = encoder.encode_batch_sparse_async(texts, l_max=index.cfg.l_max)
+            if pending is not None:
+                p_ids, p_n, p_handle = pending
+                tok_idx, ws = encoder.resolve_sparse(p_handle, p_n)
+                index.add_topk(p_ids, tok_idx, ws)
+            pending = (ids, len(texts), handle)
+        if pending is not None:
+            p_ids, p_n, p_handle = pending
+            tok_idx, ws = encoder.resolve_sparse(p_handle, p_n)
+            index.add_topk(p_ids, tok_idx, ws)
+    else:
+        for start in range(0, n, batch_size):
+            rows = [dataset[i] for i in range(start, min(start + batch_size, n))]
+            ids = [r[0] for r in rows]
+            texts = [r[1] for r in rows]
             # doc_inf_free=True gives an idf-weighted lexical index (a
             # BM25-ish baseline and the test oracle)
             reps = encoder.encode_batch(texts, inf_free=doc_inf_free)

@@ -280,22 +280,33 @@ class BatchEncoder:
             self._n_encoded += len(texts)
         return reps
 
-    def encode_batch_sparse(self, texts: List[str], l_max: int = 256):
-        """Ingest fast path: (token_idx [B, l_max], weights [B, l_max]) via
-        on-device top-k; only ~l_max*8 bytes/doc cross the host boundary."""
+    def encode_batch_sparse_async(self, texts: List[str], l_max: int = 256):
+        """Dispatch the ingest fast path without blocking: returns device
+        arrays (idx, vals, count). Resolve with `resolve_sparse`. Lets the
+        caller pipeline device compute against host-side index building."""
         feats = self.model.tokenizer.encode_bucketed(
             texts, self.max_length, self.seq_buckets
         )
-        idx, vals, count = self._doc_fwd_topk(
+        return self._doc_fwd_topk(
             self.model.params,
             jnp.asarray(feats["input_ids"]),
             jnp.asarray(feats["attention_mask"]),
             k=min(l_max, self.model.vocab_size),
         )
+
+    def resolve_sparse(self, pending, n_texts: int):
+        idx, vals, count = pending
         if self.do_count:
             self.count_tensor += np.asarray(count, dtype=np.int64)
-            self._n_encoded += len(texts)
+            self._n_encoded += n_texts
         return np.asarray(idx), np.asarray(vals)
+
+    def encode_batch_sparse(self, texts: List[str], l_max: int = 256):
+        """Ingest fast path: (token_idx [B, l_max], weights [B, l_max]) via
+        on-device top-k; only ~l_max*8 bytes/doc cross the host boundary."""
+        return self.resolve_sparse(
+            self.encode_batch_sparse_async(texts, l_max), len(texts)
+        )
 
     def encode(self, texts: List[str], inf_free: bool = False) -> List[Dict[str, float]]:
         reps = self.encode_batch(texts, inf_free=inf_free)
