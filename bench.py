@@ -60,8 +60,8 @@ def main():
     toks, ws = make_corpus(n_docs, vocab, avg_terms=110, seed=1)
 
     cfg = IndexConfig(
-        engine="sparse", l_max=128, block_docs=2048, query_batch=qbatch,
-        weight_dtype="bfloat16",
+        engine="auto", l_max=128, block_docs=2048, query_batch=qbatch,
+        weight_dtype="bfloat16", postings_cap=2048, query_terms=16,
     )
     idx = SparseIndex(vocab, cfg)
     # direct ingestion of prebuilt sparse rows (isolates index perf from the
@@ -175,7 +175,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "sparse_index_queries_per_sec_128k_docs",
+                "metric": "index_queries_per_sec_128k_docs",
                 "value": round(qps, 1),
                 "unit": "queries/s",
                 "vs_baseline": round(qps / anchor, 3),
@@ -186,6 +186,7 @@ def main():
                     "train_docs_per_sec_mini_L128": round(train_dps, 1),
                     "n_docs": n_docs,
                     "k": k,
+                    "engine": idx._engine,
                     "platform": jax.devices()[0].platform,
                 },
             }

@@ -167,7 +167,7 @@ def ingest(
     index = SparseIndex(model.vocab_size, index_cfg, mesh)
     t0 = time.time()
     n = len(dataset)
-    use_sparse_fast_path = index.cfg.engine == "sparse" and not doc_inf_free
+    use_sparse_fast_path = index.cfg.engine != "dense" and not doc_inf_free
     if use_sparse_fast_path:
         # two-deep pipeline: the device encodes batch i+1 while the host
         # resolves and indexes batch i (on-device top-k sparsification keeps

@@ -10,7 +10,12 @@ Here the corpus lives in TPU HBM and scoring is XLA/Pallas:
     blocks under `lax.scan`, gathers the query columns for each block's
     token ids, contracts against the block weights on the VPU/MXU, and
     maintains a running top-k on chip. Memory ∝ nnz, works for multi-million
-    doc corpora.
+    doc corpora; exact for any weight distribution.
+  * **inverted engine**: impact-ordered token-major postings (the true
+    Lucene-analog layout, index/inverted.py) — query cost independent of
+    corpus size: gather the query terms' top-C postings, sort-merge partial
+    scores by doc id, exact-rescore the candidates against the doc-major
+    rows.
   * **dense engine**: exact Q @ Dᵀ on the MXU over the dense [N, V] matrix —
     the correctness oracle and the fastest path for small corpora.
 
@@ -50,13 +55,25 @@ def _round_up(x: int, m: int) -> int:
 
 @dataclass
 class IndexConfig:
-    engine: str = "sparse"  # "sparse" | "dense"
+    # "sparse": doc-major scan (cost ~ corpus size; exact for any distribution)
+    # "inverted": impact-ordered token-major postings + sort-merge + exact
+    #             rescore (cost ~ query terms x postings_cap, independent of
+    #             corpus size; see index/inverted.py for the recall contract)
+    # "dense": exact MXU matmul oracle (small corpora)
+    # "auto": sparse below auto_threshold docs, inverted above (measured
+    #         crossover ~200K docs on v5e: scan 912 q/s @128K but 22 q/s
+    #         @8.8M; inverted ~600 q/s at any size)
+    engine: str = "auto"
+    auto_threshold: int = 262144
     l_max: int = 256  # max stored (token, weight) pairs per doc
     block_docs: int = 1024  # docs scored per scan step
     query_batch: int = 16  # queries scored together
     weight_dtype: str = "bfloat16"
     two_phase_terms: int = 32  # phase-1 scores only the top-impact terms/doc
     two_phase_expand: int = 8  # phase-1 candidate pool = expand * k
+    postings_cap: int = 2048  # inverted: top-C postings kept per token
+    query_terms: int = 16  # inverted: query term slots per lookup
+    inverted_rescore: bool = True  # inverted: exact rescore of candidates
 
 
 class SparseIndex:
@@ -120,7 +137,7 @@ class SparseIndex:
         """Add pre-sparsified rows (from BatchEncoder.encode_batch_sparse):
         token_idx/weights [B, k] already impact-sorted, zero-padded."""
         assert not self._finalized, "index already finalized"
-        assert self.cfg.engine == "sparse", "add_topk requires the sparse engine"
+        assert self.cfg.engine in ("sparse", "inverted", "auto"), "add_topk needs a sparse-format engine"
         self.doc_ids.extend(map(str, doc_ids))
         active = weights > 0
         self.count_tensor += np.bincount(
@@ -150,12 +167,19 @@ class SparseIndex:
     def finalize(self):
         if self._finalized:
             return
+        # resolve "auto" by corpus size (scan wins below the crossover,
+        # postings win above)
+        self._engine = self.cfg.engine
+        if self._engine == "auto":
+            self._engine = (
+                "sparse" if self.n_docs < self.cfg.auto_threshold else "inverted"
+            )
         n_shards = self.mesh.devices.size if self.mesh is not None else 1
         blk = self.cfg.block_docs
         n = self.n_docs
         n_pad = _round_up(max(n, 1), blk * n_shards)
 
-        if self.cfg.engine == "dense":
+        if self._engine == "dense":
             D = (
                 np.concatenate(self._dense_chunks, axis=0)
                 if self._dense_chunks
@@ -185,7 +209,19 @@ class SparseIndex:
             self._tok_dev = jnp.asarray(toks)
             self._docs_dev = jnp.asarray(ws, dtype=jnp.dtype(self.cfg.weight_dtype))
 
-        if self.mesh is not None:
+            if self._engine == "inverted":
+                from . import inverted
+
+                pd, pw = inverted.build_postings(
+                    toks[:n] if n else toks, ws[:n] if n else ws,
+                    self.vocab_size, self.cfg.postings_cap,
+                )
+                self._post_docs = jnp.asarray(pd)
+                self._post_w = jnp.asarray(
+                    pw, dtype=jnp.dtype(self.cfg.weight_dtype)
+                )
+
+        if self.mesh is not None and self._engine != "inverted":
             sh = NamedSharding(self.mesh, P(DATA_AXIS))
             self._docs_dev = jax.device_put(self._docs_dev, sh)
             if self._tok_dev is not None:
@@ -196,14 +232,14 @@ class SparseIndex:
         self._finalized = True
         logger.info(
             "index finalized: %d docs (padded %d) engine=%s shards=%d",
-            n, n_pad, self.cfg.engine, n_shards,
+            n, n_pad, self._engine, n_shards,
         )
 
     # ------------------------------------------------------------- search
     def _build_search_fn(self, k: int, two_phase: bool = False):
         cfg = self.cfg
         blk = cfg.block_docs
-        engine = cfg.engine
+        engine = self._engine
         # two-phase (reference use_two_phase, search.py:27-42, here with the
         # doc-major analog of OpenSearch's impact pruning): phase 1 scans the
         # corpus using only each doc's top-impact l1 terms (rows are
@@ -211,6 +247,20 @@ class SparseIndex:
         # pool. Cuts the dominant gather volume by ~l_max/l1.
         l1 = min(cfg.two_phase_terms, cfg.l_max) if two_phase else None
         k1 = min(cfg.two_phase_expand * k, blk) if two_phase else k
+
+        if engine == "inverted":
+            from . import inverted
+
+            fn = inverted.make_search_fn(
+                self._post_docs, self._post_w, self._tok_dev, self._docs_dev,
+                query_terms=cfg.query_terms, k=k, rescore=cfg.inverted_rescore,
+            )
+            post_docs, post_w = self._post_docs, self._post_w
+
+            def inverted_search(q, docs, toks):
+                return fn(q, post_docs, post_w, toks, docs)
+
+            return inverted_search
 
         def local_topk(q, docs, toks, base_offset):
             """Top-k over one shard's docs. q [Bq, V] f32; docs
@@ -444,9 +494,11 @@ class SparseIndex:
         meta = {
             "vocab_size": self.vocab_size,
             "n_docs": self.n_docs,
-            "engine": self.cfg.engine,
+            "engine": self._engine,
             "l_max": self.cfg.l_max,
             "block_docs": self.cfg.block_docs,
+            "postings_cap": self.cfg.postings_cap,
+            "query_terms": self.cfg.query_terms,
         }
         with open(os.path.join(path, "meta.json"), "w") as f:
             json.dump(meta, f)
@@ -458,7 +510,10 @@ class SparseIndex:
         meta = json.load(open(os.path.join(path, "meta.json")))
         blob = np.load(os.path.join(path, "index.npz"))
         cfg = IndexConfig(
-            engine=meta["engine"], l_max=meta["l_max"], block_docs=meta["block_docs"]
+            engine=meta["engine"], l_max=meta["l_max"],
+            block_docs=meta["block_docs"],
+            postings_cap=meta.get("postings_cap", 2048),
+            query_terms=meta.get("query_terms", 16),
         )
         idx = cls(meta["vocab_size"], cfg, mesh)
         idx.doc_ids = json.load(open(os.path.join(path, "doc_ids.json")))
@@ -476,11 +531,22 @@ class SparseIndex:
             idx._tok_dev = jnp.asarray(t[:n_pad])
         else:
             idx._tok_dev = None
-        if mesh is not None:
+        if cfg.engine == "inverted":
+            from . import inverted
+
+            n = len(idx.doc_ids)
+            pd, pw = inverted.build_postings(
+                np.asarray(idx._tok_dev)[:n], w[:n],
+                meta["vocab_size"], cfg.postings_cap,
+            )
+            idx._post_docs = jnp.asarray(pd)
+            idx._post_w = jnp.asarray(pw, dtype=jnp.dtype(cfg.weight_dtype))
+        elif mesh is not None:
             sh = NamedSharding(mesh, P(DATA_AXIS))
             idx._docs_dev = jax.device_put(idx._docs_dev, sh)
             if idx._tok_dev is not None:
                 idx._tok_dev = jax.device_put(idx._tok_dev, sh)
         idx._n_pad = n_pad
+        idx._engine = cfg.engine
         idx._finalized = True
         return idx

@@ -1,0 +1,159 @@
+"""Impact-ordered inverted index: token-major postings with sort-merge
+scoring.
+
+This is the true Lucene-replacement layout (the reference's OpenSearch
+`rank_features` index is exactly an impact-ordered inverted index,
+SURVEY.md #22): per token, the top `postings_cap` (doc, weight) pairs by
+weight. Query cost is INDEPENDENT of corpus size — it scales with
+(query terms x postings_cap) — unlike the doc-major scan, whose cost is
+linear in the corpus.
+
+Scoring (all on device, static shapes):
+  1. gather the query terms' posting rows            [B, T, C]
+  2. partial scores  q_w * posting_w                 [B, T, C]
+  3. flatten, sort by doc id per query row           [B, T*C]
+  4. run-merge equal doc ids with a segment-sum      (exact sum over the
+     query terms whose top-C postings contain the doc)
+  5. optional exact rescore of the top candidates against the doc-major
+     rows (removes the truncation underestimate entirely)
+  6. top-k
+
+Approximation contract: a doc can only be missed if NONE of the query's
+terms rank it in their top-C postings — the classic impact-ordered
+early-termination guarantee. With `postings_cap` >= the longest posting
+list the result is exact.
+"""
+
+from __future__ import annotations
+
+import logging
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_PAD_ID = np.iinfo(np.int32).max
+
+
+def build_postings(
+    toks: np.ndarray,  # [N, L] int32 doc-major token ids (0-padded via w=0)
+    ws: np.ndarray,  # [N, L] f32 weights (0 = inactive)
+    vocab_size: int,
+    postings_cap: int,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Host-side build: (post_docs [V, C] int32 (_PAD_ID padded),
+    post_w [V, C] f32), impact-(weight-)sorted per token."""
+    N, L = toks.shape
+    flat_tok = toks.reshape(-1)
+    flat_w = ws.reshape(-1).astype(np.float32)
+    flat_doc = np.repeat(np.arange(N, dtype=np.int32), L)
+    active = flat_w > 0
+    flat_tok, flat_w, flat_doc = flat_tok[active], flat_w[active], flat_doc[active]
+
+    # group by token, weight-descending within each group. Single packed-key
+    # argsort (~3x faster than lexsort at 1e9 entries): weights are positive,
+    # so their float32 bit patterns are monotonic — complementing them gives
+    # descending order within the token group.
+    w_bits = flat_w.view(np.uint32).astype(np.uint64)
+    packed = (flat_tok.astype(np.uint64) << np.uint64(32)) | (
+        np.uint64(0xFFFFFFFF) - w_bits
+    )
+    order = np.argsort(packed, kind="stable")
+    flat_tok, flat_w, flat_doc = flat_tok[order], flat_w[order], flat_doc[order]
+
+    counts = np.bincount(flat_tok, minlength=vocab_size)
+    starts = np.zeros(vocab_size + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+    rank = np.arange(flat_tok.shape[0], dtype=np.int64) - starts[flat_tok]
+    keep = rank < postings_cap
+
+    post_docs = np.full((vocab_size, postings_cap), _PAD_ID, dtype=np.int32)
+    post_w = np.zeros((vocab_size, postings_cap), dtype=np.float32)
+    rows = flat_tok[keep]
+    cols = rank[keep].astype(np.int64)
+    post_docs[rows, cols] = flat_doc[keep]
+    post_w[rows, cols] = flat_w[keep]
+    truncated = int((counts > postings_cap).sum())
+    if truncated:
+        logger.info(
+            "inverted build: %d/%d tokens truncated at cap %d "
+            "(impact-ordered truncation)",
+            truncated, int((counts > 0).sum()), postings_cap,
+        )
+    return post_docs, post_w
+
+
+def make_search_fn(
+    post_docs: jax.Array,  # [V, C] int32
+    post_w: jax.Array,  # [V, C] (weight dtype)
+    doc_toks: Optional[jax.Array],  # [N_pad, L] int32 (for exact rescore)
+    doc_ws: Optional[jax.Array],  # [N_pad, L]
+    query_terms: int,  # T: query term slots used for lookup
+    k: int,
+    rescore: bool = True,
+):
+    """Build the jitted inverted search: dense q [B, V] -> (scores, ids)."""
+    C = post_docs.shape[1]
+    TC = query_terms * C
+
+    def search(q: jax.Array, post_docs, post_w, doc_toks, doc_ws):
+        B = q.shape[0]
+        # query sparsification: top-T terms by weight (inference-free queries
+        # have ~2-10 active terms; T slots cover them)
+        q_w, q_tok = jax.lax.top_k(q, query_terms)  # [B, T]
+        term_valid = q_w > 0
+
+        docs = post_docs[q_tok]  # [B, T, C] row gather
+        pw = post_w[q_tok].astype(jnp.float32)
+        part = pw * q_w[:, :, None]
+        valid = (docs != _PAD_ID) & term_valid[:, :, None] & (pw > 0)
+
+        ids = jnp.where(valid, docs, _PAD_ID).reshape(B, TC)
+        part = jnp.where(valid, part, 0.0).reshape(B, TC)
+
+        # sort-merge by doc id per query row
+        order = jnp.argsort(ids, axis=1)
+        sid = jnp.take_along_axis(ids, order, axis=1)
+        sp = jnp.take_along_axis(part, order, axis=1)
+        is_start = jnp.concatenate(
+            [jnp.ones((B, 1), bool), sid[:, 1:] != sid[:, :-1]], axis=1
+        )
+        seg = jnp.cumsum(is_start.astype(jnp.int32), axis=1) - 1  # [B, TC]
+
+        def merge_row(sp_row, seg_row, sid_row):
+            sums = jax.ops.segment_sum(sp_row, seg_row, num_segments=TC)
+            rid = jax.ops.segment_min(sid_row, seg_row, num_segments=TC)
+            return sums, rid
+
+        sums, rid = jax.vmap(merge_row)(sp, seg, sid)
+        sums = jnp.where(rid == _PAD_ID, -jnp.inf, sums)
+
+        if not rescore:
+            s, sel = jax.lax.top_k(sums, k)
+            return s, jnp.where(
+                jnp.take_along_axis(rid, sel, axis=1) == _PAD_ID,
+                -1,
+                jnp.take_along_axis(rid, sel, axis=1),
+            )
+
+        # exact rescore of the top candidate pool against doc-major rows
+        k1 = min(4 * k, TC)
+        _, sel = jax.lax.top_k(sums, k1)
+        cand = jnp.take_along_axis(rid, sel, axis=1)  # [B, k1]
+        safe = jnp.clip(cand, 0, doc_toks.shape[0] - 1)
+        ct = doc_toks[safe]  # [B, k1, L]
+        cw = doc_ws[safe].astype(jnp.float32)
+        g = jnp.take_along_axis(
+            q, ct.reshape(B, -1), axis=1
+        ).reshape(B, k1, -1)
+        exact = jnp.sum(g * cw, axis=-1)
+        exact = jnp.where(cand == _PAD_ID, -jnp.inf, exact)
+        s, sel2 = jax.lax.top_k(exact, k)
+        i = jnp.take_along_axis(cand, sel2, axis=1)
+        return s, jnp.where(i == _PAD_ID, -1, i)
+
+    return jax.jit(search)

@@ -215,3 +215,84 @@ def test_two_phase_sharded(mesh8):
     hits = sum(len(set(a) & set(b)) for a, b in zip(exact, res))
     total = sum(len(a) for a in exact)
     assert hits / total > 0.9
+
+
+def test_inverted_engine_exact_with_large_cap():
+    """postings_cap >= longest posting list -> inverted results are exact."""
+    cfg = IndexConfig(engine="inverted", l_max=32, block_docs=64, query_batch=4,
+                      weight_dtype="float32", postings_cap=N_DOCS, query_terms=16)
+    idx = SparseIndex(V, cfg)
+    idx.add([str(i) for i in range(N_DOCS)], DOCS)
+    idx.finalize()
+    got = idx.search(QS, k=10)
+    want = brute_topk(10)
+    for g, w in zip(got, want):
+        assert set(g.keys()) == set(w.keys())
+        for d in g:
+            assert g[d] == pytest.approx(w[d], rel=1e-5)
+
+
+def test_inverted_engine_truncated_cap_high_recall():
+    cfg = IndexConfig(engine="inverted", l_max=32, block_docs=64, query_batch=4,
+                      weight_dtype="float32", postings_cap=32, query_terms=16)
+    idx = SparseIndex(V, cfg)
+    idx.add([str(i) for i in range(N_DOCS)], DOCS)
+    idx.finalize()
+    got = idx.search(QS, k=10)
+    want = brute_topk(10)
+    hits = sum(len(set(g) & set(w)) for g, w in zip(got, want))
+    total = sum(len(w) for w in want)
+    assert hits / total > 0.6, hits / total
+    # rescored scores are exact for retrieved docs
+    for g, w in zip(got, want):
+        for d in set(g) & set(w):
+            assert g[d] == pytest.approx(w[d], rel=1e-5)
+
+
+def test_inverted_engine_no_rescore():
+    cfg = IndexConfig(engine="inverted", l_max=32, block_docs=64, query_batch=4,
+                      weight_dtype="float32", postings_cap=N_DOCS,
+                      query_terms=16, inverted_rescore=False)
+    idx = SparseIndex(V, cfg)
+    idx.add([str(i) for i in range(N_DOCS)], DOCS)
+    idx.finalize()
+    got = idx.search(QS, k=10)
+    want = brute_topk(10)
+    for g, w in zip(got, want):
+        assert set(g.keys()) == set(w.keys())
+
+
+def test_inverted_build_postings_ordering():
+    from opensearch_sparse_model_tuning_sample_tpu.index.inverted import (
+        build_postings,
+    )
+
+    toks = np.array([[1, 2, 0], [1, 3, 0]], dtype=np.int32)
+    ws = np.array([[0.5, 2.0, 0.0], [3.0, 1.0, 0.0]], dtype=np.float32)
+    pd, pw = build_postings(toks, ws, vocab_size=8, postings_cap=4)
+    # token 1 appears in doc0 (0.5) and doc1 (3.0) -> impact order doc1 first
+    assert pd[1, 0] == 1 and pw[1, 0] == 3.0
+    assert pd[1, 1] == 0 and pw[1, 1] == 0.5
+    assert pd[2, 0] == 0 and pw[2, 0] == 2.0
+    assert pw[4].sum() == 0  # unused token
+
+
+def test_auto_engine_resolution():
+    cfg_small = IndexConfig(engine="auto", auto_threshold=1000, l_max=16,
+                            block_docs=32, query_batch=2)
+    small = SparseIndex(V, cfg_small)
+    small.add(["a", "b"], make_sparse_reps(2, nnz=5, seed=9))
+    small.finalize()
+    assert small._engine == "sparse"
+
+    cfg_big = IndexConfig(engine="auto", auto_threshold=2, l_max=16,
+                          block_docs=32, query_batch=2, postings_cap=8,
+                          query_terms=8)
+    big = SparseIndex(V, cfg_big)
+    big.add(["a", "b", "c"], make_sparse_reps(3, nnz=5, seed=9))
+    big.finalize()
+    assert big._engine == "inverted"
+    # both still answer queries
+    q = make_sparse_reps(1, nnz=5, seed=9)
+    assert isinstance(small.search(q, k=1)[0], dict)
+    assert isinstance(big.search(q, k=1)[0], dict)
