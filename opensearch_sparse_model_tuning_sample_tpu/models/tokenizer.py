@@ -247,7 +247,10 @@ class WordPieceTokenizer:
         return self._pad(seqs, pad_to)
 
     def _pad(self, seqs, pad_to: Optional[int]) -> Dict[str, np.ndarray]:
-        L = pad_to if pad_to is not None else max(len(s) for s in seqs)
+        if pad_to is not None:
+            L = pad_to
+        else:
+            L = max((len(s) for s in seqs), default=2)
         B = len(seqs)
         input_ids = np.full((B, L), self.pad_id, dtype=np.int32)
         attention_mask = np.zeros((B, L), dtype=np.int32)
@@ -268,7 +271,7 @@ class WordPieceTokenizer:
             seqs = self._native.encode_batch(list(texts), max_length)
         else:
             seqs = [self.encode_ids(t, max_length) for t in texts]
-        longest = max(len(s) for s in seqs)
+        longest = max((len(s) for s in seqs), default=0)
         L = max_length
         for b in sorted(buckets):
             if longest <= b <= max_length:

@@ -39,6 +39,20 @@ def smoke_cfg(tmp_path):
     return str(path), cfg
 
 
+def redirect_mine_save_path(monkeypatch, dest: str):
+    """The mine CLI saves into cwd-relative data/<name>_train; redirect it
+    into the test's tmp dir."""
+    import opensearch_sparse_model_tuning_sample_tpu.cli.mine as mine_mod
+
+    orig = mine_mod.mine_hard_negatives
+
+    def patched(*a, **kw):
+        kw["save_path"] = dest
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(mine_mod, "mine_hard_negatives", patched)
+
+
 def test_mine_train_evaluate_loop(smoke_cfg, tmp_path, monkeypatch):
     monkeypatch.setenv("METRICS_DIR", str(tmp_path / "metrics"))
     monkeypatch.chdir(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -49,18 +63,7 @@ def test_mine_train_evaluate_loop(smoke_cfg, tmp_path, monkeypatch):
     )
 
     path, cfg = smoke_cfg
-
-    # ---- mine (saves into cwd-relative data/<name>_train; redirect) ----
-    import opensearch_sparse_model_tuning_sample_tpu.cli.mine as mine_mod
-
-    rows = None
-    orig_main = mine_mod.mine_hard_negatives
-
-    def patched(*a, **kw):
-        kw["save_path"] = cfg["train_file"]
-        return orig_main(*a, **kw)
-
-    monkeypatch.setattr(mine_mod, "mine_hard_negatives", patched)
+    redirect_mine_save_path(monkeypatch, cfg["train_file"])
     rows = mine.main(path)
     assert len(rows) > 0
     assert os.path.exists(cfg["train_file"])
@@ -141,3 +144,28 @@ def test_train_with_remote_teacher_store(tmp_path, monkeypatch):
 
     trainer = train_ir.main(str(path))
     assert int(trainer.state.step) == 3
+
+
+def test_evaluate_nano_sweep_over_checkpoints(smoke_cfg, tmp_path, monkeypatch):
+    """Per-checkpoint NanoBEIR-style sweep (reference evaluate_beir.py:365-378)."""
+    monkeypatch.setenv("METRICS_DIR", str(tmp_path / "metrics"))
+    monkeypatch.chdir(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    path, cfg = smoke_cfg
+    cfg["nano_beir_datasets"] = "synthetic"
+    p2 = tmp_path / "smoke_nano.yaml"
+    p2.write_text(yaml.dump(cfg))
+
+    from opensearch_sparse_model_tuning_sample_tpu.cli import mine, train_ir, evaluate_beir
+
+    redirect_mine_save_path(monkeypatch, cfg["train_file"])
+    mine.main(str(p2))
+    train_ir.main(str(p2))
+    evaluate_beir.main(str(p2))
+
+    nano_dir = os.path.join(cfg["output_dir"], "nano_beir_eval")
+    assert os.path.isdir(nano_dir)
+    files = os.listdir(nano_dir)
+    assert any(f.startswith("avg_res_step") for f in files), files
+    from opensearch_sparse_model_tuning_sample_tpu.eval.metrics_sink import read_metrics
+
+    assert len(read_metrics("nano_beir_eval")) >= 1
