@@ -21,3 +21,29 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level API (keeps `import opensearch_sparse_model_tuning_sample_tpu`
+    light; jax only loads when something real is touched)."""
+    if name in ("build_model", "BatchEncoder", "SparseEncoderModel"):
+        from .models import sparse_encoder as _se
+
+        return getattr(_se, name)
+    if name in ("SparseIndex", "IndexConfig"):
+        from .index import engine as _engine
+
+        return getattr(_engine, name)
+    if name == "Trainer":
+        from .train.trainer import Trainer
+
+        return Trainer
+    if name == "WordPieceTokenizer":
+        from .models.tokenizer import WordPieceTokenizer
+
+        return WordPieceTokenizer
+    if name == "make_mesh":
+        from .core.mesh import make_mesh
+
+        return make_mesh
+    raise AttributeError(name)

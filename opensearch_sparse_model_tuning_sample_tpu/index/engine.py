@@ -212,20 +212,43 @@ class SparseIndex:
             if self._engine == "inverted":
                 from . import inverted
 
-                pd, pw = inverted.build_postings(
-                    toks[:n] if n else toks, ws[:n] if n else ws,
-                    self.vocab_size, self.cfg.postings_cap,
-                )
-                self._post_docs = jnp.asarray(pd)
-                self._post_w = jnp.asarray(
-                    pw, dtype=jnp.dtype(self.cfg.weight_dtype)
-                )
+                if n_shards > 1:
+                    # per-shard postings over the local doc stripe (LOCAL doc
+                    # indices) — each device answers from its own corpus
+                    # shard, merged with one all-gather at search time
+                    shard_n = n_pad // n_shards
+                    pds, pws = [], []
+                    for s in range(n_shards):
+                        sl = slice(s * shard_n, (s + 1) * shard_n)
+                        pd, pw = inverted.build_postings(
+                            toks[sl], ws[sl], self.vocab_size,
+                            self.cfg.postings_cap,
+                        )
+                        pds.append(pd)
+                        pws.append(pw)
+                    self._post_docs = jnp.asarray(np.stack(pds))
+                    self._post_w = jnp.asarray(
+                        np.stack(pws), dtype=jnp.dtype(self.cfg.weight_dtype)
+                    )
+                else:
+                    pd, pw = inverted.build_postings(
+                        toks[:n] if n else toks, ws[:n] if n else ws,
+                        self.vocab_size, self.cfg.postings_cap,
+                    )
+                    self._post_docs = jnp.asarray(pd)
+                    self._post_w = jnp.asarray(
+                        pw, dtype=jnp.dtype(self.cfg.weight_dtype)
+                    )
 
-        if self.mesh is not None and self._engine != "inverted":
+        if self.mesh is not None:
             sh = NamedSharding(self.mesh, P(DATA_AXIS))
-            self._docs_dev = jax.device_put(self._docs_dev, sh)
-            if self._tok_dev is not None:
-                self._tok_dev = jax.device_put(self._tok_dev, sh)
+            if self._engine != "inverted" or self.mesh.devices.size > 1:
+                self._docs_dev = jax.device_put(self._docs_dev, sh)
+                if self._tok_dev is not None:
+                    self._tok_dev = jax.device_put(self._tok_dev, sh)
+            if self._engine == "inverted" and self.mesh.devices.size > 1:
+                self._post_docs = jax.device_put(self._post_docs, sh)
+                self._post_w = jax.device_put(self._post_w, sh)
 
         self._n_pad = n_pad
         self._tok_chunks, self._w_chunks, self._dense_chunks = [], [], []
@@ -251,16 +274,54 @@ class SparseIndex:
         if engine == "inverted":
             from . import inverted
 
-            fn = inverted.make_search_fn(
-                self._post_docs, self._post_w, self._tok_dev, self._docs_dev,
-                query_terms=cfg.query_terms, k=k, rescore=cfg.inverted_rescore,
-            )
             post_docs, post_w = self._post_docs, self._post_w
+            n_shards = self.mesh.devices.size if self.mesh is not None else 1
+            if n_shards == 1:
+                fn = inverted.make_search_fn(
+                    post_docs, post_w, self._tok_dev, self._docs_dev,
+                    query_terms=cfg.query_terms, k=k,
+                    rescore=cfg.inverted_rescore,
+                )
 
-            def inverted_search(q, docs, toks):
-                return fn(q, post_docs, post_w, toks, docs)
+                def inverted_search(q, docs, toks):
+                    return fn(q, post_docs, post_w, toks, docs)
 
-            return inverted_search
+                return inverted_search
+
+            # sharded: each device searches its local corpus stripe with its
+            # local postings (LOCAL doc indices), then one all-gather merges
+            shard_n = self._n_pad // n_shards
+            body = inverted.make_search_fn(
+                post_docs[0], post_w[0], None, None,
+                query_terms=cfg.query_terms, k=k,
+                rescore=cfg.inverted_rescore, jit=False,
+            )
+
+            def sharded_inverted(q, pd, pw, toks, docs):
+                s, i = body(q, pd[0], pw[0], toks, docs)
+                me = jax.lax.axis_index(DATA_AXIS).astype(jnp.int32)
+                gi = jnp.where(i >= 0, i + me * shard_n, -1)
+                all_s = jax.lax.all_gather(s, DATA_AXIS)
+                all_i = jax.lax.all_gather(gi, DATA_AXIS)
+                Bq = q.shape[0]
+                cat_s = jnp.moveaxis(all_s, 0, 1).reshape(Bq, n_shards * k)
+                cat_i = jnp.moveaxis(all_i, 0, 1).reshape(Bq, n_shards * k)
+                ns, sel = jax.lax.top_k(cat_s, k)
+                return ns, jnp.take_along_axis(cat_i, sel, axis=1)
+
+            smfn = jax.jit(
+                shard_map(
+                    sharded_inverted, mesh=self.mesh,
+                    in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+                              P(DATA_AXIS)),
+                    out_specs=(P(), P()), check_vma=False,
+                )
+            )
+
+            def inverted_search_sharded(q, docs, toks):
+                return smfn(q, post_docs, post_w, toks, docs)
+
+            return inverted_search_sharded
 
         def local_topk(q, docs, toks, base_offset):
             """Top-k over one shard's docs. q [Bq, V] f32; docs

@@ -95,8 +95,13 @@ def make_search_fn(
     query_terms: int,  # T: query term slots used for lookup
     k: int,
     rescore: bool = True,
+    jit: bool = True,
 ):
-    """Build the jitted inverted search: dense q [B, V] -> (scores, ids)."""
+    """Build the inverted search: dense q [B, V] -> (scores, ids).
+
+    `jit=False` returns the raw pure function for embedding inside a
+    shard_map region (sharded corpora, see engine._build_search_fn).
+    """
     C = post_docs.shape[1]
     TC = query_terms * C
 
@@ -156,4 +161,4 @@ def make_search_fn(
         i = jnp.take_along_axis(cand, sel2, axis=1)
         return s, jnp.where(i == _PAD_ID, -1, i)
 
-    return jax.jit(search)
+    return jax.jit(search) if jit else search

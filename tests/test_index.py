@@ -296,3 +296,20 @@ def test_auto_engine_resolution():
     q = make_sparse_reps(1, nnz=5, seed=9)
     assert isinstance(small.search(q, k=1)[0], dict)
     assert isinstance(big.search(q, k=1)[0], dict)
+
+
+def test_inverted_sharded_matches_single_device(mesh8):
+    cfg = IndexConfig(engine="inverted", l_max=32, block_docs=16, query_batch=4,
+                      weight_dtype="float32", postings_cap=N_DOCS, query_terms=16)
+    single = SparseIndex(V, cfg)
+    single.add([str(i) for i in range(N_DOCS)], DOCS)
+    single.finalize()
+    sharded = SparseIndex(V, cfg, mesh8)
+    sharded.add([str(i) for i in range(N_DOCS)], DOCS)
+    sharded.finalize()
+    a = single.search(QS, k=10)
+    b = sharded.search(QS, k=10)
+    for x, y in zip(a, b):
+        assert set(x.keys()) == set(y.keys())
+        for d in x:
+            assert x[d] == pytest.approx(y[d], rel=1e-5)
