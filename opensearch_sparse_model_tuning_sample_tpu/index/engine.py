@@ -206,7 +206,9 @@ class SparseIndex:
             ws = np.concatenate(
                 [ws, np.zeros((n_pad - n, self.cfg.l_max), np.float32)], axis=0
             )
-            self._tok_dev = jnp.asarray(toks)
+            # token ids < 32768 fit int16 — halves the dominant index array
+            tok_dtype = jnp.int16 if self.vocab_size < 2**15 else jnp.int32
+            self._tok_dev = jnp.asarray(toks.astype(tok_dtype))
             self._docs_dev = jnp.asarray(ws, dtype=jnp.dtype(self.cfg.weight_dtype))
 
             if self._engine == "inverted":
@@ -366,7 +368,7 @@ class SparseIndex:
                 tok, w = block
                 # gather the query columns for this block's token ids:
                 # [Bq, blk*Ls] <- q[:, tok]
-                g = jnp.take(q, tok.reshape(-1), axis=1).reshape(Bq, blk, Ls)
+                g = jnp.take(q, tok.reshape(-1).astype(jnp.int32), axis=1).reshape(Bq, blk, Ls)
                 s = jnp.einsum(
                     "qjl,jl->qj", g, w.astype(jnp.float32),
                     preferred_element_type=jnp.float32,
@@ -392,7 +394,7 @@ class SparseIndex:
 
             # phase 2: exact rescore of the candidate pool with all L terms
             local_idx = jnp.clip(best_i - base_offset, 0, n_loc - 1)
-            cand_tok = jnp.take(toks, local_idx, axis=0)  # [Bq, k1, L]
+            cand_tok = jnp.take(toks, local_idx, axis=0).astype(jnp.int32)  # [Bq, k1, L]
             cand_w = jnp.take(docs, local_idx, axis=0).astype(jnp.float32)
             g = jnp.take_along_axis(
                 q, cand_tok.reshape(Bq, -1), axis=1
@@ -589,7 +591,8 @@ class SparseIndex:
             t = blob["tokens"]
             if t.shape[0] < n_pad:
                 t = np.concatenate([t, np.zeros((n_pad - t.shape[0],) + t.shape[1:], t.dtype)])
-            idx._tok_dev = jnp.asarray(t[:n_pad])
+            tok_dtype = jnp.int16 if meta["vocab_size"] < 2**15 else jnp.int32
+            idx._tok_dev = jnp.asarray(t[:n_pad].astype(tok_dtype))
         else:
             idx._tok_dev = None
         if cfg.engine == "inverted":

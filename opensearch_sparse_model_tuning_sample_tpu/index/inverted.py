@@ -150,7 +150,7 @@ def make_search_fn(
         _, sel = jax.lax.top_k(sums, k1)
         cand = jnp.take_along_axis(rid, sel, axis=1)  # [B, k1]
         safe = jnp.clip(cand, 0, doc_toks.shape[0] - 1)
-        ct = doc_toks[safe]  # [B, k1, L]
+        ct = doc_toks[safe].astype(jnp.int32)  # [B, k1, L]
         cw = doc_ws[safe].astype(jnp.float32)
         g = jnp.take_along_axis(
             q, ct.reshape(B, -1), axis=1
