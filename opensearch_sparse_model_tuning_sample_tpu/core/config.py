@@ -104,6 +104,11 @@ class DataArguments:
     # Pad-to buckets for tokenized batches; static shapes keep XLA recompiles
     # bounded (one compiled step per bucket).
     seq_buckets: List[int] = field(default_factory=lambda: [64, 128, 256, 512])
+    # Index engine knobs for eval/mining (see index.engine.IndexConfig)
+    index_engine: str = "auto"
+    index_l_max: int = 256
+    index_postings_cap: int = 2048
+    index_query_batch: int = 64
 
 
 @dataclass

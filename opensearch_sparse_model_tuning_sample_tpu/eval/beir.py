@@ -273,6 +273,16 @@ def search(
 # ---------------------------------------------------------------------------
 
 
+def index_cfg_from_args(data_args) -> IndexConfig:
+    """IndexConfig from the eval knobs (DataArguments TPU extensions)."""
+    return IndexConfig(
+        engine=getattr(data_args, "index_engine", "auto"),
+        l_max=getattr(data_args, "index_l_max", 256),
+        postings_cap=getattr(data_args, "index_postings_cap", 2048),
+        query_batch=getattr(data_args, "index_query_batch", 64),
+    )
+
+
 def eval_suffix(model_args, data_args) -> str:
     """Result-dir suffix encoding eval knobs (evaluate_beir.py:41-52)."""
     suffix = "_2p" if data_args.use_two_phase else ""
@@ -311,6 +321,7 @@ def evaluate_datasets(
                 ds, model, eval_dir, name.lower(),
                 max_length=data_args.eval_max_seq_length,
                 batch_size=training_args.per_device_eval_batch_size,
+                index_cfg=index_cfg_from_args(data_args),
                 mesh=mesh,
             )
         if not data_args.do_search:
