@@ -12,7 +12,6 @@ from __future__ import annotations
 import logging
 import os
 import sys
-from functools import partial
 
 from ..core.config import NANO_BEIR_DATASETS, parse_config, snapshot_config
 from ..core.mesh import make_mesh

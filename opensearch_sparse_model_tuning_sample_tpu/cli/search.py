@@ -15,7 +15,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import sys
 
 from ..index.engine import SparseIndex
 from ..models import sparse_encoder as se

@@ -20,11 +20,10 @@ import json
 import logging
 import os
 import time
-from typing import Dict, Iterable, List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from ..core.config import NANO_BEIR_DATASETS
 from ..data.datasets import BEIRCorpusDataset, HostShardDataset, KeyValueDataset
 from ..index.engine import IndexConfig, SparseIndex
 from ..models.sparse_encoder import BatchEncoder, SparseEncoderModel

@@ -22,7 +22,7 @@ from typing import Any, Dict, Optional, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from .bert import BertConfig, round_up
+from .bert import BertConfig
 
 
 def _read_state_dict(ckpt_dir: str) -> Dict[str, np.ndarray]:

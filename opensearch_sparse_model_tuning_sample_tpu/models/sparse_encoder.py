@@ -31,7 +31,6 @@ from ..ops.activations import (
     activation_count,
     inf_free_activation,
     pooled_activation,
-    sparse_activation,
     special_token_mask,
 )
 

@@ -15,7 +15,6 @@ All score matmuls run in the compute dtype on the MXU with fp32 accumulation.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -25,7 +25,6 @@ import logging
 import os
 import time
 from dataclasses import dataclass
-from functools import partial
 from typing import Any, Callable, Dict, List, Optional
 
 import jax
