@@ -39,6 +39,47 @@ logger = logging.getLogger(__name__)
 _PAD_ID = np.iinfo(np.int32).max
 
 
+_native_lib = None
+
+
+def _load_native():
+    """native/postings.cpp: parallel counting-bucket build (~10x the numpy
+    packed-key argsort at 1e9 nnz). Auto-built by native/build.sh."""
+    global _native_lib
+    if _native_lib is not None:
+        return _native_lib
+    import ctypes
+    import os
+    import subprocess
+
+    if os.environ.get("OSSMT_NO_NATIVE"):
+        _native_lib = False
+        return False
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    lib_path = os.path.join(repo, "native", "build", "libpostings.so")
+    if not os.path.exists(lib_path):
+        script = os.path.join(repo, "native", "build.sh")
+        try:
+            subprocess.run(["bash", script], check=True, capture_output=True,
+                           timeout=120)
+        except Exception:
+            _native_lib = False
+            return False
+    try:
+        lib = ctypes.CDLL(lib_path)
+        lib.build_postings.restype = ctypes.c_int
+        lib.build_postings.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int32,
+        ]
+        _native_lib = lib
+    except Exception:
+        _native_lib = False
+    return _native_lib
+
+
 def build_postings(
     toks: np.ndarray,  # [N, L] int32 doc-major token ids (0-padded via w=0)
     ws: np.ndarray,  # [N, L] f32 weights (0 = inactive)
@@ -46,7 +87,38 @@ def build_postings(
     postings_cap: int,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Host-side build: (post_docs [V, C] int32 (_PAD_ID padded),
-    post_w [V, C] f32), impact-(weight-)sorted per token."""
+    post_w [V, C] f32), impact-(weight-)sorted per token.
+
+    Uses the parallel C++ builder when available; numpy fallback below."""
+    lib = _load_native()
+    if lib and toks.size:
+        import ctypes
+
+        N, L = toks.shape
+        t = np.ascontiguousarray(toks, dtype=np.int32)
+        w = np.ascontiguousarray(ws, dtype=np.float32)
+        post_docs = np.empty((vocab_size, postings_cap), dtype=np.int32)
+        post_w = np.empty((vocab_size, postings_cap), dtype=np.float32)
+        rc = lib.build_postings(
+            t.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            w.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            N, L, vocab_size, postings_cap,
+            post_docs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            post_w.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            0,
+        )
+        if rc == 0:
+            return post_docs, post_w
+        logger.warning("native postings build failed (rc=%d); numpy fallback", rc)
+    return _build_postings_np(toks, ws, vocab_size, postings_cap)
+
+
+def _build_postings_np(
+    toks: np.ndarray,
+    ws: np.ndarray,
+    vocab_size: int,
+    postings_cap: int,
+) -> Tuple[np.ndarray, np.ndarray]:
     N, L = toks.shape
     flat_tok = toks.reshape(-1)
     flat_w = ws.reshape(-1).astype(np.float32)

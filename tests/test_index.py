@@ -313,3 +313,19 @@ def test_inverted_sharded_matches_single_device(mesh8):
         assert set(x.keys()) == set(y.keys())
         for d in x:
             assert x[d] == pytest.approx(y[d], rel=1e-5)
+
+
+def test_native_postings_matches_numpy():
+    from opensearch_sparse_model_tuning_sample_tpu.index import inverted
+
+    if not inverted._load_native():
+        pytest.skip("native postings builder unavailable")
+    rng2 = np.random.default_rng(7)
+    toks = rng2.integers(0, V, size=(500, 16)).astype(np.int32)
+    ws = rng2.gamma(2.0, 0.5, size=(500, 16)).astype(np.float32)
+    ws[rng2.random((500, 16)) < 0.2] = 0.0
+    pd_c, pw_c = inverted.build_postings(toks, ws, V, 8)
+    pd_n, pw_n = inverted._build_postings_np(toks, ws, V, 8)
+    np.testing.assert_array_equal(pw_c, pw_n)
+    # doc ids may differ only where weights tie (none with random floats)
+    np.testing.assert_array_equal(pd_c, pd_n)
