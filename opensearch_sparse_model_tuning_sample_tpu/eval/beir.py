@@ -224,6 +224,14 @@ def search(
 ) -> Dict:
     """Encode queries, top-k search, FLOPS stats — reference search.py:13-104."""
     qd = KeyValueDataset(queries)
+    if not inf_free and getattr(index, "_engine", None) == "inverted":
+        # full-forward queries have hundreds of active terms; the inverted
+        # engine only looks up the top cfg.query_terms of them
+        logger.warning(
+            "inverted engine truncates full-forward queries to the top %d "
+            "terms; use the scan engine (index_engine: sparse) for exact "
+            "non-inf-free evaluation", index.cfg.query_terms,
+        )
     encoder = BatchEncoder(model, max_length=max_length, do_count=True)
     run_res: Dict[str, Dict[str, float]] = {}
     t0 = time.time()
