@@ -181,16 +181,68 @@ def _split_fields(raw: Dict[str, Any]):
     return buckets, leftovers
 
 
+def _parse_flag_args(argv: List[str]) -> Dict[str, Any]:
+    """`--key value` / `--key=value` flags -> raw config dict (the CLI-flag
+    path of reference args.py:81-96 / run_ft_demo.sh). Values are YAML-typed
+    ("true" -> bool, "0.05" -> float, "a,b" stays str for comma-list knobs)."""
+    raw: Dict[str, Any] = {}
+    i = 0
+    while i < len(argv):
+        tok = argv[i]
+        if not tok.startswith("--"):
+            raise ValueError(f"expected --flag, got {tok!r}")
+        key = tok[2:]
+        if "=" in key:
+            key, val = key.split("=", 1)
+            i += 1
+        elif i + 1 < len(argv) and not argv[i + 1].startswith("--"):
+            val = argv[i + 1]
+            i += 2
+        else:  # bare --flag means true
+            val = "true"
+            i += 1
+        try:
+            raw[key.replace("-", "_")] = yaml.safe_load(val)
+        except yaml.YAMLError:
+            raw[key.replace("-", "_")] = val
+    return raw
+
+
+def _coerce_list_fields(bucket: Dict[str, Any], cls) -> None:
+    """CLI flags arrive as scalars; List-typed dataclass fields take
+    comma-split values ("--loss_types infonce,kldiv")."""
+    for f in dataclasses.fields(cls):
+        v = bucket.get(f.name)
+        if v is None or not str(f.type).startswith("List"):
+            continue
+        if isinstance(v, (str, int, float)):
+            parts = str(v).split(",")
+            bucket[f.name] = [yaml.safe_load(p) for p in parts]
+
+
 def parse_config(
     source: Optional[Any] = None,
 ) -> tuple[ModelArguments, DataArguments, TrainingArguments]:
     """Parse a YAML file path, a dict, or argv into the three arg groups.
 
-    Reference parity: `python cli/train_ir.py cfg.yaml` consumes a single flat
-    YAML (args.py:81-96). A dict input is used programmatically / in tests.
+    Reference parity (args.py:81-96): `python cli/train_ir.py cfg.yaml`
+    consumes a single flat YAML; any other argv shape is parsed as
+    `[cfg.yaml] --flag value ...` with flags overriding the YAML — so the
+    reference's flag-driven invocations (run_ft_demo.sh) port unchanged.
+    A dict input is used programmatically / in tests.
     """
     if source is None:
-        source = sys.argv[1] if len(sys.argv) == 2 else {}
+        argv = sys.argv[1:]
+        if len(argv) == 1 and argv[0].endswith((".yaml", ".yml")):
+            source = argv[0]
+        else:
+            raw_argv: Dict[str, Any] = {}
+            if argv and not argv[0].startswith("--"):
+                with open(argv[0]) as f:
+                    raw_argv = yaml.safe_load(f) or {}
+                argv = argv[1:]
+            raw_argv.update(_parse_flag_args(argv))
+            source = raw_argv
     if isinstance(source, str):
         with open(source) as f:
             raw = yaml.safe_load(f) or {}
@@ -205,6 +257,9 @@ def parse_config(
 
         logging.getLogger(__name__).warning("unknown config keys ignored: %s", leftovers)
 
+    _coerce_list_fields(buckets["model"], ModelArguments)
+    _coerce_list_fields(buckets["data"], DataArguments)
+    _coerce_list_fields(buckets["train"], TrainingArguments)
     model_args = ModelArguments(**buckets["model"])
     data_args = DataArguments(**buckets["data"])
     training_args = TrainingArguments(**buckets["train"])

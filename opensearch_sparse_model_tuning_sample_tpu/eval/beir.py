@@ -140,6 +140,37 @@ def synthetic_beir(
 # ---------------------------------------------------------------------------
 
 
+def _reduce_counts(
+    out_dir: str,
+    index_name: str,
+    rank: int,
+    world_size: int,
+    count_tensor: np.ndarray,
+    n_docs: int,
+    timeout: float,
+) -> Tuple[np.ndarray, int]:
+    """All-reduce the per-rank activation counts through the shared out_dir
+    (atomic tmp+rename writes; every rank polls for all parts — doubles as
+    the ingest barrier, reference ingest.py:108-117 + wait_for_everyone)."""
+    part = os.path.join(out_dir, f"{index_name}.count.rank{rank}of{world_size}.npz")
+    tmp = part + f".tmp{os.getpid()}.npz"  # np.savez appends .npz otherwise
+    np.savez(tmp, count=count_tensor, n_docs=np.int64(n_docs))
+    os.replace(tmp, part)
+    total = np.zeros_like(count_tensor)
+    total_docs = 0
+    deadline = time.time() + timeout
+    for r in range(world_size):
+        p = os.path.join(out_dir, f"{index_name}.count.rank{r}of{world_size}.npz")
+        while not os.path.exists(p):
+            if time.time() > deadline:
+                raise TimeoutError(f"ingest barrier: rank {r} never wrote {p}")
+            time.sleep(0.2)
+        blob = np.load(p)
+        total += blob["count"]
+        total_docs += int(blob["n_docs"])
+    return total, total_docs
+
+
 def ingest(
     dataset,  # sequence of (doc_id, text)
     model: SparseEncoderModel,
@@ -152,12 +183,21 @@ def ingest(
     rank: int = 0,
     world_size: int = 1,
     doc_inf_free: bool = False,
+    barrier_timeout: float = 3600.0,
 ) -> SparseIndex:
     """Encode a corpus and build the on-device index.
 
     Multi-host: shard the corpus with (rank, world_size) like the reference's
     DDPDatasetWithRank ingest (ingest.py:43-45); single-host TPU meshes keep
     world_size=1 and shard inside the index instead.
+
+    With world_size > 1 each host encodes its own corpus stripe (doc ids stay
+    the GLOBAL string ids, so shard indexes merge by concatenation —
+    `SparseIndex.merge_saved`) and the per-rank activation-count tensors are
+    reduced through `out_dir` before `{index}.corpus.npy` is written, the
+    filesystem analog of the reference's count all-gather + barrier
+    (ingest.py:108-117, evaluate_beir.py:196) — so the FLOPS statistic is
+    global, not rank-local.
     """
     os.makedirs(out_dir, exist_ok=True)
     if world_size > 1:
@@ -196,9 +236,19 @@ def ingest(
             reps = encoder.encode_batch(texts, inf_free=doc_inf_free)
             index.add(ids, reps)
     index.finalize()
-    np.save(
-        os.path.join(out_dir, f"{index_name}.corpus.npy"), index.avg_doc_activation
-    )
+    corpus_stat = os.path.join(out_dir, f"{index_name}.corpus.npy")
+    if world_size > 1:
+        counts, total_docs = _reduce_counts(
+            out_dir, index_name, rank, world_size,
+            index.count_tensor, index.n_docs, barrier_timeout,
+        )
+        if rank == 0:  # one writer (reference: main process saves the stat)
+            avg = counts.astype(np.float64) / max(total_docs, 1)
+            tmp = corpus_stat + f".tmp{os.getpid()}.npy"
+            np.save(tmp, avg)
+            os.replace(tmp, corpus_stat)
+    else:
+        np.save(corpus_stat, index.avg_doc_activation)
     dt = time.time() - t0
     logger.info(
         "ingested %d docs into %s in %.1fs (%.1f docs/s)", n, index_name, dt,
@@ -224,14 +274,6 @@ def search(
 ) -> Dict:
     """Encode queries, top-k search, FLOPS stats — reference search.py:13-104."""
     qd = KeyValueDataset(queries)
-    if not inf_free and getattr(index, "_engine", None) == "inverted":
-        # full-forward queries have hundreds of active terms; the inverted
-        # engine only looks up the top cfg.query_terms of them
-        logger.warning(
-            "inverted engine truncates full-forward queries to the top %d "
-            "terms; use the scan engine (index_engine: sparse) for exact "
-            "non-inf-free evaluation", index.cfg.query_terms,
-        )
     encoder = BatchEncoder(model, max_length=max_length, do_count=True)
     run_res: Dict[str, Dict[str, float]] = {}
     t0 = time.time()
@@ -241,8 +283,11 @@ def search(
         ids = [r[0] for r in rows]
         texts = [r[1] for r in rows]
         reps = encoder.encode_batch_device(texts, inf_free=inf_free)
+        # full_forward: non-inf-free queries exceed the inverted engine's
+        # term-lookup budget; index.search falls back to the exact scan
         hits = index.search(
-            reps, k=result_size, query_prune=query_prune, two_phase=use_two_phase
+            reps, k=result_size, query_prune=query_prune,
+            two_phase=use_two_phase, full_forward=not inf_free,
         )
         for _id, h in zip(ids, hits):
             run_res[_id] = h

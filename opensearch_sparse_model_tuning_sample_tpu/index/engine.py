@@ -101,8 +101,9 @@ class SparseIndex:
         self._dense_chunks: List[np.ndarray] = []
         self.count_tensor = np.zeros((vocab_size,), dtype=np.int64)
         self._finalized = False
-        self._search_fn = None
+        self._search_fns: Dict[tuple, object] = {}
         self._q_builder = None
+        self._warned_fallback = False
 
     # ------------------------------------------------------------- ingest
     def add(self, doc_ids: Sequence[str], reps: np.ndarray):
@@ -115,20 +116,26 @@ class SparseIndex:
             self._dense_chunks.append(reps.astype(np.float32))
             return
         L = self.cfg.l_max
-        B = reps.shape[0]
-        toks = np.zeros((B, L), dtype=np.int32)
-        ws = np.zeros((B, L), dtype=np.float32)
-        # keep the top-L_max activations per doc (impact order)
-        for b in range(B):
-            (nz,) = np.nonzero(reps[b])
-            vals = reps[b, nz]
-            if nz.size > L:
-                keep = np.argpartition(vals, -L)[-L:]
-                nz, vals = nz[keep], vals[keep]
-            order = np.argsort(-vals)  # impact-sorted
-            nz, vals = nz[order], vals[order]
-            toks[b, : nz.size] = nz
-            ws[b, : nz.size] = vals
+        reps = np.asarray(reps, dtype=np.float32)
+        # keep the top-L_max activations per doc (impact order), vectorized
+        # over the batch: one argpartition + one argsort on [B, L]
+        if reps.shape[1] > L:
+            part = np.argpartition(reps, -L, axis=1)[:, -L:]  # [B, L] unordered
+        else:
+            part = np.broadcast_to(
+                np.arange(reps.shape[1], dtype=np.int64), reps.shape
+            )
+        vals = np.take_along_axis(reps, part, axis=1)
+        order = np.argsort(-vals, axis=1)  # impact-sorted per row
+        toks = np.take_along_axis(part, order, axis=1).astype(np.int32)
+        ws = np.take_along_axis(vals, order, axis=1)
+        inactive = ws <= 0
+        toks[inactive] = 0
+        ws[inactive] = 0.0
+        if toks.shape[1] < L:  # corpus vocab narrower than l_max
+            pad = L - toks.shape[1]
+            toks = np.pad(toks, ((0, 0), (0, pad)))
+            ws = np.pad(ws, ((0, 0), (0, pad)))
         self._tok_chunks.append(toks)
         self._w_chunks.append(ws)
 
@@ -260,10 +267,11 @@ class SparseIndex:
         )
 
     # ------------------------------------------------------------- search
-    def _build_search_fn(self, k: int, two_phase: bool = False):
+    def _build_search_fn(self, k: int, two_phase: bool = False,
+                         engine: Optional[str] = None):
         cfg = self.cfg
         blk = cfg.block_docs
-        engine = self._engine
+        engine = engine or self._engine
         # two-phase (reference use_two_phase, search.py:27-42, here with the
         # doc-major analog of OpenSearch's impact pruning): phase 1 scans the
         # corpus using only each doc's top-impact l1 terms (rows are
@@ -438,11 +446,13 @@ class SparseIndex:
         )
         return jax.jit(fn)
 
-    def _get_search_fn(self, k: int, Bq: int, two_phase: bool = False):
-        key = (k, Bq, two_phase)
-        if self._search_fn is None or self._search_fn[0] != key:
-            self._search_fn = (key, self._build_search_fn(k, two_phase))
-        return self._search_fn[1]
+    def _get_search_fn(self, k: int, two_phase: bool = False,
+                       engine: Optional[str] = None):
+        key = (k, two_phase, engine or self._engine)
+        fn = self._search_fns.get(key)
+        if fn is None:
+            fn = self._search_fns[key] = self._build_search_fn(k, two_phase, engine)
+        return fn
 
     def search(
         self,
@@ -451,6 +461,7 @@ class SparseIndex:
         query_prune: float = 0.0,
         exclude_self: Optional[Sequence[str]] = None,
         two_phase: bool = False,
+        full_forward: Optional[bool] = None,
     ) -> List[Dict[str, float]]:
         """Top-k search; returns per-query {doc_id: score} maps.
 
@@ -459,6 +470,13 @@ class SparseIndex:
         `exclude_self`: per-query id whose hit is dropped (search.py:78-80).
         `two_phase`: impact-ordered approximate phase 1 + exact rescore
         (reference use_two_phase, search.py:27-42).
+        `full_forward`: queries come from the full encoder forward (hundreds
+        of active terms) rather than the inf-free path. The inverted engine
+        only looks up `cfg.query_terms` terms per query, so such queries fall
+        back to the exact doc-major scan. None = decide from the query batch
+        (one scalar device sync); pass False to skip the check on known
+        inf-free queries (the reference's OpenSearch scores every query token
+        exactly, search.py:59-70 — this preserves that contract).
         """
         assert self._finalized, "call finalize() first"
         if self.n_docs == 0:
@@ -473,10 +491,25 @@ class SparseIndex:
             thresh = jnp.max(q, axis=1, keepdims=True) * query_prune
             q = jnp.where(q > thresh, q, 0.0)
 
+        engine = None
+        if self._engine == "inverted":
+            if full_forward is None:
+                n_active = int(jnp.max(jnp.sum(q > 0, axis=1)))
+                full_forward = n_active > self.cfg.query_terms
+            if full_forward:
+                engine = "sparse"  # exact doc-major scan over the same arrays
+                if not self._warned_fallback:
+                    self._warned_fallback = True
+                    logger.warning(
+                        "inverted engine: query batch exceeds %d active terms; "
+                        "falling back to the exact doc-major scan",
+                        self.cfg.query_terms,
+                    )
+
         k_eff = min(k + (1 if exclude_self is not None else 0), self.n_docs)
         Bq = self.cfg.query_batch
         n_q = q.shape[0]
-        fn = self._get_search_fn(k_eff, Bq, two_phase)
+        fn = self._get_search_fn(k_eff, two_phase, engine)
 
         # dispatch ALL batches before blocking: async dispatch pipelines the
         # per-call latency (significant over remote/tunnelled runtimes)
@@ -523,6 +556,10 @@ class SparseIndex:
         rep). This is the analog of the reference's `neural_sparse` query
         body of token->weight maps (sparse_encoders.py:184-194).
         """
+        if "full_forward" not in kw and q_tokens.shape[1] <= self.cfg.query_terms:
+            # at most q_len active terms, all within the lookup budget — skip
+            # the per-call device check
+            kw["full_forward"] = False
         if self._q_builder is None:
             V = self.vocab_size
 
@@ -566,6 +603,50 @@ class SparseIndex:
             json.dump(meta, f)
         with open(os.path.join(path, "doc_ids.json"), "w") as f:
             json.dump(self.doc_ids, f)
+
+    @classmethod
+    def merge_saved(
+        cls,
+        paths: Sequence[str],
+        mesh: Optional[Mesh] = None,
+        cfg: Optional[IndexConfig] = None,
+    ) -> "SparseIndex":
+        """Concatenate per-rank shard indexes (multi-host ingest, where each
+        host saved its corpus stripe) into one searchable index. Doc ids are
+        the global string ids, so concatenation IS the merge — the analog of
+        all ranks bulk-writing into one OpenSearch index (ingest.py:88-106).
+        """
+        metas = [json.load(open(os.path.join(p, "meta.json"))) for p in paths]
+        v = metas[0]["vocab_size"]
+        assert all(m["vocab_size"] == v for m in metas), "vocab mismatch"
+        cfg = cfg or IndexConfig(
+            engine=metas[0]["engine"], l_max=metas[0]["l_max"],
+            block_docs=metas[0]["block_docs"],
+            postings_cap=metas[0].get("postings_cap", 2048),
+            query_terms=metas[0].get("query_terms", 16),
+        )
+        idx = cls(v, cfg, mesh)
+        for p, meta in zip(paths, metas):
+            blob = np.load(os.path.join(p, "index.npz"))
+            assert "tokens" in blob, "merge_saved needs sparse-format shards"
+            ids = json.load(open(os.path.join(p, "doc_ids.json")))
+            n = len(ids)
+            idx.doc_ids.extend(ids)
+            idx.count_tensor += blob["count_tensor"]
+            toks = blob["tokens"][:n].astype(np.int32)
+            ws = blob["weights"][:n].astype(np.float32)
+            L = cfg.l_max
+            if toks.shape[1] != L:  # re-cap shards built with a different l_max
+                if toks.shape[1] > L:
+                    toks, ws = toks[:, :L], ws[:, :L]
+                else:
+                    pad = L - toks.shape[1]
+                    toks = np.pad(toks, ((0, 0), (0, pad)))
+                    ws = np.pad(ws, ((0, 0), (0, pad)))
+            idx._tok_chunks.append(toks)
+            idx._w_chunks.append(ws)
+        idx.finalize()
+        return idx
 
     @classmethod
     def load(cls, path: str, mesh: Optional[Mesh] = None) -> "SparseIndex":

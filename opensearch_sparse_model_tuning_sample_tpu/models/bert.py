@@ -264,15 +264,23 @@ def encode_hidden(
     return x
 
 
+def _decoder_weight(params):
+    """[padded_V, D] decoder matrix: the word embeddings when tied (the
+    default), or the checkpoint's own decoder for untied HF imports."""
+    p = params["mlm_head"]
+    return p["decoder"] if "decoder" in p else params["embeddings"]["word_embeddings"]
+
+
 def mlm_logits(params, cfg: BertConfig, hidden: jax.Array) -> jax.Array:
-    """MLM head: transform + LN + tied-decoder -> [B, L, padded_V] fp32."""
+    """MLM head: transform + LN + (tied or untied) decoder
+    -> [B, L, padded_V] fp32."""
     p = params["mlm_head"]
     cd = cfg.compute_dtype
     h = _gelu(_dense(hidden, p["transform"], cd))
     h = _layer_norm(h, p["layer_norm"], cfg.layer_norm_eps)
     logits = jnp.dot(
         h.astype(cd),
-        params["embeddings"]["word_embeddings"].astype(cd).T,
+        _decoder_weight(params).astype(cd).T,
         preferred_element_type=jnp.float32,
     )
     return logits + p["bias"].astype(jnp.float32)
@@ -301,7 +309,7 @@ def mlm_maxpool(
         chunk = 1
     h = _gelu(_dense(hidden, p["transform"], cd))
     h = _layer_norm(h, p["layer_norm"], cfg.layer_norm_eps)
-    wT = params["embeddings"]["word_embeddings"].astype(cd).T
+    wT = _decoder_weight(params).astype(cd).T
     bias = p["bias"].astype(jnp.float32)
     mask = attention_mask.astype(jnp.float32)
 

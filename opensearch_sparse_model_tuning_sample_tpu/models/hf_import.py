@@ -41,10 +41,27 @@ def _read_state_dict(ckpt_dir: str) -> Dict[str, np.ndarray]:
 
 
 def _strip_prefix(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
-    # HF sometimes nests everything under "bert." — normalize to that form.
-    if any(k.startswith("bert.") for k in sd):
-        return sd
-    return {f"bert.{k}" if not k.startswith("cls.") else k: v for k, v in sd.items()}
+    """Normalize the key layout quirks real HF BERT dumps carry
+    (the reference gets this for free from AutoModelForMaskedLM,
+    sparse_encoders.py:57-59):
+
+      * everything nested under "bert." (or not) -> "bert." form
+      * legacy tf-era LayerNorm names `gamma`/`beta` -> `weight`/`bias`
+      * non-parameter buffers (`position_ids`) dropped
+    """
+    out: Dict[str, np.ndarray] = {}
+    has_bert = any(k.startswith("bert.") for k in sd)
+    for k, v in sd.items():
+        if k.endswith(".position_ids"):
+            continue
+        if k.endswith(".gamma"):
+            k = k[: -len(".gamma")] + ".weight"
+        elif k.endswith(".beta"):
+            k = k[: -len(".beta")] + ".bias"
+        if not has_bert and not k.startswith(("bert.", "cls.")):
+            k = f"bert.{k}"
+        out[k] = v
+    return out
 
 
 def config_from_hf_json(path: str, param_dtype, compute_dtype) -> BertConfig:
@@ -101,6 +118,16 @@ def params_from_state_dict(
     )
     mlm_bias = _pad_vocab_rows(sd[mlm_bias_key], pv)
 
+    # untied MLM decoder: some real checkpoints carry a decoder matrix that
+    # differs from the word embeddings (HF supports tie_word_embeddings=False);
+    # keep it as an extra leaf so the head uses it instead of the tied weights
+    decoder = None
+    dec_key = "cls.predictions.decoder.weight"
+    if dec_key in sd and not np.array_equal(
+        sd[dec_key], sd["bert.embeddings.word_embeddings.weight"]
+    ):
+        decoder = _pad_vocab_rows(sd[dec_key], pv)
+
     params = {
         "embeddings": {
             "word_embeddings": jnp.asarray(word, dtype=dt),
@@ -115,6 +142,8 @@ def params_from_state_dict(
             "bias": jnp.asarray(mlm_bias, dtype=dt),
         },
     }
+    if decoder is not None:
+        params["mlm_head"]["decoder"] = jnp.asarray(decoder, dtype=dt)
     for i in range(cfg.num_hidden_layers):
         pre = f"bert.encoder.layer.{i}"
         params["encoder"]["layers"].append(
@@ -193,7 +222,9 @@ def state_dict_from_params(params: Dict[str, Any], cfg: BertConfig) -> Dict[str,
             params["mlm_head"]["layer_norm"]["bias"]
         ),
         "cls.predictions.bias": np32(params["mlm_head"]["bias"])[:v],
-        "cls.predictions.decoder.weight": np32(params["embeddings"]["word_embeddings"])[:v],
+        "cls.predictions.decoder.weight": np32(
+            params["mlm_head"].get("decoder", params["embeddings"]["word_embeddings"])
+        )[:v],
     }
     for i, layer in enumerate(params["encoder"]["layers"]):
         pre = f"bert.encoder.layer.{i}"

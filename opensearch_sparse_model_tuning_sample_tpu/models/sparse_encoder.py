@@ -366,6 +366,25 @@ def build_model(
             idf_path if (inf_free and idf_path) else None, tokenizer
         )
 
+    # vocab reconciliation (reference TokenizerWithProcessing resets its
+    # vocab size when the backbone embedding table differs,
+    # sparse_encoders.py:61-84): the checkpoint's vocab wins; idf is
+    # truncated / zero-padded to it so special_mask and the inf-free path
+    # stay correctly sized.
+    idf = np.asarray(idf, dtype=np.float32)
+    if idf.shape[0] != cfg.vocab_size:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "tokenizer vocab (%d) != model vocab (%d); resizing idf to the "
+            "model's (reference sparse_encoders.py:61-84)",
+            idf.shape[0], cfg.vocab_size,
+        )
+        resized = np.zeros((cfg.vocab_size,), np.float32)
+        m = min(idf.shape[0], cfg.vocab_size)
+        resized[:m] = idf[:m]
+        idf = resized
+
     params = {"bert": bert_params, "idf_vector": jnp.asarray(idf, dtype=jnp.float32)}
     return SparseEncoderModel(
         cfg=cfg,

@@ -4,8 +4,9 @@ Replaces the reference's DynamoDB-backed EmbeddingService
 (/root/reference/scripts/async_embedding_server.py:14-131 +
 dynamo_utils.py:6-179) with a local memory-mapped store:
 
-  * storage: one dir per (table, model_id) holding an fp16 `vectors.npy`
-    (np.memmap) and an `ids.json` id->row map — zero-copy reads, no network;
+  * storage: one dir per (table, model_id) holding an append-only fp16
+    `vectors.bin` (memory-mapped for reads) and an `ids.txt` row->id log —
+    zero-copy reads, O(batch) appends, no network;
   * the register-at-collate / fetch-at-step overlap protocol is preserved
     (ThreadPoolExecutor + per-key Event, errors stored in the result map to
     avoid deadlocks), so data-pipeline code written against the reference's
@@ -36,27 +37,28 @@ class LocalVectorStore:
         return os.path.join(self.root, f"{table}_{model_id}")
 
     def store(self, table: str, model_id: int, ids: Sequence[int], vectors: np.ndarray):
-        """Write/extend a table (build-time API, analogous to
-        batch_store_vectors_binary)."""
+        """Append a batch to a table (build-time API, analogous to
+        batch_store_vectors_binary). O(batch): raw fp16 rows append to
+        vectors.bin and ids append to ids.txt — nothing is rewritten, so
+        building an MS MARCO-scale store (8.8M x 768) stays linear."""
         assert len(ids) == vectors.shape[0]
         d = self._dir(table, model_id)
         os.makedirs(d, exist_ok=True)
-        vec_path = os.path.join(d, "vectors.npy")
-        ids_path = os.path.join(d, "ids.json")
-        vectors = np.asarray(vectors, dtype=np.float16)
+        vec_path = os.path.join(d, "vectors.bin")
+        meta_path = os.path.join(d, "meta.json")
+        vectors = np.ascontiguousarray(vectors, dtype=np.float16)
         with self._lock:
-            if os.path.exists(vec_path):
-                old = np.load(vec_path, mmap_mode=None)
-                id_map = json.load(open(ids_path))
-                base = old.shape[0]
-                merged = np.concatenate([old, vectors], axis=0)
+            if os.path.exists(meta_path):
+                meta = json.load(open(meta_path))
+                assert meta["dim"] == vectors.shape[1], "dim mismatch on append"
             else:
-                id_map, base, merged = {}, 0, vectors
-            for i, _id in enumerate(ids):
-                id_map[str(int(_id))] = base + i
-            np.save(vec_path, merged)
-            with open(ids_path, "w") as f:
-                json.dump(id_map, f)
+                meta = {"dim": int(vectors.shape[1])}
+            with open(vec_path, "ab") as f:
+                f.write(vectors.tobytes())
+            with open(os.path.join(d, "ids.txt"), "a") as f:
+                f.writelines(f"{int(_id)}\n" for _id in ids)
+            with open(meta_path, "w") as f:
+                json.dump(meta, f)
             self._cache.pop(f"{table}_{model_id}", None)
 
     def _load(self, table: str, model_id: int):
@@ -64,8 +66,13 @@ class LocalVectorStore:
         with self._lock:
             if key not in self._cache:
                 d = self._dir(table, model_id)
-                vec = np.load(os.path.join(d, "vectors.npy"), mmap_mode="r")
-                id_map = json.load(open(os.path.join(d, "ids.json")))
+                dim = json.load(open(os.path.join(d, "meta.json")))["dim"]
+                vec = np.memmap(
+                    os.path.join(d, "vectors.bin"), dtype=np.float16, mode="r"
+                ).reshape(-1, dim)
+                with open(os.path.join(d, "ids.txt")) as f:
+                    # later appends win for duplicate ids (overwrite semantics)
+                    id_map = {line.strip(): row for row, line in enumerate(f)}
                 self._cache[key] = (vec, id_map)
             return self._cache[key]
 

@@ -47,9 +47,10 @@ class TrainState:
     params: Any
     opt_state: Any
     step: jax.Array  # scalar int32
+    loss_ma: jax.Array  # scalar f32: 0.99-decay ranking-loss moving average
 
     def tree_flatten(self):
-        return (self.params, self.opt_state, self.step), None
+        return (self.params, self.opt_state, self.step, self.loss_ma), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -114,6 +115,7 @@ def make_train_step(
     tx: optax.GradientTransformation,
     teacher_ensemble: Optional[TeacherEnsemble] = None,
     mesh=None,
+    donate_state: bool = True,
 ) -> Callable:
     """Build the jitted train step.
 
@@ -201,20 +203,28 @@ def make_train_step(
         )
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
-        return TrainState(new_params, new_opt, state.step + 1), metrics
+        # every-step moving average on device (reference trainer.py:120-122
+        # updates it each step; keeping it in the carried state preserves that
+        # observable without a per-step host sync)
+        loss_ma = 0.99 * state.loss_ma + 0.01 * metrics["ranking_loss"]
+        metrics["ranking_loss_ma"] = loss_ma
+        return TrainState(new_params, new_opt, state.step + 1, loss_ma), metrics
 
-    if mesh is not None:
-        repl = NamedSharding(mesh, P())
-        shard = NamedSharding(mesh, P(DATA_AXIS))
+    donate = (0,) if donate_state else ()
+    if mesh is None:
+        return jax.jit(train_step, donate_argnums=donate)
 
-        def batch_sharding(batch):
-            return jax.tree_util.tree_map(lambda _: shard, batch)
-
-        return jax.jit(
-            train_step,
-            donate_argnums=(0,),
-        )
-    return jax.jit(train_step, donate_argnums=(0,))
+    # pin the layout: state replicated, batch sharded over `data`, rng
+    # replicated — a mis-placed input is resharded/rejected here rather than
+    # silently replicated (sharding prefixes broadcast over the pytrees)
+    repl = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P(DATA_AXIS))
+    return jax.jit(
+        train_step,
+        in_shardings=(repl, shard, repl),
+        out_shardings=(repl, repl),
+        donate_argnums=donate,
+    )
 
 
 class Trainer:
@@ -250,12 +260,13 @@ class Trainer:
             params=init_params,
             opt_state=self.tx.init(model.params),
             step=jnp.asarray(0, jnp.int32),
+            loss_ma=jnp.asarray(0.0, jnp.float32),
         )
         self._step_fn = make_train_step(
             model, self.loss_specs, model_args, data_args, self.tx,
             teacher_ensemble=teacher_ensemble, mesh=self.mesh,
+            donate_state=training_args.donate_state,
         )
-        self.ranking_loss_moving_avg = 0.0
         self._rng = jax.random.PRNGKey(training_args.seed)
 
     # ------------------------------------------------------------------
@@ -293,15 +304,12 @@ class Trainer:
             step += 1
             if step % self.args.logging_steps == 0 or step == 1:
                 m = {k: float(v) for k, v in metrics.items()}
-                self.ranking_loss_moving_avg = (
-                    0.01 * m["ranking_loss"] + 0.99 * self.ranking_loss_moving_avg
-                )
                 dt = time.time() - t0
                 logger.info(
                     "Step %d. ranking loss moving avg:%.5f, d_flops: %.4f, "
                     "flops_loss: %.5f avg doc length: %.1f nonzero mean/max: "
                     "%.4f/%.4f (%.2f steps/s)",
-                    step, self.ranking_loss_moving_avg, m["d_flops"],
+                    step, m["ranking_loss_ma"], m["d_flops"],
                     m["flops_loss"], m["avg_doc_length"], m["nonzero_mean"],
                     m["nonzero_max"], step / max(dt, 1e-9),
                 )
@@ -335,6 +343,7 @@ class Trainer:
                 "params": jax.device_get(self.state.params),
                 "opt_state": jax.device_get(self.state.opt_state),
                 "step": int(self.state.step),
+                "loss_ma": float(self.state.loss_ma),
             },
             force=True,
         )
@@ -349,10 +358,12 @@ class Trainer:
             "params": jax.device_get(self.state.params),
             "opt_state": jax.device_get(self.state.opt_state),
             "step": 0,
+            "loss_ma": 0.0,
         }
         restored = ckpt.restore(path, target=target)
         self.state = TrainState(
             params=restored["params"],
             opt_state=restored["opt_state"],
             step=jnp.asarray(restored["step"], jnp.int32),
+            loss_ma=jnp.asarray(restored["loss_ma"], jnp.float32),
         )

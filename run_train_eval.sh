@@ -1,6 +1,7 @@
 #!/bin/bash
-# Train + evaluate each config in sequence (reference run_train_eval.sh).
-# TPU: no torchrun — the framework uses all local devices via the mesh.
+# Sequentially fine-tune and then run BEIR evaluation for every config given
+# on the command line. TPU: no torchrun — the framework uses all local
+# devices via the mesh.
 set -e
 
 if [ $# -eq 0 ]; then
@@ -9,13 +10,12 @@ if [ $# -eq 0 ]; then
 fi
 
 for CONFIG_PATH in "$@"; do
-    echo "Processing config file: $CONFIG_PATH"
     if [ ! -f "$CONFIG_PATH" ]; then
-        echo "Config file not found: $CONFIG_PATH. Skipping..."
+        echo "warning: no such config '$CONFIG_PATH', skipping"
         continue
     fi
+    echo "=== train+eval: $CONFIG_PATH ==="
     python -m opensearch_sparse_model_tuning_sample_tpu.cli.train_ir "$CONFIG_PATH"
     python -m opensearch_sparse_model_tuning_sample_tpu.cli.evaluate_beir "$CONFIG_PATH"
-    echo "Completed processing $CONFIG_PATH"
-    echo "----------------------------------------"
+    echo "=== done: $CONFIG_PATH ==="
 done

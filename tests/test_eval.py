@@ -172,3 +172,42 @@ def test_import_metrics_cli(tmp_path, monkeypatch):
     assert any(r["NDCG@10"] == 0.5 and r["_id"].endswith("_2p") for r in rows)
     rows_n = read_metrics("nano_beir_eval")
     assert any(r["NDCG@10"] == 0.4 and r["_id"].endswith("_step500") for r in rows_n)
+
+
+def test_multihost_ingest_reduces_counts(tiny_model, synth, tmp_path):
+    """world_size=2 ingest: the corpus stat must be the GLOBAL average (per-
+    rank counts reduced through out_dir, reference ingest.py:108-117), and
+    the saved shard indexes must merge into the full corpus."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from opensearch_sparse_model_tuning_sample_tpu.index.engine import SparseIndex
+
+    corpus, queries, qrels = synth
+    ds = BEIRCorpusDataset(corpus)
+    cfg = dict(max_length=64, batch_size=32,
+               index_cfg=IndexConfig(engine="sparse", l_max=32, block_docs=64,
+                                     query_batch=8))
+    single_dir = str(tmp_path / "single")
+    ingest(ds, tiny_model, single_dir, "mh", **cfg)
+    want = np.load(os.path.join(single_dir, "mh.corpus.npy"))
+
+    multi_dir = str(tmp_path / "multi")
+
+    def run(rank):
+        return ingest(ds, tiny_model, multi_dir, "mh", rank=rank,
+                      world_size=2, barrier_timeout=120.0, **cfg)
+
+    with ThreadPoolExecutor(2) as ex:  # ranks poll for each other's counts
+        shards = list(ex.map(run, [0, 1]))
+
+    got = np.load(os.path.join(multi_dir, "mh.corpus.npy"))
+    np.testing.assert_allclose(got, want)
+
+    paths = []
+    for r, sh in enumerate(shards):
+        p = os.path.join(multi_dir, f"shard{r}")
+        sh.save(p)
+        paths.append(p)
+    merged = SparseIndex.merge_saved(paths)
+    assert merged.n_docs == len(corpus)
+    assert sorted(merged.doc_ids) == sorted(corpus.keys())

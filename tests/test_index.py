@@ -329,3 +329,70 @@ def test_native_postings_matches_numpy():
     np.testing.assert_array_equal(pw_c, pw_n)
     # doc ids may differ only where weights tie (none with random floats)
     np.testing.assert_array_equal(pd_c, pd_n)
+
+
+def test_inverted_full_forward_falls_back_to_exact_scan():
+    """Full-forward queries (more active terms than the inverted engine's
+    lookup budget) must return EXACT top-k via the scan fallback — the
+    reference's OpenSearch scores every query token (search.py:59-70)."""
+    idx = build("inverted", postings_cap=N_DOCS, query_terms=4,
+                weight_dtype="float32")
+    dense_q = make_sparse_reps(N_Q, nnz=64, seed=3)
+    got = idx.search(dense_q, k=10)
+    scores = dense_q @ DOCS.T
+    for row, h in zip(scores, got):
+        top = np.argsort(-row)[:10]
+        want = {str(i): float(row[i]) for i in top if row[i] > 0}
+        assert set(h) == set(want)
+        for d in want:
+            assert h[d] == pytest.approx(want[d], rel=1e-5)
+
+
+def test_inverted_inf_free_skips_fallback():
+    """Queries within the term budget stay on the inverted path."""
+    idx = build("inverted", postings_cap=N_DOCS, query_terms=16,
+                weight_dtype="float32")
+    got = idx.search(QS, k=10, full_forward=False)
+    want = brute_topk(10)
+    for g, w in zip(got, want):
+        assert set(g) == set(w)
+
+
+def test_search_fn_cache_holds_multiple_entries():
+    """Alternating k / two_phase between calls must not rebuild (the round-1
+    cache held one entry and recompiled every call)."""
+    idx = build("sparse")
+    r1 = idx.search(QS, k=10)
+    idx.search(QS, k=5, two_phase=True)
+    r3 = idx.search(QS, k=10)
+    assert len(idx._search_fns) == 2
+    assert r1 == r3
+
+
+def test_merge_saved_matches_single_index(tmp_path):
+    """Per-rank shard indexes (multi-host ingest) concatenate into one index
+    equivalent to single-host ingest (global string doc ids ARE the merge
+    key, reference ingest.py:88-106)."""
+    full = build("sparse", weight_dtype="float32")
+    cfg = IndexConfig(engine="sparse", l_max=32, block_docs=64, query_batch=4,
+                      weight_dtype="float32")
+    paths = []
+    for r in range(2):
+        sh = SparseIndex(V, cfg)
+        sel = [i for i in range(N_DOCS) if i % 2 == r]
+        sh.add([str(i) for i in sel], DOCS[sel])
+        sh.finalize()
+        p = str(tmp_path / f"shard{r}")
+        sh.save(p)
+        paths.append(p)
+    merged = SparseIndex.merge_saved(paths)
+    assert merged.n_docs == N_DOCS
+    np.testing.assert_array_equal(merged.count_tensor, full.count_tensor)
+    got = merged.search(QS, k=10)
+    want = full.search(QS, k=10)
+    for g, w in zip(got, want):
+        # saved shards round through fp16 weights; ranks at the top must hold
+        overlap = len(set(g) & set(w))
+        assert overlap >= 8, (g, w)
+        best = max(w, key=w.get)
+        assert best in g

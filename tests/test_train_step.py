@@ -163,3 +163,41 @@ def test_checkpoint_dir_layout(tiny_model, tmp_path):
         assert os.path.exists(os.path.join(d, "model.safetensors"))
         assert os.path.exists(os.path.join(d, "config.json"))
         assert os.path.exists(os.path.join(d, "vocab.txt"))
+
+
+def test_loss_moving_average_updates_every_step(tiny_model, tmp_path):
+    """The 0.99-decay ranking-loss moving average is carried in device state
+    and updated EVERY step (reference trainer.py:120-122), not just on
+    logging steps."""
+    ma, da, ta = make_args(output_dir=str(tmp_path))
+    trainer = Trainer(tiny_model, ma, da, ta, mesh=make_mesh(1))
+    expected = 0.0
+    for i in range(4):
+        m = trainer.train_step(make_batch(tiny_model, seed=i))
+        expected = 0.99 * expected + 0.01 * float(m["ranking_loss"])
+        assert float(m["ranking_loss_ma"]) == pytest.approx(expected, rel=1e-5)
+
+
+def test_donate_state_flag_respected(tiny_model, tmp_path):
+    """donate_state=False keeps the previous state buffers alive (no donation
+    error when reusing them)."""
+    ma, da, ta = make_args(output_dir=str(tmp_path))
+    ta.donate_state = False
+    trainer = Trainer(tiny_model, ma, da, ta, mesh=make_mesh(1))
+    prev = trainer.state
+    trainer.train_step(make_batch(tiny_model))
+    # donated buffers raise on use; undonated ones stay readable
+    _ = float(jnp.sum(prev.params["idf_vector"]))
+
+
+def test_step_pins_batch_sharding(tiny_model, mesh8, tmp_path):
+    """With explicit in_shardings, a host batch lands sharded over `data` and
+    the updated state stays replicated."""
+    ma, da, ta = make_args(output_dir=str(tmp_path))
+    ta.dp_size = 8
+    trainer = Trainer(tiny_model, ma, da, ta, mesh=mesh8)
+    m = trainer.train_step(make_batch(tiny_model, B=8, G=2))
+    assert np.isfinite(float(m["loss"]))
+    # params replicated on all 8 devices
+    sh = trainer.state.params["idf_vector"].sharding
+    assert sh.is_fully_replicated
