@@ -291,7 +291,7 @@ def mlm_maxpool(
     cfg: BertConfig,
     hidden: jax.Array,  # [B, L, D]
     attention_mask: jax.Array,  # [B, L]
-    chunk: int = 16,
+    chunk: int = 64,
 ) -> jax.Array:
     """Masked max-pool of MLM logits over the sequence axis WITHOUT ever
     materializing the [B, L, V] logits tensor.
@@ -305,8 +305,7 @@ def mlm_maxpool(
     p = params["mlm_head"]
     cd = cfg.compute_dtype
     B, L, D = hidden.shape
-    if L % chunk != 0:
-        chunk = 1
+    chunk = math.gcd(L, chunk)  # largest divisor of L not above `chunk`
     h = _gelu(_dense(hidden, p["transform"], cd))
     h = _layer_norm(h, p["layer_norm"], cfg.layer_norm_eps)
     wT = _decoder_weight(params).astype(cd).T

@@ -267,7 +267,10 @@ class Trainer:
             teacher_ensemble=teacher_ensemble, mesh=self.mesh,
             donate_state=training_args.donate_state,
         )
-        self._rng = jax.random.PRNGKey(training_args.seed)
+        # rbg PRNG for dropout: ~20 ms/step cheaper than threefry on the
+        # config_l0 shape (377M attention-probs dropout bits/step on v5e);
+        # counter-based and fold_in-compatible like threefry
+        self._rng = jax.random.key(training_args.seed, impl="rbg")
 
     # ------------------------------------------------------------------
     def _place(self, batch):
