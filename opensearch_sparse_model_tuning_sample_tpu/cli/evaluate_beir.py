@@ -15,12 +15,7 @@ import sys
 
 from ..core.config import NANO_BEIR_DATASETS, parse_config, snapshot_config
 from ..core.mesh import make_mesh
-from ..eval.beir import (
-    eval_suffix,
-    evaluate_datasets,
-    load_dataset_auto,
-    synthetic_beir,
-)
+from ..eval.beir import eval_suffix, evaluate_datasets, resolve_dataset
 from ..models import sparse_encoder as se
 from ..utils.logging_utils import set_logging
 
@@ -41,19 +36,16 @@ def prepare_model_args(model_args, output_dir: str, step) -> None:
 
 def _loader(data_args):
     def load(name: str):
-        if name == "synthetic":
-            return synthetic_beir()
-        return load_dataset_auto(data_args.beir_dir, name, split="test")
+        return resolve_dataset(name, data_args.beir_dir, split="test")
 
     return load
 
 
 def main(config_source=None):
     model_args, data_args, training_args = parse_config(config_source)
-    use_yaml = isinstance(config_source, str) or (
-        config_source is None and len(sys.argv) == 2
-    )
-    if use_yaml:
+    # point eval at checkpoint-{max_steps} unless the caller explicitly chose
+    # a model (reference evaluate_beir.py:337-340)
+    if model_args.model_name_or_path is None:
         prepare_model_args(model_args, training_args.output_dir, training_args.max_steps)
 
     suffix = eval_suffix(model_args, data_args)

@@ -12,7 +12,7 @@ import os
 
 from ..core.config import parse_config
 from ..core.mesh import make_mesh
-from ..eval.beir import load_dataset_auto, synthetic_beir
+from ..eval.beir import resolve_dataset
 from ..mine.hard_negatives import mine_hard_negatives
 from ..models import sparse_encoder as se
 from ..utils.logging_utils import set_logging
@@ -31,12 +31,7 @@ def main(config_source=None):
     mesh = make_mesh(training_args.dp_size)
     model = se.from_model_args(model_args, seed=training_args.seed)
 
-    if name == "synthetic":
-        corpus, queries, qrels = synthetic_beir()
-    else:
-        corpus, queries, qrels = load_dataset_auto(
-            data_args.beir_dir, name, split="train"
-        )
+    corpus, queries, qrels = resolve_dataset(name, data_args.beir_dir, split="train")
 
     save_path = os.path.join("data", f"{name}_train")
     rows = mine_hard_negatives(
@@ -49,6 +44,10 @@ def main(config_source=None):
         result_size=50,
         inf_free=model_args.inf_free,
         mesh=mesh,
+        # lexical (idf-weighted bag-of-tokens) doc index: the offline
+        # bootstrap when no pretrained encoder exists (the reference mines
+        # with a pretrained doc-v2 model, demo_train_data.py:23-25)
+        doc_inf_free=data_args.mine_doc_inf_free,
     )
     logger.info("mined %d rows -> %s", len(rows), save_path)
     return rows

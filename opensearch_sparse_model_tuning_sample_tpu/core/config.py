@@ -104,6 +104,9 @@ class DataArguments:
     # Pad-to buckets for tokenized batches; static shapes keep XLA recompiles
     # bounded (one compiled step per bucket).
     seq_buckets: List[int] = field(default_factory=lambda: [64, 128, 256, 512])
+    # Mining bootstrap: build the mining index from idf-weighted bags of
+    # tokens (no trained doc encoder needed) — see cli/mine.py.
+    mine_doc_inf_free: bool = False
     # Index engine knobs for eval/mining (see index.engine.IndexConfig)
     index_engine: str = "auto"
     index_l_max: int = 256

@@ -98,11 +98,15 @@ def load_dataset_auto(root: str, name: str, split: str = "test"):
 
 
 def synthetic_beir(
-    n_docs: int = 200, n_queries: int = 20, seed: int = 0
+    n_docs: int = 200, n_queries: int = 20, seed: int = 0,
+    query_seed: Optional[int] = None,
 ) -> Tuple[Corpus, Queries, Qrels]:
     """Deterministic synthetic retrieval task: each query names the topic
     words of its relevant docs, so a working pipeline scores near-perfect
-    NDCG and a broken one doesn't."""
+    NDCG and a broken one doesn't.
+
+    `query_seed` re-seeds query generation only (same corpus, disjoint
+    query sets -> train/test splits without contamination)."""
     rng = np.random.default_rng(seed)
     vocab = [
         "alpha", "bravo", "charlie", "delta", "echo", "foxtrot", "golf",
@@ -119,6 +123,8 @@ def synthetic_beir(
         words = topic * 3 + filler
         doc_words.append(set(words))
         corpus[f"d{i}"] = {"title": f"about {topic[0]}", "text": " ".join(words)}
+    if query_seed is not None:
+        rng = np.random.default_rng(query_seed)
     queries: Queries = {}
     qrels: Qrels = {}
     for qi in range(n_queries):
@@ -133,6 +139,129 @@ def synthetic_beir(
                 rel[f"d{dj}"] = 1
         qrels[f"q{qi}"] = rel
     return corpus, queries, qrels
+
+
+def _rich_vocab(n_vocab: int) -> List[str]:
+    """Real whole-token words for the rich synthetic task, drawn from the
+    shipped idf asset (assets/idf.npz) so every word is exactly one WordPiece
+    token; falls back to deterministic CV-syllable pseudo-words."""
+    for cand in (
+        os.path.join(os.getcwd(), "assets", "idf.npz"),
+        os.path.join(os.path.dirname(__file__), "..", "..", "assets", "idf.npz"),
+    ):
+        if os.path.exists(cand):
+            blob = np.load(cand, allow_pickle=False)
+            toks = [str(t) for t in blob["tokens"]]
+            words = [t for t in toks if t.isalpha() and 4 <= len(t) <= 10]
+            if len(words) >= n_vocab + 200:
+                # skip the first (most common) words; keep mid-frequency ones
+                return words[200 : 200 + n_vocab]
+            break
+    cons, vow = "bcdfgklmnprstvz", "aeiou"
+    words, i = [], 0
+    while len(words) < n_vocab:
+        w = "".join(
+            cons[(i // (5 ** k)) % 15] + vow[(i // (3 ** k)) % 5] for k in range(3)
+        )
+        if w not in words:
+            words.append(w)
+        i += 1
+    return words
+
+
+def synthetic_beir_rich(
+    n_docs: int = 20000,
+    n_queries: int = 300,
+    seed: int = 0,
+    query_seed: Optional[int] = None,
+    n_vocab: int = 2000,
+) -> Tuple[Corpus, Queries, Qrels]:
+    """Scaled synthetic retrieval benchmark over a real-word vocabulary.
+
+    Docs mix 4 uniformly-sampled topic words (repeated, so each is rare
+    corpus-wide) with 24-48 zipf-sampled common fillers; a query names 3 of
+    one doc's topic words plus one zipf-common noise word that matches
+    thousands of docs. Getting the noise term down-weighted relative to the
+    topic terms is exactly what the reference recipes train
+    (/root/reference/configs/config_infonce.yaml), so NDCG here responds to
+    learned term weighting, not just lexical overlap.
+    """
+    rng = np.random.default_rng(seed)
+    vocab = np.asarray(_rich_vocab(n_vocab))
+    V = len(vocab)
+    zipf_p = 1.0 / np.arange(2, V + 2)
+    zipf_p /= zipf_p.sum()
+
+    corpus: Corpus = {}
+    topics = np.empty((n_docs, 4), dtype=np.int64)
+    doc_topics: List[set] = []
+    for i in range(n_docs):
+        t = rng.choice(V, size=4, replace=False)  # uniform -> rare words
+        topics[i] = t
+        n_fill = int(rng.integers(24, 49))
+        fill = rng.choice(V, size=n_fill, p=zipf_p)
+        words = np.concatenate([np.repeat(t, 3), fill])
+        rng.shuffle(words)
+        doc_topics.append(set(int(x) for x in t) | set(int(x) for x in fill))
+        corpus[f"d{i}"] = {
+            "title": " ".join(vocab[t[:2]]),
+            "text": " ".join(vocab[words]),
+        }
+
+    if query_seed is not None:
+        rng = np.random.default_rng(query_seed)
+    queries: Queries = {}
+    qrels: Qrels = {}
+    src = rng.choice(n_docs, size=n_queries, replace=False)
+    for qi, di in enumerate(src):
+        q_terms = rng.choice(topics[di], size=3, replace=False)
+        noise = int(rng.choice(min(50, V), size=1)[0])  # zipf-head word
+        queries[f"q{qi}"] = " ".join(vocab[q_terms]) + " " + str(vocab[noise])
+        qs = set(int(t) for t in q_terms)
+        rel = {f"d{di}": 2}
+        for dj in range(n_docs):
+            if dj != di and qs <= doc_topics[dj]:
+                rel[f"d{dj}"] = 1
+        qrels[f"q{qi}"] = rel
+    return corpus, queries, qrels
+
+
+# Named synthetic presets; split only re-seeds query generation (shared
+# corpus, disjoint train/test query sets — the BEIR split layout).
+_SPLIT_QSEED = {"train": 101, "test": 202, "dev": 303}
+
+
+def load_synthetic(name: str, split: str = "test"):
+    qseed = _SPLIT_QSEED.get(split, 202)
+    if name == "synthetic":
+        return synthetic_beir(query_seed=qseed)
+    if name == "synthetic-nano":
+        return synthetic_beir_rich(
+            n_docs=2000, n_queries=50, query_seed=qseed, n_vocab=1000
+        )
+    if name == "synthetic-rich" or name.startswith("synthetic-rich-"):
+        n_docs, n_queries = 20000, 300
+        if name.startswith("synthetic-rich-"):
+            spec = name[len("synthetic-rich-"):]
+            n_docs, n_queries = (int(x) for x in spec.split("x"))
+        if split == "train":
+            # a from-scratch backbone only learns the general doc->tokens map
+            # with broad corpus coverage (the reference fine-tunes a
+            # PRETRAINED model from ~300 scifact rows; random init cannot)
+            n_queries = max(n_queries, min(n_docs // 5, 4000))
+        return synthetic_beir_rich(
+            n_docs=n_docs, n_queries=n_queries, query_seed=qseed
+        )
+    raise KeyError(f"unknown synthetic dataset {name!r}")
+
+
+def resolve_dataset(name: str, beir_dir: str, split: str = "test"):
+    """Dataset resolution shared by the CLIs: built-in synthetic names or a
+    local BEIR-format dir (zero-egress stand-in for the reference's HF-hub
+    loading, evaluate_beir.py:55-90)."""
+    if name.startswith("synthetic"):
+        return load_synthetic(name, split)
+    return load_dataset_auto(beir_dir, name, split=split)
 
 
 # ---------------------------------------------------------------------------

@@ -211,3 +211,21 @@ def test_multihost_ingest_reduces_counts(tiny_model, synth, tmp_path):
     merged = SparseIndex.merge_saved(paths)
     assert merged.n_docs == len(corpus)
     assert sorted(merged.doc_ids) == sorted(corpus.keys())
+
+
+def test_synthetic_rich_presets_and_splits():
+    from opensearch_sparse_model_tuning_sample_tpu.eval.beir import load_synthetic
+
+    c, q, r = load_synthetic("synthetic-rich-500x20", split="test")
+    assert len(c) == 500 and len(q) == 20
+    ct, qt, rt = load_synthetic("synthetic-rich-500x20", split="train")
+    assert c == ct, "corpus shared across splits"
+    assert not (set(q.values()) & set(qt.values())), "split queries disjoint"
+    assert len(qt) >= len(q), "train split at least as large (coverage)"
+    c2, q2, r2 = load_synthetic("synthetic-rich-500x20", split="test")
+    assert q2 == q and r2 == r, "deterministic"
+    # every query has its source doc at rel 2 and the noise word is common
+    for qid, rel in r.items():
+        assert 2 in rel.values()
+    cn, qn, _ = load_synthetic("synthetic-nano")
+    assert len(cn) == 2000 and len(qn) == 50
