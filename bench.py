@@ -22,14 +22,13 @@ import numpy as np
 REPO = os.path.dirname(os.path.abspath(__file__))
 
 
-def make_corpus(n_docs, vocab, avg_terms, seed):
+def make_corpus(n_docs, vocab, avg_terms, seed, l_max=128):
     """Vectorized synthetic SPLADE-like corpus: zipf-popular tokens,
     gamma-distributed weights, per-doc lengths ~ Poisson(avg_terms)."""
     rng = np.random.default_rng(seed)
     pop = rng.zipf(1.3, size=vocab).astype(np.float64)
     pop /= pop.sum()
     cdf = np.cumsum(pop)
-    l_max = 128
     # inverse-CDF sampling, all docs at once (duplicates within a doc are
     # fine for a throughput benchmark)
     toks = np.searchsorted(cdf, rng.random((n_docs, l_max))).astype(np.int32)
@@ -102,6 +101,32 @@ def main():
         lat.append(time.time() - tb)
     p50_ms = float(np.median(lat) / qbatch * 1000)
 
+    # inverted engine at scale: corpus far beyond the auto-threshold, where
+    # the scan engine degrades linearly but postings cost stays constant —
+    # the Lucene-analog path that must hold the ">10x OpenSearch" north star
+    # (BASELINE.md) at production corpus sizes
+    n_large = 1 << 22  # 4.19M docs (32x the headline corpus)
+    ltoks, lws = make_corpus(n_large, vocab, avg_terms=80, seed=2, l_max=96)
+    inv_cfg = IndexConfig(
+        engine="inverted", l_max=96, block_docs=4096, query_batch=qbatch,
+        weight_dtype="bfloat16", postings_cap=2048, query_terms=16,
+    )
+    t0 = time.time()
+    inv = SparseIndex(vocab, inv_cfg)
+    inv.doc_ids = [str(i) for i in range(n_large)]
+    inv._tok_chunks = [ltoks]
+    inv._w_chunks = [lws]
+    inv.count_tensor = np.bincount(
+        ltoks[lws > 0].reshape(-1), minlength=vocab
+    ).astype(np.int64)
+    inv.finalize()
+    inv_build_s = time.time() - t0
+    inv.search_tokens(q_tok, q_w, k=k)  # warmup/compile
+    t0 = time.time()
+    inv.search_tokens(q_tok, q_w, k=k)
+    inv_qps = n_queries / (time.time() - t0)
+    del inv, ltoks, lws
+
     # encoder forward throughput (the ingest hot path)
     from opensearch_sparse_model_tuning_sample_tpu.models import sparse_encoder as se
 
@@ -146,6 +171,7 @@ def main():
     state = T.TrainState(
         params=jax.tree_util.tree_map(jnp.array, model.params),
         opt_state=tx.init(model.params), step=jnp.asarray(0, jnp.int32),
+        loss_ma=jnp.asarray(0.0, jnp.float32),
     )
     N_CHAIN = 10
 
@@ -181,6 +207,8 @@ def main():
                 "vs_baseline": round(qps / anchor, 3),
                 "extra": {
                     "p50_query_latency_ms": round(p50_ms, 3),
+                    "inverted_qps_4m_docs": round(inv_qps, 1),
+                    "inverted_build_s_4m_docs": round(inv_build_s, 1),
                     "index_build_s": round(build_s, 2),
                     "encoder_docs_per_sec_mini_L128": round(enc_dps, 1),
                     "train_docs_per_sec_mini_L128": round(train_dps, 1),
