@@ -105,7 +105,7 @@ def main():
     # the scan engine degrades linearly but postings cost stays constant —
     # the Lucene-analog path that must hold the ">10x OpenSearch" north star
     # (BASELINE.md) at production corpus sizes
-    n_large = 1 << 22  # 4.19M docs (32x the headline corpus)
+    n_large = 1 << 21  # 2.1M docs (16x the headline corpus, 8x auto-threshold)
     ltoks, lws = make_corpus(n_large, vocab, avg_terms=80, seed=2, l_max=96)
     inv_cfg = IndexConfig(
         engine="inverted", l_max=96, block_docs=4096, query_batch=qbatch,
@@ -207,8 +207,8 @@ def main():
                 "vs_baseline": round(qps / anchor, 3),
                 "extra": {
                     "p50_query_latency_ms": round(p50_ms, 3),
-                    "inverted_qps_4m_docs": round(inv_qps, 1),
-                    "inverted_build_s_4m_docs": round(inv_build_s, 1),
+                    "inverted_qps_2m_docs": round(inv_qps, 1),
+                    "inverted_build_s_2m_docs": round(inv_build_s, 1),
                     "index_build_s": round(build_s, 2),
                     "encoder_docs_per_sec_mini_L128": round(enc_dps, 1),
                     "train_docs_per_sec_mini_L128": round(train_dps, 1),
