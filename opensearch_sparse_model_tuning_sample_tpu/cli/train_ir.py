@@ -109,6 +109,17 @@ def main(config_source=None):
         model, model_args, data_args, training_args,
         loss_specs=loss_specs, teacher_ensemble=teacher_ensemble, mesh=mesh,
     )
+    if training_args.resume:
+        state_dir = os.path.join(
+            os.path.abspath(training_args.output_dir), "train_state"
+        )
+        if os.path.isdir(state_dir):
+            trainer.restore_train_state(state_dir)
+            logger.info("resumed from %s at step %d", state_dir,
+                        int(trainer.state.step))
+        else:
+            logger.info("resume requested but no train_state at %s; fresh run",
+                        state_dir)
 
     def batches():
         for batch in epochs(loader, training_args.max_steps):

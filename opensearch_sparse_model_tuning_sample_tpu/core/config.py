@@ -147,6 +147,11 @@ class TrainingArguments:
     dp_size: int = -1
     donate_state: bool = True
     profile_dir: Optional[str] = None
+    # Resume from {output_dir}/train_state (orbax full state: params +
+    # optimizer + step + loss moving average) — exact-resume capability the
+    # reference lacks (SURVEY §5). The data iterator restarts from the
+    # beginning; step count continues where it left off.
+    resume: bool = False
 
     def __post_init__(self):
         self.max_grad_norm = _null(self.max_grad_norm)

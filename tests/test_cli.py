@@ -199,3 +199,22 @@ def test_parse_config_cli_flags(tmp_path, monkeypatch):
     _, _, ta = parse_config()
     assert ta.max_steps == 11  # flag overrides YAML
     assert ta.learning_rate == 1.0e-4
+
+
+def test_train_resume_continues_step_count(smoke_cfg, tmp_path, monkeypatch):
+    """--resume restores the orbax train_state (params+opt+step+loss_ma) and
+    continues from the saved step (exact-resume, beyond the reference)."""
+    from opensearch_sparse_model_tuning_sample_tpu.cli import mine, train_ir
+
+    path, cfg = smoke_cfg
+    redirect_mine_save_path(monkeypatch, cfg["train_file"])
+    mine.main(path)
+    t1 = train_ir.main(dict(cfg))
+    assert int(t1.state.step) == 6
+    cfg2 = dict(cfg)
+    cfg2["resume"] = True
+    cfg2["max_steps"] = 10
+    t2 = train_ir.main(cfg2)
+    assert int(t2.state.step) == 10
+    # the resumed run continued from step 6, not from scratch
+    assert float(t2.state.loss_ma) != 0.0
