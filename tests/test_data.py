@@ -248,3 +248,88 @@ def test_miracl_datasets():
     assert len(tds) == 2
     assert tds[0] == {"query": "q", "pos": "p1", "negs": ["n1"]}
     assert tds[1]["pos"] == "p2"
+
+
+# ----------------------------------------------- restored-module edge cases
+
+
+def test_loader_propagates_worker_exceptions():
+    """Prefetch-thread errors must surface in the consumer, not hang."""
+    rows = [{"query": "q", "pos": "p", "negs": ["n"]}] * 4
+    ds = PosNegsDataset(rows, sample_num=1)
+
+    def bad_collate(_rows):
+        raise RuntimeError("collate boom")
+
+    loader = DataLoader(ds, batch_size=2, collate_fn=bad_collate, prefetch=2)
+    with pytest.raises(RuntimeError, match="collate boom"):
+        list(loader)
+
+
+def test_loader_reshuffles_across_epochs(tok):
+    rows = [{"query": f"q{i}", "pos": f"p{i}", "negs": ["n"]} for i in range(16)]
+    ds = PosNegsDataset(rows, sample_num=1)
+    ident = lambda r: [q for q, _, _ in r]
+    loader = DataLoader(ds, batch_size=4, collate_fn=ident, seed=7)
+    e1 = [q for b in loader for q in b]
+    e2 = [q for b in loader for q in b]
+    assert sorted(e1) == sorted(e2) and e1 != e2
+
+
+def test_msmarco_kd_join(tmp_path):
+    import json
+
+    from opensearch_sparse_model_tuning_sample_tpu.data.datasets import (
+        MsMarcoKDDataset,
+    )
+
+    score_path = tmp_path / "scores.json"
+    json.dump(
+        {"7": {"doc_id": ["d1", "d2", "d3", "d4"], "score": [4.0, 3.0, 2.0, 1.0]}},
+        open(score_path, "w"),
+    )
+    corpus = {f"d{i}": {"text": f"text {i}"} for i in range(1, 5)}
+    queries = {"7": "the query"}
+    ds = MsMarcoKDDataset(str(score_path), corpus=corpus, queries=queries,
+                          sample_num=2)
+    # 4 docs, sample_num 2 -> 2 strided groups
+    assert len(ds) == 2
+    q, docs, scores = ds[0]
+    assert q == "the query" and docs == ["text 1", "text 3"]
+    assert scores == [4.0, 2.0]
+
+
+def test_msmarco_transform_str_repairs_mojibake():
+    from opensearch_sparse_model_tuning_sample_tpu.data.datasets import (
+        MsMarcoKDDataset,
+    )
+
+    broken = "cafÃ©"  # 'café' mis-decoded as latin1
+    assert MsMarcoKDDataset.transform_str(broken) == "café"
+    assert MsMarcoKDDataset.transform_str("plain") == "plain"
+
+
+def test_load_datasets_combines_subdirs(tmp_path):
+    import datasets as hfds
+
+    from opensearch_sparse_model_tuning_sample_tpu.data.datasets import (
+        CombinedDataset,
+        load_datasets,
+    )
+
+    root = tmp_path / "root"
+    for name, n in [("a", 3), ("b", 2)]:
+        rows = [{"query": f"{name}{i}", "pos": "p", "negs": ["n1", "n2"]}
+                for i in range(n)]
+        hfds.Dataset.from_list(rows).save_to_disk(str(root / name))
+
+    ds = load_datasets(str(root), "posnegs", sample_num_one_query=2,
+                       rank=0, world_size=1)
+    assert isinstance(ds, CombinedDataset)
+    assert len(ds) == 5  # (3 + 2 rows) x one 2-neg chunk each
+    # sharded two ways, the halves partition the data
+    s0 = load_datasets(str(root), "posnegs", sample_num_one_query=2,
+                       rank=0, world_size=2)
+    s1 = load_datasets(str(root), "posnegs", sample_num_one_query=2,
+                       rank=1, world_size=2)
+    assert len(s0) + len(s1) <= 5  # drop=True trims to a multiple
