@@ -13,6 +13,20 @@ answers with an OpenSearch-shaped hits envelope.
 Endpoints:
     GET  /                      cluster-info stub
     GET  /_health               {"status": "green"}
+    PUT  /{index}               create index (settings.index may carry
+                                l_max/engine/block_docs overrides; the
+                                reference's shards/replicas are accepted
+                                and ignored — sharding is the mesh's job)
+    DELETE /{index}             delete index
+    POST /_bulk                 NDJSON: {"index": {"_index", "_id"}} action
+                                lines + doc lines {"text_sparse": {tok: w}}
+                                or {"text": "..."} (encoded server-side) —
+                                the reference's ingest wire format
+                                (ingest.py:88-106)
+    POST /{index}/_refresh      make buffered docs searchable (finalize)
+    PUT  /_search/pipeline/{p}  ack the two-phase pipeline install
+                                (reference search.py:27-42); searches sent
+                                with ?search_pipeline={p} run two-phase
     POST /{index}/_search       {"query": {"neural_sparse": {"text_sparse":
                                   {"query_tokens": {tok: w}} |
                                   {"query_text": "...", "inf_free": bool}}},
@@ -45,23 +59,113 @@ logger = logging.getLogger(__name__)
 class ServingState:
     """Model + named indexes + the device lock."""
 
-    def __init__(self, model, indexes: Dict[str, object], max_length: int = 512):
+    def __init__(self, model, indexes: Dict[str, object], max_length: int = 512,
+                 index_cfg=None):
+        from ..index.engine import IndexConfig
         from ..models.sparse_encoder import BatchEncoder
 
         self.model = model
         self.indexes = indexes
         self.encoder = BatchEncoder(model, max_length=max_length, do_count=False)
         self.lock = threading.Lock()
+        self.index_cfg = index_cfg or IndexConfig()
+        self.pipelines: Dict[str, dict] = {}
 
     def encode(self, texts, inf_free: bool = True):
         with self.lock:
             return self.encoder.encode(texts, inf_free=inf_free)
 
-    def search(self, index_name: str, body: dict) -> dict:
+    # ------------------------------------------------------- write path
+    def create_index(self, name: str, body: dict):
+        """PUT /{index}: reference ingest.py:66-82 creates a rank_features
+        index; settings.index here may override l_max/engine/block_docs."""
+        import dataclasses
+
+        from ..index.engine import SparseIndex
+
+        settings = (body or {}).get("settings", {}).get("index", {})
+        overrides = {
+            k: settings[k]
+            for k in ("l_max", "engine", "block_docs", "postings_cap",
+                      "query_batch")
+            if k in settings
+        }
+        cfg = dataclasses.replace(self.index_cfg, **overrides)
+        with self.lock:
+            if name in self.indexes:
+                raise KeyError(f"index {name} already exists")
+            self.indexes[name] = SparseIndex(self.model.vocab_size, cfg)
+
+    def delete_index(self, name: str) -> bool:
+        with self.lock:
+            return self.indexes.pop(name, None) is not None
+
+    def bulk(self, raw: bytes) -> dict:
+        """POST /_bulk (NDJSON): action line + source line per doc, with
+        `text_sparse` token->weight maps (the reference's encode-client-side
+        path) or raw `text` encoded here. Docs land in the in-memory buffer;
+        a _refresh (or the next search) makes them visible."""
+        t0 = time.time()
+        lines = [json.loads(l) for l in raw.splitlines() if l.strip()]
+        if len(lines) % 2:
+            raise ValueError("bulk body must be action/source line pairs")
+        per_index: Dict[str, list] = {}
+        items = []
+        for action, source in zip(lines[::2], lines[1::2]):
+            op = next(iter(action))
+            if op != "index":
+                raise ValueError(f"unsupported bulk op {op!r}")
+            idx_name = action[op]["_index"]
+            doc_id = str(action[op].get("_id", ""))
+            per_index.setdefault(idx_name, []).append((doc_id, source))
+            items.append({"index": {"_index": idx_name, "_id": doc_id,
+                                    "status": 201, "result": "created"}})
+        vocab = self.model.tokenizer.vocab
+        with self.lock:
+            for idx_name, docs in per_index.items():
+                if idx_name not in self.indexes:
+                    raise KeyError(f"no index {idx_name}")
+                index = self.indexes[idx_name]
+                index.reopen()
+                ids = [d for d, _ in docs]
+                sparse = [s.get("text_sparse") for _, s in docs]
+                if all(s is not None for s in sparse):
+                    L = max(max((len(s) for s in sparse), default=1), 1)
+                    toks = np.zeros((len(docs), L), np.int32)
+                    ws = np.zeros((len(docs), L), np.float32)
+                    for r, tw in enumerate(sparse):
+                        pairs = sorted(
+                            ((vocab[t], float(w)) for t, w in tw.items()
+                             if t in vocab),
+                            key=lambda p: -p[1],
+                        )
+                        for c, (i, w) in enumerate(pairs):
+                            toks[r, c], ws[r, c] = i, w
+                    index.add_topk(ids, toks, ws)
+                else:
+                    texts = [s.get("text", "") for _, s in docs]
+                    toks, ws = self.encoder.encode_batch_sparse(
+                        texts, l_max=index.cfg.l_max
+                    )
+                    index.add_topk(ids, toks, ws)
+        return {
+            "took": int((time.time() - t0) * 1000),
+            "errors": False,
+            "items": items,
+        }
+
+    def refresh(self, name: str):
+        with self.lock:
+            self.indexes[name].finalize()
+
+    # -------------------------------------------------------- read path
+    def search(self, index_name: str, body: dict, two_phase_param: bool = False) -> dict:
         index = self.indexes[index_name]
+        if not index._finalized:
+            index.finalize()  # near-real-time semantics: search refreshes
         k = int(body.get("size", 10))
         prune = float(body.get("query_prune", 0.0))
-        two_phase = bool(body.get("two_phase", False))
+        two_phase = bool(body.get("two_phase", False)) or two_phase_param
         ns = body["query"]["neural_sparse"]
         field = next(iter(ns))
         spec = ns[field]
@@ -132,25 +236,72 @@ def make_handler(state: ServingState):
             else:
                 self._send(404, {"error": f"no route {self.path}"})
 
+        def _split(self):
+            from urllib.parse import parse_qs, urlparse
+
+            u = urlparse(self.path)
+            return [p for p in u.path.split("/") if p], parse_qs(u.query)
+
         def do_POST(self):
             try:
-                parts = [p for p in self.path.split("/") if p]
+                parts, params = self._split()
                 if parts == ["_encode"]:
                     body = self._body()
                     out = state.encode(
                         body["texts"], inf_free=body.get("inf_free", True)
                     )
                     self._send(200, {"embeddings": out})
+                elif parts == ["_bulk"]:
+                    n = int(self.headers.get("Content-Length", 0))
+                    self._send(200, state.bulk(self.rfile.read(n)))
+                elif len(parts) == 2 and parts[1] == "_refresh":
+                    if parts[0] not in state.indexes:
+                        self._send(404, {"error": f"no index {parts[0]}"})
+                        return
+                    state.refresh(parts[0])
+                    self._send(200, {"_shards": {"successful": 1, "failed": 0}})
                 elif len(parts) == 2 and parts[1] == "_search":
                     if parts[0] not in state.indexes:
                         self._send(404, {"error": f"no index {parts[0]}"})
                         return
-                    self._send(200, state.search(parts[0], self._body()))
+                    two_phase = "search_pipeline" in params
+                    self._send(
+                        200,
+                        state.search(parts[0], self._body(),
+                                     two_phase_param=two_phase),
+                    )
                 else:
                     self._send(404, {"error": f"no route {self.path}"})
             except Exception as e:  # noqa: BLE001 — serving surface
                 logger.exception("request failed")
                 self._send(400, {"error": f"{type(e).__name__}: {e}"})
+
+        def do_PUT(self):
+            try:
+                parts, _ = self._split()
+                if len(parts) == 3 and parts[:2] == ["_search", "pipeline"]:
+                    state.pipelines[parts[2]] = self._body()
+                    self._send(200, {"acknowledged": True})
+                elif len(parts) == 1:
+                    state.create_index(parts[0], self._body())
+                    self._send(200, {"acknowledged": True, "index": parts[0]})
+                else:
+                    self._send(404, {"error": f"no route {self.path}"})
+            except KeyError as e:
+                self._send(400, {"error": str(e)})
+            except Exception as e:  # noqa: BLE001 — serving surface
+                logger.exception("request failed")
+                self._send(400, {"error": f"{type(e).__name__}: {e}"})
+
+        def do_DELETE(self):
+            parts, _ = self._split()
+            if len(parts) == 1:
+                if state.delete_index(parts[0]):
+                    self._send(200, {"acknowledged": True})
+                else:
+                    self._send(404, {"error": f"no index {parts[0]}"})
+            else:
+                self._send(404, {"error": f"no route {self.path}"})
 
     return Handler
 

@@ -266,6 +266,35 @@ class SparseIndex:
             n, n_pad, self._engine, n_shards,
         )
 
+    def reopen(self):
+        """Back to ingest mode after finalize(): recover the host-side rows
+        from the device arrays so more docs can be added, then finalize()
+        again. This is the add -> _refresh -> search -> add-more loop the
+        OpenSearch serving surface speaks (reference ingest.py:88-106 bulk +
+        implicit refresh). Weights round-trip through the configured device
+        dtype (bf16 by default), which is the same precision search uses."""
+        if not self._finalized:
+            return
+        n = self.n_docs
+        if self._tok_dev is not None:
+            if n:
+                self._tok_chunks = [np.asarray(self._tok_dev)[:n].astype(np.int32)]
+                self._w_chunks = [
+                    np.asarray(jnp.asarray(self._docs_dev[:n], jnp.float32))
+                ]
+        else:  # dense engine: _docs_dev is the padded [n_pad, V] matrix
+            if n:
+                self._dense_chunks = [
+                    np.asarray(jnp.asarray(self._docs_dev[:n], jnp.float32))
+                ]
+        self._docs_dev = None
+        self._tok_dev = None
+        self._post_docs = None
+        self._post_w = None
+        self._search_fns = {}
+        self._q_builder = None
+        self._finalized = False
+
     # ------------------------------------------------------------- search
     def _build_search_fn(self, k: int, two_phase: bool = False,
                          engine: Optional[str] = None):

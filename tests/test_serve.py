@@ -112,3 +112,118 @@ def test_bad_body_is_400_not_crash(server):
         assert e.code == 400
     # server still alive
     assert _get(f"{server}/_health")["status"] == "green"
+
+
+def _request(url, data: bytes, method: str, ctype="application/json"):
+    req = urllib.request.Request(
+        url, data=data, headers={"Content-Type": ctype}, method=method
+    )
+    with urllib.request.urlopen(req) as r:
+        return json.loads(r.read())
+
+
+def test_full_opensearch_write_loop(server):
+    """The reference client's whole ingest flow against our server: create
+    index -> _bulk pre-encoded text_sparse docs -> _refresh -> search ->
+    _bulk more -> search sees them -> delete (reference ingest.py:59-106)."""
+    # create (reference settings accepted; ours may override engine knobs)
+    res = _request(f"{server}/writeidx", json.dumps({
+        "settings": {"index": {"number_of_shards": 12, "number_of_replicas": 0,
+                               "l_max": 16, "engine": "sparse",
+                               "block_docs": 32, "query_batch": 4}},
+        "mappings": {"properties": {"text_sparse": {"type": "rank_features"}}},
+    }).encode(), "PUT")
+    assert res["acknowledged"] is True
+
+    bulk = b""
+    for i, (tok, w) in enumerate([("cat", 3.0), ("dog", 2.5), ("fish", 1.5)]):
+        bulk += json.dumps({"index": {"_index": "writeidx", "_id": f"w{i}"}}).encode() + b"\n"
+        bulk += json.dumps({"text_sparse": {tok: w, "animal": 1.0}}).encode() + b"\n"
+    res = _request(f"{server}/_bulk", bulk, "POST", "application/x-ndjson")
+    assert res["errors"] is False and len(res["items"]) == 3
+
+    res = _request(f"{server}/writeidx/_refresh", b"", "POST")
+    assert res["_shards"]["failed"] == 0
+
+    res = _post(f"{server}/writeidx/_search", {
+        "query": {"neural_sparse": {"text_sparse": {
+            "query_tokens": {"cat": 2.0}}}},
+        "size": 2,
+    })
+    assert res["hits"]["hits"][0]["_id"] == "w0"
+    assert res["hits"]["hits"][0]["_score"] == pytest.approx(6.0, rel=0.01)
+
+    # add more docs after the index was already searchable (reopen path)
+    bulk = (
+        json.dumps({"index": {"_index": "writeidx", "_id": "w9"}}).encode()
+        + b"\n"
+        + json.dumps({"text_sparse": {"cat": 9.0}}).encode()
+        + b"\n"
+    )
+    _request(f"{server}/_bulk", bulk, "POST", "application/x-ndjson")
+    # no explicit refresh: search finalizes pending docs (NRT semantics)
+    res = _post(f"{server}/writeidx/_search", {
+        "query": {"neural_sparse": {"text_sparse": {
+            "query_tokens": {"cat": 1.0}}}},
+        "size": 2,
+    })
+    assert res["hits"]["hits"][0]["_id"] == "w9"
+    # earlier docs survived the reopen round-trip
+    assert {h["_id"] for h in res["hits"]["hits"]} == {"w9", "w0"}
+
+    assert _request(f"{server}/writeidx", b"", "DELETE")["acknowledged"]
+
+
+def test_bulk_server_side_encoding(server):
+    """Bulk docs with raw `text` (no text_sparse) are encoded on-device."""
+    _request(f"{server}/encidx", json.dumps({
+        "settings": {"index": {"l_max": 16, "engine": "sparse",
+                               "block_docs": 32, "query_batch": 4}},
+    }).encode(), "PUT")
+    bulk = (
+        json.dumps({"index": {"_index": "encidx", "_id": "t0"}}).encode()
+        + b"\n" + json.dumps({"text": "the quick brown fox"}).encode() + b"\n"
+        + json.dumps({"index": {"_index": "encidx", "_id": "t1"}}).encode()
+        + b"\n" + json.dumps({"text": "an unrelated document"}).encode() + b"\n"
+    )
+    res = _request(f"{server}/_bulk", bulk, "POST", "application/x-ndjson")
+    assert res["errors"] is False
+    # the model is random-init, so derive the query from doc t0's own
+    # server-side encoding: its strongest token must retrieve it
+    emb = _post(f"{server}/_encode",
+                {"texts": ["the quick brown fox"], "inf_free": False})
+    top_tok = max(emb["embeddings"][0], key=emb["embeddings"][0].get)
+    res = _post(f"{server}/encidx/_search", {
+        "query": {"neural_sparse": {"text_sparse": {
+            "query_tokens": {top_tok: 1.0}}}},
+        "size": 1,
+    })
+    assert res["hits"]["hits"][0]["_id"] == "t0"
+    _request(f"{server}/encidx", b"", "DELETE")
+
+
+def test_two_phase_pipeline_param(server):
+    """PUT the two-phase pipeline + ?search_pipeline= param
+    (reference search.py:27-42, utils.py:77-78)."""
+    res = _request(
+        f"{server}/_search/pipeline/neural_search_pipeline",
+        json.dumps({"request_processors": [
+            {"neural_sparse_two_phase_processor": {"tag": "neural-sparse"}}
+        ]}).encode(),
+        "PUT",
+    )
+    assert res["acknowledged"] is True
+    res = _post(
+        f"{server}/testidx/_search?search_pipeline=neural_search_pipeline",
+        {"query": {"neural_sparse": {"text_sparse": {
+            "query_tokens": {"the": 3.0}}}}, "size": 3},
+    )
+    assert res["hits"]["hits"][0]["_id"] == "7"
+
+
+def test_create_existing_index_is_400(server):
+    try:
+        _request(f"{server}/testidx", b"{}", "PUT")
+        raise AssertionError("expected 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
