@@ -192,35 +192,43 @@ def make_search_fn(
         ids = jnp.where(valid, docs, _PAD_ID).reshape(B, TC)
         part = jnp.where(valid, part, 0.0).reshape(B, TC)
 
-        # sort-merge by doc id per query row
-        order = jnp.argsort(ids, axis=1)
-        sid = jnp.take_along_axis(ids, order, axis=1)
-        sp = jnp.take_along_axis(part, order, axis=1)
-        is_start = jnp.concatenate(
-            [jnp.ones((B, 1), bool), sid[:, 1:] != sid[:, :-1]], axis=1
+        # sort-merge by doc id per query row: one two-operand sort carries
+        # the partial scores along with the ids (no argsort + gathers), then
+        # the per-doc sums come from a cumsum/cummax segmented reduction —
+        # sums are read at each id-run's last element as cumsum minus the
+        # previous run-end's cumsum (propagated forward with a cummax, valid
+        # because partials are >= 0 so the cumsum is nondecreasing). No
+        # scatter/segment ops anywhere, so XLA lowers the whole merge to
+        # sort + two scans.
+        sid, sp = jax.lax.sort((ids, part), dimension=1, num_keys=1)
+        cs = jnp.cumsum(sp, axis=1)
+        is_end = jnp.concatenate(
+            [sid[:, 1:] != sid[:, :-1], jnp.ones((B, 1), bool)], axis=1
         )
-        seg = jnp.cumsum(is_start.astype(jnp.int32), axis=1) - 1  # [B, TC]
+        end_cs = jnp.where(is_end, cs, 0.0)
+        prev_end = jax.lax.cummax(
+            jnp.concatenate([jnp.zeros((B, 1), cs.dtype), end_cs[:, :-1]], axis=1),
+            axis=1,
+        )
+        sums = jnp.where(is_end & (sid != _PAD_ID), cs - prev_end, -jnp.inf)
+        rid = sid
 
-        def merge_row(sp_row, seg_row, sid_row):
-            sums = jax.ops.segment_sum(sp_row, seg_row, num_segments=TC)
-            rid = jax.ops.segment_min(sid_row, seg_row, num_segments=TC)
-            return sums, rid
-
-        sums, rid = jax.vmap(merge_row)(sp, seg, sid)
-        sums = jnp.where(rid == _PAD_ID, -jnp.inf, sums)
-
+        # positions that are not a run end hold a real doc id with a -inf
+        # sum — any top_k selection of a -inf slot must be masked to PAD or
+        # it would duplicate that doc downstream
         if not rescore:
             s, sel = jax.lax.top_k(sums, k)
-            return s, jnp.where(
-                jnp.take_along_axis(rid, sel, axis=1) == _PAD_ID,
-                -1,
-                jnp.take_along_axis(rid, sel, axis=1),
+            i = jnp.where(
+                jnp.isfinite(s), jnp.take_along_axis(rid, sel, axis=1), _PAD_ID
             )
+            return s, jnp.where(i == _PAD_ID, -1, i)
 
         # exact rescore of the top candidate pool against doc-major rows
         k1 = min(4 * k, TC)
-        _, sel = jax.lax.top_k(sums, k1)
-        cand = jnp.take_along_axis(rid, sel, axis=1)  # [B, k1]
+        s1, sel = jax.lax.top_k(sums, k1)
+        cand = jnp.where(
+            jnp.isfinite(s1), jnp.take_along_axis(rid, sel, axis=1), _PAD_ID
+        )  # [B, k1]
         safe = jnp.clip(cand, 0, doc_toks.shape[0] - 1)
         ct = doc_toks[safe].astype(jnp.int32)  # [B, k1, L]
         cw = doc_ws[safe].astype(jnp.float32)
