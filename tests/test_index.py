@@ -262,6 +262,28 @@ def test_inverted_engine_no_rescore():
         assert set(g.keys()) == set(w.keys())
 
 
+def test_inverted_small_corpus_no_duplicates():
+    """When the finite candidate pool is smaller than the top-k expansion
+    (k1 = 4k), -inf merge slots carry real doc ids; selecting them must not
+    resurrect a doc twice (regression: duplicate candidates survived the
+    exact rescore and crowded true hits out of the top-k)."""
+    n = 8
+    docs = make_sparse_reps(n, nnz=10, seed=11)
+    for rescore in (True, False):
+        cfg = IndexConfig(engine="inverted", l_max=16, block_docs=8,
+                          query_batch=4, weight_dtype="float32",
+                          postings_cap=n, query_terms=16,
+                          inverted_rescore=rescore)
+        idx = SparseIndex(V, cfg)
+        idx.add([str(i) for i in range(n)], docs)
+        idx.finalize()
+        qs = make_sparse_reps(4, nnz=8, seed=12)
+        brute = qs @ docs.T
+        for qi, h in enumerate(idx.search(qs, k=10)):
+            matching = set(map(str, np.nonzero(brute[qi] > 0)[0]))
+            assert set(h.keys()) == matching, (rescore, qi)
+
+
 def test_inverted_build_postings_ordering():
     from opensearch_sparse_model_tuning_sample_tpu.index.inverted import (
         build_postings,
