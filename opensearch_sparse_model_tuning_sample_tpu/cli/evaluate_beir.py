@@ -32,6 +32,11 @@ def prepare_model_args(model_args, output_dir: str, step) -> None:
             idf = os.path.join(ckpt, "idf.json")
             if os.path.exists(idf):
                 model_args.idf_path = idf
+    else:
+        logger.warning(
+            "no trained checkpoint at %s — evaluating %s as configured",
+            ckpt, model_args.model_name_or_path,
+        )
 
 
 def _loader(data_args):
@@ -41,12 +46,29 @@ def _loader(data_args):
     return load
 
 
+def resolve_eval_model(model_args, training_args, config_source, argv) -> None:
+    """Point eval at the trained checkpoint-{max_steps}. The reference does
+    this UNCONDITIONALLY for yaml-driven runs (evaluate_beir.py:337-340):
+    a yaml's model_name_or_path is the *training starting point* (e.g. a
+    prior run's checkpoint), not the model to evaluate. Only an explicit
+    --model_name_or_path CLI flag (or a programmatic dict source that sets
+    it) selects the eval model directly."""
+    if config_source is None:
+        explicit_model = any(
+            a == "--model_name_or_path" or a.startswith("--model_name_or_path=")
+            for a in argv
+        )
+    elif isinstance(config_source, str):  # programmatic yaml path == CLI yaml
+        explicit_model = False
+    else:  # programmatic dict: the caller's model choice is authoritative
+        explicit_model = model_args.model_name_or_path is not None
+    if not explicit_model:
+        prepare_model_args(model_args, training_args.output_dir, training_args.max_steps)
+
+
 def main(config_source=None):
     model_args, data_args, training_args = parse_config(config_source)
-    # point eval at checkpoint-{max_steps} unless the caller explicitly chose
-    # a model (reference evaluate_beir.py:337-340)
-    if model_args.model_name_or_path is None:
-        prepare_model_args(model_args, training_args.output_dir, training_args.max_steps)
+    resolve_eval_model(model_args, training_args, config_source, sys.argv[1:])
 
     suffix = eval_suffix(model_args, data_args)
     snapshot_config(

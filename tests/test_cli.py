@@ -218,3 +218,45 @@ def test_train_resume_continues_step_count(smoke_cfg, tmp_path, monkeypatch):
     assert int(t2.state.step) == 10
     # the resumed run continued from step 6, not from scratch
     assert float(t2.state.loss_ma) != 0.0
+
+
+def test_eval_model_resolution(tmp_path):
+    """Yaml-driven eval always redirects to checkpoint-{max_steps}, even when
+    the yaml names a starting backbone (reference evaluate_beir.py:331-341:
+    prepare_model_args is unconditional for yaml runs). An explicit
+    --model_name_or_path flag or a dict source's model wins instead."""
+    from opensearch_sparse_model_tuning_sample_tpu.cli.evaluate_beir import (
+        resolve_eval_model,
+    )
+    from opensearch_sparse_model_tuning_sample_tpu.core.config import parse_config
+
+    out = tmp_path / "run"
+    ckpt = out / "checkpoint-7"
+    ckpt.mkdir(parents=True)
+    base = {"output_dir": str(out), "max_steps": 7,
+            "model_name_or_path": "some/starting_backbone"}
+
+    # yaml path source: redirect to the trained checkpoint
+    ma, _, ta = parse_config(dict(base))
+    resolve_eval_model(ma, ta, "cfg.yaml", [])
+    assert ma.model_name_or_path == str(ckpt)
+
+    # CLI argv without the model flag: redirect
+    ma, _, ta = parse_config(dict(base))
+    resolve_eval_model(ma, ta, None, ["cfg.yaml", "--max_steps", "7"])
+    assert ma.model_name_or_path == str(ckpt)
+
+    # CLI argv WITH the model flag: keep the explicit choice
+    ma, _, ta = parse_config(dict(base))
+    resolve_eval_model(ma, ta, None, ["cfg.yaml", "--model_name_or_path", "x"])
+    assert ma.model_name_or_path == "some/starting_backbone"
+
+    # dict source with a model set: caller's choice is authoritative
+    ma, _, ta = parse_config(dict(base))
+    resolve_eval_model(ma, ta, dict(base), [])
+    assert ma.model_name_or_path == "some/starting_backbone"
+
+    # missing checkpoint dir: keep the configured model (warn, don't clobber)
+    ma, _, ta = parse_config(dict(base, max_steps=99))
+    resolve_eval_model(ma, ta, "cfg.yaml", [])
+    assert ma.model_name_or_path == "some/starting_backbone"

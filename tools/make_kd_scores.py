@@ -30,9 +30,21 @@ def main(argv=None):
     p.add_argument("--out", required=True)
     p.add_argument("--docs-per-query", type=int, default=8,
                    help="pos + (n-1) negs kept per row")
+    p.add_argument("--random-negs", type=int, default=0,
+                   help="of the docs-per-query-1 negatives, draw this many "
+                        "uniformly from OTHER queries' docs instead of the "
+                        "row's mined hard negatives. Real KD score sets "
+                        "(msmarco-hard-negatives) mix systems of very "
+                        "different strength, so their negative pools span "
+                        "easy docs too; pure top-k mined negatives teach "
+                        "nothing about separating relevant docs from the "
+                        "rest of the corpus, and kldiv-only training then "
+                        "loses that separation (measured: NDCG@10 0.97 -> "
+                        "0.71 on the synthetic task at 0 random negs).")
     p.add_argument("--max-length", type=int, default=256)
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--query-inf-free", action="store_true", default=True)
+    p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
     import datasets as hfds
@@ -43,10 +55,19 @@ def main(argv=None):
     enc = se.BatchEncoder(model, max_length=args.max_length, do_count=False)
 
     src = hfds.Dataset.load_from_disk(args.posnegs)
+    rng = np.random.default_rng(args.seed)
+    pool = []  # all docs across rows, for --random-negs draws
+    if args.random_negs:
+        for r in src:
+            pool.append(r["pos"])
+            pool.extend(r["negs"])
     rows = []
     flat_q, flat_docs, spans = [], [], []
     for r in src:
-        docs = [r["pos"]] + list(r["negs"])[: args.docs_per_query - 1]
+        n_hard = args.docs_per_query - 1 - args.random_negs
+        docs = [r["pos"]] + list(r["negs"])[: max(n_hard, 0)]
+        for j in rng.integers(0, len(pool), size=args.random_negs) if pool else []:
+            docs.append(pool[j])
         if len(docs) < 2:
             continue
         spans.append((len(flat_docs), len(docs)))
@@ -67,7 +88,12 @@ def main(argv=None):
 
     for i, (start, n) in enumerate(spans):
         scores = d_reps[start : start + n] @ q_reps[i]
-        rows[i]["scores"] = [float(x) for x in scores]
+        # rank-order docs by teacher score: KnowledgeDistillDataset's strided
+        # grouping (datasets.py:61-106, reference dataset.py:193-196) assumes
+        # rank-ordered rows, as real KD score sets are
+        order = np.argsort(-scores)
+        rows[i]["docs"] = [rows[i]["docs"][j] for j in order]
+        rows[i]["scores"] = [float(scores[j]) for j in order]
 
     hfds.Dataset.from_list(rows).save_to_disk(args.out)
     print(f"wrote {len(rows)} kd rows -> {args.out}")

@@ -1,0 +1,85 @@
+"""Persistent TPU job worker: claim the axon session ONCE, then execute
+queued python scripts sequentially in-process.
+
+Why: the axon pool claim can deadlock for minutes whenever a TPU process
+launches after a previous one exits (the pool releases sessions lazily;
+see tools/tpu_run.sh). Keeping ONE process claimed for the whole work
+session removes the churn: every job runs under the worker's claim.
+
+Protocol (filesystem spool, no deps):
+  - submit:  write <name>.py into $TPU_JOB_DIR (default /tmp/tpu_jobs)
+  - running: worker renames it to <name>.py.running, streams its stdout and
+             stderr to <name>.log
+  - done:    renames to <name>.py.done (or .failed with traceback at the
+             end of the log)
+  - stop:    touch $TPU_JOB_DIR/STOP
+Jobs execute inside the worker via runpy.run_path in fresh __main__ globals;
+they share the jax runtime (compilation cache persists across jobs — a
+feature: repeat shapes skip compile).
+"""
+import contextlib
+import io
+import os
+import runpy
+import sys
+import time
+import traceback
+
+JOB_DIR = os.environ.get("TPU_JOB_DIR", "/tmp/tpu_jobs")
+os.makedirs(JOB_DIR, exist_ok=True)
+
+# claim at boot so the submitter can verify the worker is live
+import jax  # noqa: E402
+import numpy as np  # noqa: E402
+
+t0 = time.time()
+x = np.asarray(jax.numpy.arange(8) * 2)
+print(f"CLAIMED devices={jax.devices()} probe={x[:3].tolist()} "
+      f"in {time.time()-t0:.1f}s", flush=True)
+
+
+class _Tee(io.TextIOBase):
+    def __init__(self, *sinks):
+        self.sinks = sinks
+
+    def write(self, s):
+        for k in self.sinks:
+            k.write(s)
+            k.flush()
+        return len(s)
+
+    def flush(self):
+        for k in self.sinks:
+            k.flush()
+
+
+while True:
+    if os.path.exists(os.path.join(JOB_DIR, "STOP")):
+        print("STOP requested", flush=True)
+        break
+    jobs = sorted(f for f in os.listdir(JOB_DIR) if f.endswith(".py"))
+    if not jobs:
+        time.sleep(2)
+        continue
+    name = jobs[0]
+    src = os.path.join(JOB_DIR, name)
+    running = src + ".running"
+    os.rename(src, running)
+    logpath = os.path.join(JOB_DIR, name[:-3] + ".log")
+    print(f"RUN {name} -> {logpath}", flush=True)
+    ok = True
+    with open(logpath, "w") as lf:
+        tee_out = _Tee(sys.__stdout__, lf)
+        with contextlib.redirect_stdout(tee_out), contextlib.redirect_stderr(tee_out):
+            # route logging handlers created by jobs to the job log too
+            try:
+                runpy.run_path(running, run_name="__main__")
+            except SystemExit as e:
+                if e.code not in (0, None):
+                    ok = False
+                    lf.write(f"\nSystemExit: {e.code}\n")
+            except BaseException:
+                ok = False
+                lf.write("\n" + traceback.format_exc())
+    os.rename(running, src + (".done" if ok else ".failed"))
+    print(f"{'DONE' if ok else 'FAILED'} {name}", flush=True)
