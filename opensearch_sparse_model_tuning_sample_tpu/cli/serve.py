@@ -127,13 +127,16 @@ class ServingState:
                     raise KeyError(f"no index {idx_name}")
                 index = self.indexes[idx_name]
                 index.reopen()
-                ids = [d for d, _ in docs]
-                sparse = [s.get("text_sparse") for _, s in docs]
-                if all(s is not None for s in sparse):
-                    L = max(max((len(s) for s in sparse), default=1), 1)
-                    toks = np.zeros((len(docs), L), np.int32)
-                    ws = np.zeros((len(docs), L), np.float32)
-                    for r, tw in enumerate(sparse):
+                # a batch may mix pre-encoded text_sparse docs and raw text
+                # docs — split per doc, not per batch
+                enc_docs = [(d, s) for d, s in docs if s.get("text_sparse") is None]
+                sp_docs = [(d, s["text_sparse"]) for d, s in docs
+                           if s.get("text_sparse") is not None]
+                if sp_docs:
+                    L = max(max((len(tw) for _, tw in sp_docs), default=1), 1)
+                    toks = np.zeros((len(sp_docs), L), np.int32)
+                    ws = np.zeros((len(sp_docs), L), np.float32)
+                    for r, (_, tw) in enumerate(sp_docs):
                         pairs = sorted(
                             ((vocab[t], float(w)) for t, w in tw.items()
                              if t in vocab),
@@ -141,13 +144,13 @@ class ServingState:
                         )
                         for c, (i, w) in enumerate(pairs):
                             toks[r, c], ws[r, c] = i, w
-                    index.add_topk(ids, toks, ws)
-                else:
-                    texts = [s.get("text", "") for _, s in docs]
+                    index.add_topk([d for d, _ in sp_docs], toks, ws)
+                if enc_docs:
+                    texts = [s.get("text", "") for _, s in enc_docs]
                     toks, ws = self.encoder.encode_batch_sparse(
                         texts, l_max=index.cfg.l_max
                     )
-                    index.add_topk(ids, toks, ws)
+                    index.add_topk([d for d, _ in enc_docs], toks, ws)
         return {
             "took": int((time.time() - t0) * 1000),
             "errors": False,
@@ -160,9 +163,6 @@ class ServingState:
 
     # -------------------------------------------------------- read path
     def search(self, index_name: str, body: dict, two_phase_param: bool = False) -> dict:
-        index = self.indexes[index_name]
-        if not index._finalized:
-            index.finalize()  # near-real-time semantics: search refreshes
         k = int(body.get("size", 10))
         prune = float(body.get("query_prune", 0.0))
         two_phase = bool(body.get("two_phase", False)) or two_phase_param
@@ -171,6 +171,12 @@ class ServingState:
         spec = ns[field]
         t0 = time.time()
         with self.lock:
+            index = self.indexes[index_name]
+            if not index._finalized:
+                # near-real-time semantics: search refreshes. Inside the lock:
+                # finalize concatenates + clears the ingest buffers and must
+                # not race a concurrent _bulk's reopen()/add_topk()
+                index.finalize()
             if "query_tokens" in spec:
                 tw = spec["query_tokens"]
                 tok = self.model.tokenizer
@@ -187,9 +193,13 @@ class ServingState:
                 text = spec["query_text"]
                 inf_free = bool(spec.get("inf_free", True))
                 reps = self.encoder.encode_batch_device([text], inf_free=inf_free)
+                # full_forward: True for full-forward queries; None for
+                # inf-free so the engine still checks the active-term count
+                # (a long inf-free query can exceed the inverted engine's
+                # query_terms lookup budget too)
                 hits = index.search(
                     reps, k=k, query_prune=prune, two_phase=two_phase,
-                    full_forward=not inf_free,
+                    full_forward=True if not inf_free else None,
                 )
         took_ms = int((time.time() - t0) * 1000)
         ranked = sorted(hits[0].items(), key=lambda kv: -kv[1])

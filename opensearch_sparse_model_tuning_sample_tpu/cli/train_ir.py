@@ -96,6 +96,7 @@ def main(config_source=None):
     loader = DataLoader(
         dataset, batch_size=global_batch, collate_fn=collator,
         drop_last=training_args.dataloader_drop_last, seed=training_args.seed,
+        prefetch=training_args.dataloader_prefetch_factor or 0,
     )
 
     teacher_ensemble = None

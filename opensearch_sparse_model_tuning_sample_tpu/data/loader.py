@@ -82,25 +82,47 @@ class DataLoader:
 
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         _END, _ERR = object(), object()
+        stop = threading.Event()  # set when the consumer abandons mid-epoch
 
         def worker():
             try:
                 for batch in self._produce():
-                    q.put(batch)
+                    # bounded put that honors abandonment: without the
+                    # timeout+stop check, a consumer that drops the iterator
+                    # mid-epoch (epochs() at max_steps) leaves this thread
+                    # blocked on q.put forever, pinning the queued batches
+                    while not stop.is_set():
+                        try:
+                            q.put(batch, timeout=0.5)
+                            break
+                        except queue.Full:
+                            continue
+                    if stop.is_set():
+                        return
                 q.put(_END)
             except BaseException as e:  # propagate to the consumer
-                q.put((_ERR, e))
+                if not stop.is_set():
+                    q.put((_ERR, e))
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is _END:
-                break
-            if isinstance(item, tuple) and len(item) == 2 and item[0] is _ERR:
-                raise item[1]
-            yield item
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is _END:
+                    break
+                if isinstance(item, tuple) and len(item) == 2 and item[0] is _ERR:
+                    raise item[1]
+                yield item
+            t.join()
+        finally:
+            stop.set()
+            # drain so a put-blocked worker can observe stop and exit
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
 
 
 def epochs(loader: DataLoader, max_steps: int, start: int = 0) -> Iterator:

@@ -269,6 +269,10 @@ def resolve_dataset(name: str, beir_dir: str, split: str = "test"):
 # ---------------------------------------------------------------------------
 
 
+def _count_part_path(out_dir: str, index_name: str, rank: int, world_size: int) -> str:
+    return os.path.join(out_dir, f"{index_name}.count.rank{rank}of{world_size}.npz")
+
+
 def _reduce_counts(
     out_dir: str,
     index_name: str,
@@ -281,7 +285,7 @@ def _reduce_counts(
     """All-reduce the per-rank activation counts through the shared out_dir
     (atomic tmp+rename writes; every rank polls for all parts — doubles as
     the ingest barrier, reference ingest.py:108-117 + wait_for_everyone)."""
-    part = os.path.join(out_dir, f"{index_name}.count.rank{rank}of{world_size}.npz")
+    part = _count_part_path(out_dir, index_name, rank, world_size)
     tmp = part + f".tmp{os.getpid()}.npz"  # np.savez appends .npz otherwise
     np.savez(tmp, count=count_tensor, n_docs=np.int64(n_docs))
     os.replace(tmp, part)
@@ -330,6 +334,14 @@ def ingest(
     """
     os.makedirs(out_dir, exist_ok=True)
     if world_size > 1:
+        # clear this rank's count part from any PREVIOUS ingest into the same
+        # out_dir before encoding: the barrier in _reduce_counts is
+        # existence-based, and a stale part would satisfy it with the old
+        # run's counts. Each rank deletes only its own part, before any rank
+        # can be polling (polling starts after this rank's encode).
+        stale = _count_part_path(out_dir, index_name, rank, world_size)
+        if os.path.exists(stale):
+            os.remove(stale)
         dataset = HostShardDataset(dataset, rank, world_size)
     encoder = BatchEncoder(model, max_length=max_length, do_count=True)
     index = SparseIndex(model.vocab_size, index_cfg, mesh)
@@ -412,11 +424,15 @@ def search(
         ids = [r[0] for r in rows]
         texts = [r[1] for r in rows]
         reps = encoder.encode_batch_device(texts, inf_free=inf_free)
-        # full_forward: non-inf-free queries exceed the inverted engine's
-        # term-lookup budget; index.search falls back to the exact scan
+        # full_forward: True for full-forward queries (they exceed the
+        # inverted engine's term-lookup budget; index.search falls back to
+        # the exact scan). For inf-free queries pass None, NOT False: a long
+        # inf-free query can also exceed query_terms, and None lets the
+        # engine check the batch's active-term count (one scalar sync per
+        # batch of `batch_size` queries — negligible next to the encode)
         hits = index.search(
             reps, k=result_size, query_prune=query_prune,
-            two_phase=use_two_phase, full_forward=not inf_free,
+            two_phase=use_two_phase, full_forward=True if not inf_free else None,
         )
         for _id, h in zip(ids, hits):
             run_res[_id] = h

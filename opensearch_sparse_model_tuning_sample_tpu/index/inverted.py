@@ -193,24 +193,28 @@ def make_search_fn(
         part = jnp.where(valid, part, 0.0).reshape(B, TC)
 
         # sort-merge by doc id per query row: one two-operand sort carries
-        # the partial scores along with the ids (no argsort + gathers), then
-        # the per-doc sums come from a cumsum/cummax segmented reduction —
-        # sums are read at each id-run's last element as cumsum minus the
-        # previous run-end's cumsum (propagated forward with a cummax, valid
-        # because partials are >= 0 so the cumsum is nondecreasing). No
-        # scatter/segment ops anywhere, so XLA lowers the whole merge to
-        # sort + two scans.
+        # the partial scores along with the ids (no argsort + gathers). A doc
+        # id appears at most once per term's postings list, so each sorted
+        # id-run has length <= T: the per-doc sums are computed EXACTLY with
+        # T-1 masked shifted adds read at each run's last element (a global
+        # cumsum-difference would carry rounding proportional to the whole
+        # row's running total, ~1e-2 absolute at TC=32768 — enough to flip
+        # near-tie rankings when rescore is off). No scatter/segment ops
+        # anywhere, so XLA lowers the merge to sort + T fused vector ops.
         sid, sp = jax.lax.sort((ids, part), dimension=1, num_keys=1)
-        cs = jnp.cumsum(sp, axis=1)
         is_end = jnp.concatenate(
             [sid[:, 1:] != sid[:, :-1], jnp.ones((B, 1), bool)], axis=1
         )
-        end_cs = jnp.where(is_end, cs, 0.0)
-        prev_end = jax.lax.cummax(
-            jnp.concatenate([jnp.zeros((B, 1), cs.dtype), end_cs[:, :-1]], axis=1),
-            axis=1,
-        )
-        sums = jnp.where(is_end & (sid != _PAD_ID), cs - prev_end, -jnp.inf)
+        run_sum = sp
+        for j in range(1, query_terms):
+            same = jnp.concatenate(
+                [jnp.zeros((B, j), bool), sid[:, j:] == sid[:, :-j]], axis=1
+            )
+            shifted = jnp.concatenate(
+                [jnp.zeros((B, j), sp.dtype), sp[:, :-j]], axis=1
+            )
+            run_sum = run_sum + jnp.where(same, shifted, 0.0)
+        sums = jnp.where(is_end & (sid != _PAD_ID), run_sum, -jnp.inf)
         rid = sid
 
         # positions that are not a run end hold a real doc id with a -inf

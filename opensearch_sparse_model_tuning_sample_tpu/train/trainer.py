@@ -363,7 +363,14 @@ class Trainer:
             "step": 0,
             "loss_ma": 0.0,
         }
-        restored = ckpt.restore(path, target=target)
+        try:
+            restored = ckpt.restore(path, target=target)
+        except Exception:
+            # train_state dirs saved before loss_ma existed lack that leaf;
+            # restore the old tree shape and default the moving average
+            target.pop("loss_ma")
+            restored = ckpt.restore(path, target=target)
+            restored["loss_ma"] = 0.0
         self.state = TrainState(
             params=restored["params"],
             opt_state=restored["opt_state"],

@@ -333,3 +333,24 @@ def test_load_datasets_combines_subdirs(tmp_path):
     s1 = load_datasets(str(root), "posnegs", sample_num_one_query=2,
                        rank=1, world_size=2)
     assert len(s0) + len(s1) <= 5  # drop=True trims to a multiple
+
+
+def test_loader_prefetch_abandoned_iterator_reclaims_worker():
+    """Abandoning a prefetching iterator mid-epoch (what epochs() does when
+    max_steps lands inside an epoch) must not leave the worker thread
+    blocked on q.put forever (regression: leaked one thread per epoch)."""
+    import threading
+    import time as _t
+
+    rows = list(range(64))
+    loader = DataLoader(rows, batch_size=4, collate_fn=lambda r: r,
+                        prefetch=2, seed=0)
+    before = threading.active_count()
+    for _ in range(5):
+        it = iter(loader)
+        next(it)  # consume one batch, then abandon mid-epoch
+        it.close()
+    deadline = _t.time() + 10.0
+    while threading.active_count() > before and _t.time() < deadline:
+        _t.sleep(0.1)
+    assert threading.active_count() <= before

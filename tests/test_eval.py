@@ -229,3 +229,29 @@ def test_synthetic_rich_presets_and_splits():
         assert 2 in rel.values()
     cn, qn, _ = load_synthetic("synthetic-nano")
     assert len(cn) == 2000 and len(qn) == 50
+
+
+def test_multihost_ingest_rerun_same_outdir(tiny_model, synth, tmp_path):
+    """Re-running a multi-host ingest into the SAME out_dir must produce the
+    fresh global stat (regression: the existence-based barrier read the
+    previous run's rank parts; each rank now clears its own stale part)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    corpus, _, _ = synth
+    ds = BEIRCorpusDataset(corpus)
+    cfg = dict(max_length=64, batch_size=32,
+               index_cfg=IndexConfig(engine="sparse", l_max=32, block_docs=64,
+                                     query_batch=8))
+    out = str(tmp_path / "rerun")
+
+    def run(rank):
+        return ingest(ds, tiny_model, out, "mh", rank=rank,
+                      world_size=2, barrier_timeout=120.0, **cfg)
+
+    with ThreadPoolExecutor(2) as ex:
+        list(ex.map(run, [0, 1]))
+    first = np.load(os.path.join(out, "mh.corpus.npy"))
+    with ThreadPoolExecutor(2) as ex:  # second run, same out_dir
+        list(ex.map(run, [0, 1]))
+    second = np.load(os.path.join(out, "mh.corpus.npy"))
+    np.testing.assert_allclose(second, first)  # fresh stat, not doubled

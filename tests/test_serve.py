@@ -227,3 +227,44 @@ def test_create_existing_index_is_400(server):
         raise AssertionError("expected 400")
     except urllib.error.HTTPError as e:
         assert e.code == 400
+
+
+def test_bulk_mixed_sparse_and_text_docs(server):
+    """A single _bulk mixing pre-encoded text_sparse docs and raw text docs
+    must index BOTH correctly (regression: the text_sparse doc was silently
+    encoded from text="" when any text doc shared the batch)."""
+    _request(f"{server}/mixidx", json.dumps({
+        "settings": {"index": {"l_max": 16, "engine": "sparse",
+                               "block_docs": 32, "query_batch": 4}},
+    }).encode(), "PUT")
+    bulk = (
+        json.dumps({"index": {"_index": "mixidx", "_id": "sp1"}}).encode()
+        + b"\n"
+        + json.dumps({"text_sparse": {"zebra": 4.0}}).encode()
+        + b"\n"
+        + json.dumps({"index": {"_index": "mixidx", "_id": "tx1"}}).encode()
+        + b"\n"
+        + json.dumps({"text": "a document about growling dogs"}).encode()
+        + b"\n"
+    )
+    res = _request(f"{server}/_bulk", bulk, "POST", "application/x-ndjson")
+    assert res["errors"] is False and len(res["items"]) == 2
+    _request(f"{server}/mixidx/_refresh", b"", "POST")
+
+    # the pre-encoded doc is findable by its token
+    res = _post(f"{server}/mixidx/_search", {
+        "query": {"neural_sparse": {"text_sparse": {
+            "query_tokens": {"zebra": 1.0}}}}, "size": 1,
+    })
+    assert res["hits"]["hits"][0]["_id"] == "sp1"
+    # the raw-text doc got a real encoding (not the empty string): the
+    # model is random-init, so query by the doc's own strongest token
+    emb = _post(f"{server}/_encode",
+                {"texts": ["a document about growling dogs"], "inf_free": False})
+    top_tok = max(emb["embeddings"][0], key=emb["embeddings"][0].get)
+    res = _post(f"{server}/mixidx/_search", {
+        "query": {"neural_sparse": {"text_sparse": {
+            "query_tokens": {top_tok: 1.0}}}}, "size": 1,
+    })
+    assert res["hits"]["hits"][0]["_id"] == "tx1"
+    _request(f"{server}/mixidx", b"", "DELETE")

@@ -43,7 +43,10 @@ def main(argv=None):
                         "0.71 on the synthetic task at 0 random negs).")
     p.add_argument("--max-length", type=int, default=256)
     p.add_argument("--batch-size", type=int, default=64)
-    p.add_argument("--query-inf-free", action="store_true", default=True)
+    p.add_argument("--query-inf-free", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="score teacher queries inference-free (idf-weighted "
+                        "bag); --no-query-inf-free uses the full forward")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
 
