@@ -68,6 +68,8 @@ while True:
     logpath = os.path.join(JOB_DIR, name[:-3] + ".log")
     print(f"RUN {name} -> {logpath}", flush=True)
     ok = True
+    import logging
+    saved_handlers = list(logging.root.handlers)
     with open(logpath, "w") as lf:
         tee_out = _Tee(sys.__stdout__, lf)
         with contextlib.redirect_stdout(tee_out), contextlib.redirect_stderr(tee_out):
@@ -81,5 +83,14 @@ while True:
             except BaseException:
                 ok = False
                 lf.write("\n" + traceback.format_exc())
+    # drop logging handlers the job installed: they hold the job's (now
+    # closed) spool stream and would raise on the next job's log records
+    for h in list(logging.root.handlers):
+        if h not in saved_handlers:
+            logging.root.removeHandler(h)
+            try:
+                h.close()
+            except Exception:
+                pass
     os.rename(running, src + (".done" if ok else ".failed"))
     print(f"{'DONE' if ok else 'FAILED'} {name}", flush=True)
