@@ -307,7 +307,10 @@ class SparseIndex:
         # impact-sorted at ingest), phase 2 exactly rescores the candidate
         # pool. Cuts the dominant gather volume by ~l_max/l1.
         l1 = min(cfg.two_phase_terms, cfg.l_max) if two_phase else None
-        k1 = min(cfg.two_phase_expand * k, blk) if two_phase else k
+        # candidate-pool size: never below k (blk can be < k — the final
+        # top_k(s2, k) needs k1 >= k columns), capped at blk+k so the
+        # per-block top_k(cat_s[k1+blk], k1) selection stays meaningful
+        k1 = max(min(cfg.two_phase_expand * k, blk), k) if two_phase else k
 
         if engine == "inverted":
             from . import inverted
@@ -690,36 +693,17 @@ class SparseIndex:
         idx = cls(meta["vocab_size"], cfg, mesh)
         idx.doc_ids = json.load(open(os.path.join(path, "doc_ids.json")))
         idx.count_tensor = blob["count_tensor"]
-        n_shards = mesh.devices.size if mesh is not None else 1
-        w = blob["weights"].astype(np.float32)
-        n_pad = _round_up(max(len(idx.doc_ids), 1), cfg.block_docs * n_shards)
-        if w.shape[0] < n_pad:  # re-pad for a different mesh size
-            w = np.concatenate([w, np.zeros((n_pad - w.shape[0],) + w.shape[1:], w.dtype)])
-        idx._docs_dev = jnp.asarray(w[:n_pad], dtype=jnp.dtype(cfg.weight_dtype))
+        # route through finalize(): it owns padding for the mesh size,
+        # per-shard postings with LOCAL doc indices, weight-dtype casts and
+        # device placement — duplicating that here previously left
+        # load(mesh=...) + inverted with unsharded global-index postings
+        # that the sharded search path cannot use
+        n = len(idx.doc_ids)
+        w = blob["weights"].astype(np.float32)[:n]
         if "tokens" in blob:
-            t = blob["tokens"]
-            if t.shape[0] < n_pad:
-                t = np.concatenate([t, np.zeros((n_pad - t.shape[0],) + t.shape[1:], t.dtype)])
-            tok_dtype = jnp.int16 if meta["vocab_size"] < 2**15 else jnp.int32
-            idx._tok_dev = jnp.asarray(t[:n_pad].astype(tok_dtype))
+            idx._tok_chunks = [blob["tokens"][:n].astype(np.int32)]
+            idx._w_chunks = [w]
         else:
-            idx._tok_dev = None
-        if cfg.engine == "inverted":
-            from . import inverted
-
-            n = len(idx.doc_ids)
-            pd, pw = inverted.build_postings(
-                np.asarray(idx._tok_dev)[:n], w[:n],
-                meta["vocab_size"], cfg.postings_cap,
-            )
-            idx._post_docs = jnp.asarray(pd)
-            idx._post_w = jnp.asarray(pw, dtype=jnp.dtype(cfg.weight_dtype))
-        elif mesh is not None:
-            sh = NamedSharding(mesh, P(DATA_AXIS))
-            idx._docs_dev = jax.device_put(idx._docs_dev, sh)
-            if idx._tok_dev is not None:
-                idx._tok_dev = jax.device_put(idx._tok_dev, sh)
-        idx._n_pad = n_pad
-        idx._engine = cfg.engine
-        idx._finalized = True
+            idx._dense_chunks = [w]
+        idx.finalize()
         return idx

@@ -305,7 +305,9 @@ def mlm_maxpool(
     p = params["mlm_head"]
     cd = cfg.compute_dtype
     B, L, D = hidden.shape
-    chunk = math.gcd(L, chunk)  # largest divisor of L not above `chunk`
+    # largest divisor of L not above `chunk` (gcd is wrong for that: e.g.
+    # gcd(96, 64)=32 but 48 divides 96; gcd(510, 64)=2 would scan 255 steps)
+    chunk = max(c for c in range(1, min(chunk, L) + 1) if L % c == 0)
     h = _gelu(_dense(hidden, p["transform"], cd))
     h = _layer_norm(h, p["layer_norm"], cfg.layer_norm_eps)
     wT = _decoder_weight(params).astype(cd).T

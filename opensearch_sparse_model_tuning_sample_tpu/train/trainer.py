@@ -103,7 +103,22 @@ def make_optimizer(model_args, data_args, training_args) -> optax.GradientTransf
 
     tx = optax.multi_transform({"bert": base, "idf": idf_tx}, label_fn)
     if training_args.max_grad_norm:
-        tx = optax.chain(optax.clip_by_global_norm(training_args.max_grad_norm), tx)
+        clip = optax.clip_by_global_norm(training_args.max_grad_norm)
+        if not model_args.idf_requires_grad:
+            # a frozen param must not contribute to the clipping norm (torch
+            # parity: requires_grad=False params have grad None); zero the
+            # idf gradient BEFORE the global-norm clip, not only at update
+            clip = optax.chain(
+                optax.masked(
+                    optax.set_to_zero(),
+                    lambda params: {
+                        "bert": jax.tree_util.tree_map(lambda _: False, params["bert"]),
+                        "idf_vector": True,
+                    },
+                ),
+                clip,
+            )
+        tx = optax.chain(clip, tx)
     return tx
 
 
@@ -288,7 +303,8 @@ class Trainer:
     def train(self, batch_iter, max_steps: Optional[int] = None):
         max_steps = max_steps or self.args.max_steps
         t0 = time.time()
-        step = int(self.state.step)
+        step = start_step = int(self.state.step)
+        last_saved = -1
         profiling = False
         for batch in batch_iter:
             if step >= max_steps:
@@ -314,7 +330,7 @@ class Trainer:
                     "%.4f/%.4f (%.2f steps/s)",
                     step, m["ranking_loss_ma"], m["d_flops"],
                     m["flops_loss"], m["avg_doc_length"], m["nonzero_mean"],
-                    m["nonzero_max"], step / max(dt, 1e-9),
+                    m["nonzero_max"], (step - start_step) / max(dt, 1e-9),
                 )
             if (
                 self.args.save_strategy == "steps"
@@ -322,7 +338,11 @@ class Trainer:
                 and step % self.args.save_steps == 0
             ):
                 self.save_checkpoint(step)
-        if self.args.save_strategy != "no" and step % (self.args.save_steps or 1) != 0:
+                last_saved = step
+        if profiling:  # run ended inside the trace window: close the trace
+            jax.profiler.stop_trace()
+            logger.info("profiler trace written to %s", self.args.profile_dir)
+        if self.args.save_strategy != "no" and last_saved != step:
             self.save_checkpoint(step)
         return self.state
 

@@ -418,3 +418,38 @@ def test_merge_saved_matches_single_index(tmp_path):
         assert overlap >= 8, (g, w)
         best = max(w, key=w.get)
         assert best in g
+
+
+def test_load_with_mesh_inverted_matches_single(mesh8, tmp_path):
+    """SparseIndex.load(path, mesh) with an inverted-engine index must build
+    per-shard postings (regression: load() previously built unsharded
+    global-index postings that the sharded search path cannot use)."""
+    cfg = IndexConfig(engine="inverted", l_max=32, block_docs=16, query_batch=4,
+                      weight_dtype="float32", postings_cap=N_DOCS, query_terms=16)
+    single = SparseIndex(V, cfg)
+    single.add([str(i) for i in range(N_DOCS)], DOCS)
+    single.finalize()
+    p = str(tmp_path / "inv_idx")
+    single.save(p)
+    want = single.search(QS, k=10)
+
+    loaded = SparseIndex.load(p, mesh=mesh8)
+    got = loaded.search(QS, k=10)
+    for x, y in zip(want, got):
+        assert set(x.keys()) == set(y.keys())
+        for d in x:
+            # save() stores weights fp16: worst-case rounding over l_max
+            # terms of weight <=3.0 is ~l_max * 3 * 2^-11 ~ 0.05 absolute
+            assert x[d] == pytest.approx(y[d], rel=1e-2)
+
+
+def test_two_phase_small_block_docs():
+    """two_phase with block_docs < k must not crash (regression: the phase-2
+    candidate pool was capped at block_docs, breaking top_k(s2, k))."""
+    cfg = IndexConfig(engine="sparse", l_max=32, block_docs=8, query_batch=4,
+                      weight_dtype="float32")
+    idx = SparseIndex(V, cfg)
+    idx.add([str(i) for i in range(N_DOCS)], DOCS)
+    idx.finalize()
+    got = idx.search(QS, k=20, two_phase=True)
+    assert all(len(h) > 0 for h in got)
