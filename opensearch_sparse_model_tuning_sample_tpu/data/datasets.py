@@ -194,17 +194,25 @@ class MsMarcoKDDataset(KnowledgeDistillDataset):
             )
         with open(score_dic_path) as f:
             score_dic = json.load(f)
+        # repair each referenced corpus doc ONCE (reference transforms the
+        # corpus up front, dataset.py:300-304) — a doc shared by many
+        # queries would otherwise pay the encode/decode per reference
+        fixed: dict = {}
+
+        def doc_text(d):
+            t = fixed.get(d)
+            if t is None:
+                raw = corpus[d]["text"] if isinstance(corpus[d], dict) else corpus[d]
+                t = fixed[d] = self.transform_str(raw)
+            return t
+
         rows = []
         for q_id, entry in score_dic.items():
-            texts = [
-                self.transform_str(
-                    corpus[d]["text"] if isinstance(corpus[d], dict) else corpus[d]
-                )
-                for d in entry["doc_id"]
-            ]
-            rows.append(
-                {"query": queries[q_id], "docs": texts, "scores": entry["score"]}
-            )
+            rows.append({
+                "query": queries[q_id],
+                "docs": [doc_text(d) for d in entry["doc_id"]],
+                "scores": entry["score"],
+            })
         super().__init__(rows, sample_num=sample_num, **kw)
 
 

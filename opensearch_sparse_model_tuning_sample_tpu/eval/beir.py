@@ -157,15 +157,18 @@ def _rich_vocab(n_vocab: int) -> List[str]:
                 # skip the first (most common) words; keep mid-frequency ones
                 return words[200 : 200 + n_vocab]
             break
+    # aperiodic CV-syllable generator: i is decomposed base-75 per syllable
+    # (15 consonants x 5 vowels), so 3 syllables give 75^3 = 421,875 distinct
+    # words — a plain modular form is periodic and capped at ~1,125, which
+    # loops forever for the default n_vocab=2000
     cons, vow = "bcdfgklmnprstvz", "aeiou"
-    words, i = [], 0
-    while len(words) < n_vocab:
-        w = "".join(
-            cons[(i // (5 ** k)) % 15] + vow[(i // (3 ** k)) % 5] for k in range(3)
-        )
-        if w not in words:
-            words.append(w)
-        i += 1
+    words = []
+    for i in range(n_vocab):
+        w, x = "", i
+        for _ in range(3):
+            x, syl = divmod(x, 75)
+            w += cons[syl % 15] + vow[syl // 15]
+        words.append(w)
     return words
 
 
@@ -284,16 +287,27 @@ def _reduce_counts(
 ) -> Tuple[np.ndarray, int]:
     """All-reduce the per-rank activation counts through the shared out_dir
     (atomic tmp+rename writes; every rank polls for all parts — doubles as
-    the ingest barrier, reference ingest.py:108-117 + wait_for_everyone)."""
+    the ingest barrier, reference ingest.py:108-117 + wait_for_everyone).
+
+    Round-over-round correctness (repeated ingests into the same
+    out_dir/index_name): rank 0 deletes ALL parts before writing
+    `{index}.corpus.npy`, and the other ranks leave the barrier only when
+    they see a corpus stat whose mtime postdates their own part write —
+    so round N+1's parts can only be written after round N's were removed,
+    and the existence poll below can never read a previous round's part.
+    (A run that CRASHES between part-write and stat-write can leave parts
+    behind; each rank clears its own at entry, which covers that.)
+    Returns (total, total_docs, part_write_time)."""
     part = _count_part_path(out_dir, index_name, rank, world_size)
     tmp = part + f".tmp{os.getpid()}.npz"  # np.savez appends .npz otherwise
     np.savez(tmp, count=count_tensor, n_docs=np.int64(n_docs))
     os.replace(tmp, part)
+    t_written = os.path.getmtime(part)
     total = np.zeros_like(count_tensor)
     total_docs = 0
     deadline = time.time() + timeout
     for r in range(world_size):
-        p = os.path.join(out_dir, f"{index_name}.count.rank{r}of{world_size}.npz")
+        p = _count_part_path(out_dir, index_name, r, world_size)
         while not os.path.exists(p):
             if time.time() > deadline:
                 raise TimeoutError(f"ingest barrier: rank {r} never wrote {p}")
@@ -301,7 +315,23 @@ def _reduce_counts(
         blob = np.load(p)
         total += blob["count"]
         total_docs += int(blob["n_docs"])
-    return total, total_docs
+    # second phase: announce this rank has READ all parts — parts may only
+    # be deleted (rank 0, before publishing the stat) once every rank has
+    # passed this point, else a slow rank's poll above would wait forever
+    # for an already-deleted part
+    seen = part + ".seen"
+    open(seen, "w").close()
+    return total, total_docs, t_written
+
+
+def _await_fresh(path: str, t_after: float, timeout: float) -> None:
+    """Poll until `path` exists with mtime >= t_after (same filesystem
+    clock as the writer — the shared out_dir)."""
+    deadline = time.time() + timeout
+    while not (os.path.exists(path) and os.path.getmtime(path) >= t_after):
+        if time.time() > deadline:
+            raise TimeoutError(f"barrier: no fresh {path}")
+        time.sleep(0.2)
 
 
 def ingest(
@@ -340,8 +370,9 @@ def ingest(
         # run's counts. Each rank deletes only its own part, before any rank
         # can be polling (polling starts after this rank's encode).
         stale = _count_part_path(out_dir, index_name, rank, world_size)
-        if os.path.exists(stale):
-            os.remove(stale)
+        for f in (stale, stale + ".seen"):
+            if os.path.exists(f):
+                os.remove(f)
         dataset = HostShardDataset(dataset, rank, world_size)
     encoder = BatchEncoder(model, max_length=max_length, do_count=True)
     index = SparseIndex(model.vocab_size, index_cfg, mesh)
@@ -378,18 +409,46 @@ def ingest(
             index.add(ids, reps)
     index.finalize()
     corpus_stat = os.path.join(out_dir, f"{index_name}.corpus.npy")
+    # the corpus statistic counts every rep>0 activation of the FULL encoder
+    # output (reference SparseEncoder, sparse_encoders.py:178-179) — the
+    # encoder accumulates that; index.count_tensor reflects only what the
+    # index stores (top-l_max truncated) and would undercount d_length/FLOPS
+    full_counts = encoder.count_tensor
     if world_size > 1:
-        counts, total_docs = _reduce_counts(
+        counts, total_docs, t_part = _reduce_counts(
             out_dir, index_name, rank, world_size,
-            index.count_tensor, index.n_docs, barrier_timeout,
+            full_counts, index.n_docs, barrier_timeout,
         )
         if rank == 0:  # one writer (reference: main process saves the stat)
+            # wait for every rank to have read the parts, then remove them
+            # BEFORE publishing the stat: the other ranks re-enter only
+            # after seeing the fresh stat, so the next round's barrier
+            # starts from a clean slate
+            deadline = time.time() + barrier_timeout
+            for r in range(world_size):
+                m = _count_part_path(out_dir, index_name, r, world_size) + ".seen"
+                while not os.path.exists(m):
+                    if time.time() > deadline:
+                        raise TimeoutError(f"ingest barrier: rank {r} never confirmed {m}")
+                    time.sleep(0.2)
+            for r in range(world_size):
+                base = _count_part_path(out_dir, index_name, r, world_size)
+                for f in (base, base + ".seen"):
+                    try:
+                        os.remove(f)
+                    except FileNotFoundError:
+                        pass
             avg = counts.astype(np.float64) / max(total_docs, 1)
             tmp = corpus_stat + f".tmp{os.getpid()}.npy"
             np.save(tmp, avg)
             os.replace(tmp, corpus_stat)
+        else:
+            # departure barrier: also guarantees the stat this rank's search
+            # reads is THIS round's (reference gates search behind
+            # wait_for_everyone, evaluate_beir.py:196)
+            _await_fresh(corpus_stat, t_part, barrier_timeout)
     else:
-        np.save(corpus_stat, index.avg_doc_activation)
+        np.save(corpus_stat, full_counts.astype(np.float64) / max(index.n_docs, 1))
     dt = time.time() - t0
     logger.info(
         "ingested %d docs into %s in %.1fs (%.1f docs/s)", n, index_name, dt,
@@ -512,7 +571,7 @@ def evaluate_datasets(
         corpus, queries, qrels = load_fn(name)
         logger.info("Loaded %s: %d docs, %d queries", name, len(corpus), len(queries))
         ds = BEIRCorpusDataset(corpus)
-        index = None
+        index_dir = os.path.join(eval_dir, f"{name.lower()}.index")
         if not data_args.skip_ingest:
             index = ingest(
                 ds, model, eval_dir, name.lower(),
@@ -521,10 +580,15 @@ def evaluate_datasets(
                 index_cfg=index_cfg_from_args(data_args),
                 mesh=mesh,
             )
+            # persist like the reference's OpenSearch node does implicitly:
+            # a later run with skip_ingest: true reuses it
+            index.save(index_dir)
+        else:
+            # reference parity (evaluate_beir.py:158): skip_ingest reuses
+            # the previously-built index
+            index = SparseIndex.load(index_dir, mesh=mesh)
         if not data_args.do_search:
             continue
-        if index is None:
-            raise ValueError("skip_ingest without a prebuilt index")
         res = search(
             queries, model, index, eval_dir, name.lower(),
             max_length=data_args.eval_max_seq_length,

@@ -216,13 +216,15 @@ class BatchEncoder:
                 params, cfg, input_ids, attention_mask,
                 use_l0=model.use_l0, prune_ratio=model.prune_ratio,
             )
+            # count the FULL rep's activations (reference SparseEncoder
+            # counts every rep>0 entry, sparse_encoders.py:178-179) — the
+            # top-k truncation below is an index storage decision and must
+            # not change the FLOPS/d_length statistic
+            count = (rep > 0).sum(axis=0).astype(jnp.int32)
             vals, idx = jax.lax.top_k(rep, k)
             active = vals > 0
             vals = jnp.where(active, vals, 0.0)
             idx = jnp.where(active, idx, 0).astype(jnp.int32)
-            count = jnp.zeros((cfg.vocab_size,), jnp.int32).at[idx].add(
-                active.astype(jnp.int32), mode="drop"
-            )
             return idx, vals, count
 
         self._doc_fwd_topk = jax.jit(_doc_fwd_topk, static_argnames=("k",))
@@ -231,31 +233,8 @@ class BatchEncoder:
         self.count_tensor = np.zeros((self.model.vocab_size,), dtype=np.int64)
         self._n_encoded = 0
 
-    def _bucket(self, n: int) -> int:
-        for b in self.seq_buckets:
-            if n <= b:
-                return b
-        return self.seq_buckets[-1]
-
     def encode_batch(self, texts: List[str], inf_free: bool = False) -> np.ndarray:
-        feats = self.model.tokenizer.encode_bucketed(
-            texts, self.max_length, self.seq_buckets
-        )
-        ids = jnp.asarray(feats["input_ids"])
-        mask = jnp.asarray(feats["attention_mask"])
-        if inf_free:
-            reps = self._q_fwd(
-                params=self.model.params, input_ids=ids,
-                special_mask=self._special_mask_dev,
-            )
-        else:
-            reps = self._doc_fwd(
-                params=self.model.params, input_ids=ids, attention_mask=mask
-            )
-        if self.do_count:
-            self.count_tensor += np.asarray(activation_count(reps), dtype=np.int64)
-            self._n_encoded += len(texts)
-        return np.asarray(reps)
+        return np.asarray(self.encode_batch_device(texts, inf_free=inf_free))
 
     def encode_batch_device(self, texts: List[str], inf_free: bool = False):
         """Like encode_batch but returns the device array (no D2H transfer —

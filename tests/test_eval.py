@@ -255,3 +255,26 @@ def test_multihost_ingest_rerun_same_outdir(tiny_model, synth, tmp_path):
         list(ex.map(run, [0, 1]))
     second = np.load(os.path.join(out, "mh.corpus.npy"))
     np.testing.assert_allclose(second, first)  # fresh stat, not doubled
+
+
+def test_skip_ingest_reuses_saved_index(tiny_model, synth, tmp_path, monkeypatch):
+    """skip_ingest: true must reuse the index persisted by a previous eval
+    run (reference evaluate_beir.py:158 — the OpenSearch index persists)."""
+    from opensearch_sparse_model_tuning_sample_tpu.core.config import parse_config
+    from opensearch_sparse_model_tuning_sample_tpu.eval.beir import evaluate_datasets
+
+    corpus, queries, qrels = synth
+
+    def loader(name):
+        return corpus, queries, qrels
+
+    base = {"output_dir": str(tmp_path), "beir_datasets": "synthetic",
+            "max_steps": 1, "arch": "tiny", "eval_max_seq_length": 64,
+            "per_device_eval_batch_size": 32}
+    monkeypatch.setenv("METRICS_DIR", str(tmp_path / "metrics"))
+    ma, da, ta = parse_config(dict(base))
+    eval_dir = str(tmp_path / "beir_eval")
+    first = evaluate_datasets(["synthetic"], loader, tiny_model, ma, da, ta, eval_dir)
+    ma2, da2, ta2 = parse_config(dict(base, skip_ingest=True))
+    second = evaluate_datasets(["synthetic"], loader, tiny_model, ma2, da2, ta2, eval_dir)
+    assert second["NDCG@10"] == pytest.approx(first["NDCG@10"], abs=0.02)
