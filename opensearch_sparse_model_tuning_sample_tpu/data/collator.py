@@ -57,6 +57,14 @@ class _CollatorBase:
         self.teachers: List[Dict] = []
         for tid in teacher_tokenizer_ids:
             if _is_remote_id(tid):
+                if embedding_store is None:
+                    # fail here, not as a cryptic tree_map TypeError on the
+                    # unresolved placeholder deep inside the train step
+                    raise ValueError(
+                        f"teacher_tokenizer_ids contains remote id {tid!r} "
+                        "but no embedding store is configured (add 'remote' "
+                        "to the kd ensemble types)"
+                    )
                 self.teachers.append({"remote": True, "model_id": int(tid)})
             else:
                 import os
@@ -64,6 +72,7 @@ class _CollatorBase:
                 tok = WordPieceTokenizer.from_pretrained(
                     tid if os.path.isdir(str(tid)) else None
                 )
+                tok.try_attach_native()  # C++ WordPiece on the collate path
                 self.teachers.append({"remote": False, "tokenizer": tok})
 
     # ------------------------------------------------------------------
@@ -71,9 +80,15 @@ class _CollatorBase:
         tok = tokenizer or self.tokenizer
         return tok.encode_bucketed(texts, self.cap, self.buckets)
 
-    def _teacher_features(self, queries, docs, q_ids=None, d_ids=None):
+    def _teacher_features(self, queries, docs, Lq, Ld, q_ids=None, d_ids=None):
         """Per-teacher parallel features; remote teachers get a pending
-        placeholder resolved by `resolve_pending` after the prefetch lands."""
+        placeholder resolved by `resolve_pending` after the prefetch lands.
+
+        Non-remote teachers pad to the STUDENT's chosen buckets (Lq/Ld): if
+        every tokenizer picked its own bucket, the jitted train step's input
+        signature would be the cross product of all tokenizers' bucket
+        choices — up to buckets^(2+2T) distinct compiles — instead of the
+        one-compile-per-bucket invariant (CLAUDE.md)."""
         teacher_q, teacher_d = [], []
         for t in self.teachers:
             if t["remote"]:
@@ -88,10 +103,8 @@ class _CollatorBase:
                 teacher_d.append({"__pending__": ("vector", mid, tuple(d_ids))})
             else:
                 tok = t["tokenizer"]
-                qf = self._encode(queries, tok)
-                df = self._encode(docs, tok)
-                teacher_q.append(qf)
-                teacher_d.append(df)
+                teacher_q.append(tok(queries, max_length=Lq, pad_to=Lq))
+                teacher_d.append(tok(docs, max_length=Ld, pad_to=Ld))
         return teacher_q, teacher_d
 
     def resolve_pending(self, batch: Dict) -> Dict:
@@ -130,7 +143,11 @@ class _CollatorBase:
         ):
             batch["scores"] = np.asarray(scores, dtype=np.float32)
         if self.teachers:
-            tq, td = self._teacher_features(queries, docs, q_ids, d_ids)
+            tq, td = self._teacher_features(
+                queries, docs,
+                qf["input_ids"].shape[1], df["input_ids"].shape[1],
+                q_ids, d_ids,
+            )
             batch["teacher_q"] = tq
             batch["teacher_d"] = td
         return batch

@@ -103,12 +103,12 @@ def prepare_msmarco_kd(
     fix = MsMarcoKDDataset.transform_str
     rows = []
     for r in hard_negatives_rows:
-        rows.append(
-            {
-                "query": query_texts[r["query"]],
-                "docs": [fix(corpus_texts[d]) for d in r["docs"]],
-                **({"scores": r["scores"]} if "scores" in r else {}),
-            }
-        )
+        # carry every extra source column (the reference uses Dataset.map,
+        # which preserves them — notably first_rank, which the KD dataset's
+        # first_rank_thresh filter reads, dataset.py:174-179)
+        out = {k: v for k, v in r.items() if k not in ("query", "docs")}
+        out["query"] = query_texts[r["query"]]
+        out["docs"] = [fix(corpus_texts[d]) for d in r["docs"]]
+        rows.append(out)
     hfds.Dataset.from_list(rows).save_to_disk(save_path)
     return rows

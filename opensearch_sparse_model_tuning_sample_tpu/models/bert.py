@@ -44,6 +44,7 @@ class BertConfig:
     layer_norm_eps: float = 1e-12
     hidden_dropout_prob: float = 0.1
     attention_probs_dropout_prob: float = 0.1
+    hidden_act: str = "gelu"  # "gelu" (exact) | "gelu_new" (tanh) | "relu"
     pad_token_id: int = 0
     # --- TPU knobs ---
     vocab_pad_multiple: int = 128
@@ -180,6 +181,19 @@ def _gelu(x):
     return jax.nn.gelu(x.astype(jnp.float32), approximate=False).astype(x.dtype)
 
 
+def _act(x, cfg):
+    # the checkpoint's hidden_act: silently using gelu for a relu model
+    # would compute wrong outputs with no error (config_from_hf_json
+    # rejects unknown names at import time)
+    if cfg.hidden_act == "gelu":
+        return _gelu(x)
+    if cfg.hidden_act in ("gelu_new", "gelu_pytorch_tanh", "gelu_approx"):
+        return jax.nn.gelu(x.astype(jnp.float32), approximate=True).astype(x.dtype)
+    if cfg.hidden_act == "relu":
+        return jax.nn.relu(x)
+    raise ValueError(f"unsupported hidden_act {cfg.hidden_act!r}")
+
+
 def _dropout(x, rate, rng, deterministic):
     if deterministic or rate == 0.0:
         return x
@@ -215,7 +229,7 @@ def _attention(x, mask_bias, p, cfg, rng, deterministic):
 
 def _ffn(x, p, cfg, rng, deterministic):
     cd = cfg.compute_dtype
-    h = _gelu(_dense(x, p["intermediate"], cd))
+    h = _act(_dense(x, p["intermediate"], cd), cfg)
     out = _dense(h, p["output"], cd)
     if not deterministic:
         out = _dropout(out, cfg.hidden_dropout_prob, rng, deterministic)
@@ -276,7 +290,7 @@ def mlm_logits(params, cfg: BertConfig, hidden: jax.Array) -> jax.Array:
     -> [B, L, padded_V] fp32."""
     p = params["mlm_head"]
     cd = cfg.compute_dtype
-    h = _gelu(_dense(hidden, p["transform"], cd))
+    h = _act(_dense(hidden, p["transform"], cd), cfg)
     h = _layer_norm(h, p["layer_norm"], cfg.layer_norm_eps)
     logits = jnp.dot(
         h.astype(cd),
@@ -308,7 +322,7 @@ def mlm_maxpool(
     # largest divisor of L not above `chunk` (gcd is wrong for that: e.g.
     # gcd(96, 64)=32 but 48 divides 96; gcd(510, 64)=2 would scan 255 steps)
     chunk = max(c for c in range(1, min(chunk, L) + 1) if L % c == 0)
-    h = _gelu(_dense(hidden, p["transform"], cd))
+    h = _act(_dense(hidden, p["transform"], cd), cfg)
     h = _layer_norm(h, p["layer_norm"], cfg.layer_norm_eps)
     wT = _decoder_weight(params).astype(cd).T
     bias = p["bias"].astype(jnp.float32)

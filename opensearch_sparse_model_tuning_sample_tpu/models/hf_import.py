@@ -19,10 +19,15 @@ import json
 import os
 from typing import Any, Dict, Optional, Tuple
 
+import logging
+
 import jax.numpy as jnp
 import numpy as np
 
 from .bert import BertConfig
+
+
+logger = logging.getLogger(__name__)
 
 
 def _read_state_dict(ckpt_dir: str) -> Dict[str, np.ndarray]:
@@ -67,8 +72,12 @@ def _strip_prefix(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
 def config_from_hf_json(path: str, param_dtype, compute_dtype) -> BertConfig:
     with open(path) as f:
         hf = json.load(f)
+    act = hf.get("hidden_act", "gelu")
+    if act not in ("gelu", "gelu_new", "gelu_pytorch_tanh", "gelu_approx", "relu"):
+        raise ValueError(f"unsupported hidden_act {act!r} in {path}")
     return BertConfig(
         vocab_size=hf["vocab_size"],
+        hidden_act=act,
         hidden_size=hf["hidden_size"],
         num_hidden_layers=hf["num_hidden_layers"],
         num_attention_heads=hf["num_attention_heads"],
@@ -111,12 +120,25 @@ def params_from_state_dict(
         return {"scale": a(prefix + ".weight"), "bias": a(prefix + ".bias")}
 
     word = _pad_vocab_rows(sd["bert.embeddings.word_embeddings.weight"], pv)
-    mlm_bias_key = (
-        "cls.predictions.bias"
-        if "cls.predictions.bias" in sd
-        else "cls.predictions.decoder.bias"
-    )
-    mlm_bias = _pad_vocab_rows(sd[mlm_bias_key], pv)
+    # dense-encoder checkpoints (AutoModel-style, e.g. co-condenser or
+    # sentence-transformers dumps) carry no cls.predictions.* keys — the
+    # reference loads dense teachers with AutoModel and never touches the
+    # MLM head. Import them with a fresh head so encode_hidden works; any
+    # MLM-logits path on such a checkpoint is meaningless and gets a warning.
+    has_mlm_head = "cls.predictions.transform.dense.weight" in sd
+    if has_mlm_head:
+        mlm_bias_key = (
+            "cls.predictions.bias"
+            if "cls.predictions.bias" in sd
+            else "cls.predictions.decoder.bias"
+        )
+        mlm_bias = _pad_vocab_rows(sd[mlm_bias_key], pv)
+    else:
+        logger.warning(
+            "checkpoint has no MLM head (cls.predictions.*) — importing with "
+            "a fresh head; valid for dense/CLS teachers only"
+        )
+        mlm_bias = np.zeros((pv,), dtype=np.float32)
 
     # untied MLM decoder: some real checkpoints carry a decoder matrix that
     # differs from the word embeddings (HF supports tie_word_embeddings=False);
@@ -136,11 +158,25 @@ def params_from_state_dict(
             "layer_norm": ln("bert.embeddings.LayerNorm"),
         },
         "encoder": {"layers": []},
-        "mlm_head": {
-            "transform": dense("cls.predictions.transform.dense"),
-            "layer_norm": ln("cls.predictions.transform.LayerNorm"),
-            "bias": jnp.asarray(mlm_bias, dtype=dt),
-        },
+        "mlm_head": (
+            {
+                "transform": dense("cls.predictions.transform.dense"),
+                "layer_norm": ln("cls.predictions.transform.LayerNorm"),
+                "bias": jnp.asarray(mlm_bias, dtype=dt),
+            }
+            if has_mlm_head
+            else {
+                "transform": {
+                    "kernel": jnp.eye(cfg.hidden_size, dtype=dt),
+                    "bias": jnp.zeros((cfg.hidden_size,), dt),
+                },
+                "layer_norm": {
+                    "scale": jnp.ones((cfg.hidden_size,), dt),
+                    "bias": jnp.zeros((cfg.hidden_size,), dt),
+                },
+                "bias": jnp.asarray(mlm_bias, dtype=dt),
+            }
+        ),
     }
     if decoder is not None:
         params["mlm_head"]["decoder"] = jnp.asarray(decoder, dtype=dt)

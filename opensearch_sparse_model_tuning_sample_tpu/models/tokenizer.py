@@ -128,10 +128,19 @@ class WordPieceTokenizer:
                 vf = os.path.join(path_or_name, "vocab.txt")
                 if os.path.exists(vf):
                     return cls.from_vocab_file(vf, **kw)
-            elif os.path.exists(path_or_name):
+                # an explicit dir without vocab.txt must not silently fall
+                # back to the bundled bert-base vocab: a different vocab
+                # would put input_ids in the wrong id space with no error
+                # (the reference's AutoTokenizer raises here too)
+                raise FileNotFoundError(
+                    f"{path_or_name} has no vocab.txt — export the tokenizer "
+                    "vocab, or pass a vocab/idf file path directly"
+                )
+            if os.path.exists(path_or_name):
                 if path_or_name.endswith((".npz", ".json")):
                     return cls.from_idf_asset(path_or_name, **kw)
                 return cls.from_vocab_file(path_or_name, **kw)
+            raise FileNotFoundError(f"no tokenizer vocab at {path_or_name}")
         asset = os.path.join(_repo_root(), "assets", "idf.npz")
         return cls.from_idf_asset(asset, **kw)
 

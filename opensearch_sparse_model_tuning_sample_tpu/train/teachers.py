@@ -55,10 +55,17 @@ def dense_teacher_rep(params, cfg: BertConfig, input_ids, attention_mask):
     return cls / jnp.linalg.norm(cls, axis=-1, keepdims=True).clip(1e-12)
 
 
-def teacher_rep(teacher: Teacher, features: Dict[str, jax.Array]) -> jax.Array:
+def teacher_rep(
+    teacher: Teacher, features: Dict[str, jax.Array], params: Any = None
+) -> jax.Array:
+    """`params` overrides teacher.params: the train step passes the teacher
+    pytrees through the jit boundary as arguments, so they are traced inputs
+    (shardable, single HBM copy) rather than per-executable constants."""
+    if params is None:
+        params = teacher.params
     if teacher.kind == "sparse":
         return sparse_teacher_rep(
-            teacher.params,
+            params,
             teacher.cfg,
             jnp.asarray(teacher.special_mask),
             features["input_ids"],
@@ -66,7 +73,7 @@ def teacher_rep(teacher: Teacher, features: Dict[str, jax.Array]) -> jax.Array:
         )
     if teacher.kind == "dense":
         return dense_teacher_rep(
-            teacher.params, teacher.cfg, features["input_ids"], features["attention_mask"]
+            params, teacher.cfg, features["input_ids"], features["attention_mask"]
         )
     if teacher.kind == "remote":
         # precomputed embeddings arrive in the batch (prefetched host-side)
@@ -103,12 +110,17 @@ class TeacherEnsemble:
         self,
         q_features_list: List[Dict[str, jax.Array]],
         d_features_list: List[Dict[str, jax.Array]],
+        params_list: Optional[List[Any]] = None,
     ) -> jax.Array:
         assert len(q_features_list) == len(self.teachers)
+        if params_list is None:
+            params_list = [None] * len(self.teachers)
         scores = 0.0
-        for teacher, qf, df in zip(self.teachers, q_features_list, d_features_list):
-            q_rep = teacher_rep(teacher, qf)
-            d_rep = teacher_rep(teacher, df)
+        for teacher, qf, df, tp in zip(
+            self.teachers, q_features_list, d_features_list, params_list
+        ):
+            q_rep = teacher_rep(teacher, qf, tp)
+            d_rep = teacher_rep(teacher, df, tp)
             if self.use_in_batch_negatives:
                 score = jnp.dot(q_rep, d_rep.T, preferred_element_type=jnp.float32)
             else:

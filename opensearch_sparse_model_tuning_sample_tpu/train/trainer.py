@@ -147,12 +147,13 @@ def make_train_step(
     prune_ratio = model_args.prune_ratio
     needs_teacher_scores = any(s.kind in ("kldiv", "marginmse") for s in loss_specs)
 
-    def loss_fn(params, batch, step, rng):
+    def loss_fn(params, batch, step, rng, teacher_params):
         # ---- teacher scores (frozen forwards or dataset-provided) ----
         teacher_scores = batch.get("scores")
         if teacher_ensemble is not None:
             teacher_scores = teacher_ensemble.get_scores(
-                batch["teacher_q"], batch["teacher_d"]
+                batch["teacher_q"], batch["teacher_d"],
+                params_list=teacher_params,
             )
         if needs_teacher_scores and teacher_scores is None:
             raise ValueError("kldiv/marginmse losses need teacher scores")
@@ -209,12 +210,12 @@ def make_train_step(
         }
         return loss, metrics
 
-    def train_step(state: TrainState, batch, rng):
+    def train_step(state: TrainState, batch, rng, teacher_params):
         # derive the per-step dropout rng on device from the base key + step
         # (no host-side split/transfer per step)
         rng = jax.random.fold_in(rng, state.step)
         (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, state.step, rng
+            state.params, batch, state.step, rng, teacher_params
         )
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
@@ -226,20 +227,33 @@ def make_train_step(
         return TrainState(new_params, new_opt, state.step + 1, loss_ma), metrics
 
     donate = (0,) if donate_state else ()
+    # teacher params cross the jit boundary as a (replicated) ARGUMENT, not
+    # as closure constants: constants are re-lowered per compiled executable
+    # (one per seq-bucket combination) and sit outside donation/sharding
+    # control. The same device pytree is passed on every call, so there is
+    # no per-step transfer.
+    t_params = (
+        jax.tree_util.tree_map(jnp.asarray, teacher_ensemble.frozen_params)
+        if teacher_ensemble is not None
+        else ()
+    )
     if mesh is None:
-        return jax.jit(train_step, donate_argnums=donate)
+        jitted = jax.jit(train_step, donate_argnums=donate)
+        return lambda state, batch, rng: jitted(state, batch, rng, t_params)
 
-    # pin the layout: state replicated, batch sharded over `data`, rng
-    # replicated — a mis-placed input is resharded/rejected here rather than
-    # silently replicated (sharding prefixes broadcast over the pytrees)
+    # pin the layout: state replicated, batch sharded over `data`, rng +
+    # teacher params replicated — a mis-placed input is resharded/rejected
+    # here rather than silently replicated (sharding prefixes broadcast
+    # over the pytrees)
     repl = NamedSharding(mesh, P())
     shard = NamedSharding(mesh, P(DATA_AXIS))
-    return jax.jit(
+    jitted = jax.jit(
         train_step,
-        in_shardings=(repl, shard, repl),
+        in_shardings=(repl, shard, repl, repl),
         out_shardings=(repl, repl),
         donate_argnums=donate,
     )
+    return lambda state, batch, rng: jitted(state, batch, rng, t_params)
 
 
 class Trainer:
