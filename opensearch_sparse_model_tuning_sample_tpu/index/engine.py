@@ -73,6 +73,19 @@ class IndexConfig:
     postings_cap: int = 2048  # inverted: top-C postings kept per token
     query_terms: int = 16  # inverted: query term slots per lookup
     inverted_rescore: bool = True  # inverted: exact rescore of candidates
+    # full-forward (non-inf-free) queries on the inverted engine: candidate
+    # generation widens to the top `full_query_terms` terms by WAND impact
+    # bound but reads only the top `full_postings_cols` postings per term
+    # (sort volume stays ~ query_terms * postings_cap); exact rescore over a
+    # `full_rescore_expand * k` pool recovers exact scores. Replaces the old
+    # wholesale scan fallback (corpus-linear, 22 q/s @ 8.8M docs) with a
+    # corpus-size-independent path (reference Lucene WAND,
+    # /root/reference/scripts/search.py:59-70).
+    full_query_terms: int = 64
+    full_postings_cols: int = 256
+    full_rescore_expand: int = 16
+    full_merge_shifts: Optional[int] = None  # None = exact run sums (T-1)
+    full_fallback_scan: bool = False  # escape hatch: old exact-scan behavior
 
 
 class SparseIndex:
@@ -295,6 +308,21 @@ class SparseIndex:
         self._q_builder = None
         self._finalized = False
 
+    def delete(self):
+        """Release all index state, device and host (the analog of OpenSearch
+        `indices.delete`, reference search.py:95-97). The object returns to
+        the empty-ingest state and may be reused."""
+        self._docs_dev = None
+        self._tok_dev = None
+        self._post_docs = None
+        self._post_w = None
+        self._search_fns = {}
+        self._q_builder = None
+        self._finalized = False
+        self.doc_ids = []
+        self._tok_chunks, self._w_chunks, self._dense_chunks = [], [], []
+        self.count_tensor = np.zeros((self.vocab_size,), dtype=np.int64)
+
     # ------------------------------------------------------------- search
     def _build_search_fn(self, k: int, two_phase: bool = False,
                          engine: Optional[str] = None):
@@ -312,16 +340,31 @@ class SparseIndex:
         # per-block top_k(cat_s[k1+blk], k1) selection stays meaningful
         k1 = max(min(cfg.two_phase_expand * k, blk), k) if two_phase else k
 
-        if engine == "inverted":
+        if engine in ("inverted", "inverted_full"):
             from . import inverted
+
+            if engine == "inverted_full":
+                # full-forward mode: wide-but-shallow lookup + exact rescore
+                # (see IndexConfig.full_* and inverted.make_search_fn docs)
+                inv_kw = dict(
+                    query_terms=cfg.full_query_terms, k=k,
+                    rescore=True,
+                    postings_cols=cfg.full_postings_cols,
+                    merge_shifts=cfg.full_merge_shifts,
+                    rescore_expand=cfg.full_rescore_expand,
+                    select_by_impact=True,
+                )
+            else:
+                inv_kw = dict(
+                    query_terms=cfg.query_terms, k=k,
+                    rescore=cfg.inverted_rescore,
+                )
 
             post_docs, post_w = self._post_docs, self._post_w
             n_shards = self.mesh.devices.size if self.mesh is not None else 1
             if n_shards == 1:
                 fn = inverted.make_search_fn(
-                    post_docs, post_w, self._tok_dev, self._docs_dev,
-                    query_terms=cfg.query_terms, k=k,
-                    rescore=cfg.inverted_rescore,
+                    post_docs, post_w, self._tok_dev, self._docs_dev, **inv_kw
                 )
 
                 def inverted_search(q, docs, toks):
@@ -333,9 +376,7 @@ class SparseIndex:
             # local postings (LOCAL doc indices), then one all-gather merges
             shard_n = self._n_pad // n_shards
             body = inverted.make_search_fn(
-                post_docs[0], post_w[0], None, None,
-                query_terms=cfg.query_terms, k=k,
-                rescore=cfg.inverted_rescore, jit=False,
+                post_docs[0], post_w[0], None, None, jit=False, **inv_kw
             )
 
             def sharded_inverted(q, pd, pw, toks, docs):
@@ -503,12 +544,16 @@ class SparseIndex:
         `two_phase`: impact-ordered approximate phase 1 + exact rescore
         (reference use_two_phase, search.py:27-42).
         `full_forward`: queries come from the full encoder forward (hundreds
-        of active terms) rather than the inf-free path. The inverted engine
-        only looks up `cfg.query_terms` terms per query, so such queries fall
-        back to the exact doc-major scan. None = decide from the query batch
-        (one scalar device sync); pass False to skip the check on known
-        inf-free queries (the reference's OpenSearch scores every query token
-        exactly, search.py:59-70 — this preserves that contract).
+        of active terms) rather than the inf-free path. The inverted engine's
+        inf-free lookup covers `cfg.query_terms` terms; wider queries route
+        to the full-forward inverted mode (top `cfg.full_query_terms` terms
+        by WAND impact bound, top `cfg.full_postings_cols` postings each,
+        exact rescore) whose cost stays corpus-size-independent — or to the
+        exact doc-major scan when `cfg.full_fallback_scan` is set. None =
+        decide from the query batch (one scalar device sync); pass False to
+        skip the check on known inf-free queries (the reference's OpenSearch
+        scores every query token at speed regardless of width via Lucene
+        WAND, search.py:59-70 — the full mode preserves that contract).
         """
         assert self._finalized, "call finalize() first"
         if self.n_docs == 0:
@@ -529,14 +574,16 @@ class SparseIndex:
                 n_active = int(jnp.max(jnp.sum(q > 0, axis=1)))
                 full_forward = n_active > self.cfg.query_terms
             if full_forward:
-                engine = "sparse"  # exact doc-major scan over the same arrays
-                if not self._warned_fallback:
-                    self._warned_fallback = True
-                    logger.warning(
-                        "inverted engine: query batch exceeds %d active terms; "
-                        "falling back to the exact doc-major scan",
-                        self.cfg.query_terms,
-                    )
+                if self.cfg.full_fallback_scan:
+                    engine = "sparse"  # exact doc-major scan, corpus-linear
+                    if not self._warned_fallback:
+                        self._warned_fallback = True
+                        logger.warning(
+                            "inverted engine: full_fallback_scan set; wide "
+                            "queries use the exact doc-major scan",
+                        )
+                else:
+                    engine = "inverted_full"
 
         k_eff = min(k + (1 if exclude_self is not None else 0), self.n_docs)
         Bq = self.cfg.query_batch
@@ -630,6 +677,9 @@ class SparseIndex:
             "block_docs": self.cfg.block_docs,
             "postings_cap": self.cfg.postings_cap,
             "query_terms": self.cfg.query_terms,
+            "full_query_terms": self.cfg.full_query_terms,
+            "full_postings_cols": self.cfg.full_postings_cols,
+            "full_rescore_expand": self.cfg.full_rescore_expand,
         }
         with open(os.path.join(path, "meta.json"), "w") as f:
             json.dump(meta, f)
@@ -656,6 +706,9 @@ class SparseIndex:
             block_docs=metas[0]["block_docs"],
             postings_cap=metas[0].get("postings_cap", 2048),
             query_terms=metas[0].get("query_terms", 16),
+            full_query_terms=metas[0].get("full_query_terms", 64),
+            full_postings_cols=metas[0].get("full_postings_cols", 256),
+            full_rescore_expand=metas[0].get("full_rescore_expand", 16),
         )
         idx = cls(v, cfg, mesh)
         for p, meta in zip(paths, metas):
@@ -689,6 +742,9 @@ class SparseIndex:
             block_docs=meta["block_docs"],
             postings_cap=meta.get("postings_cap", 2048),
             query_terms=meta.get("query_terms", 16),
+            full_query_terms=meta.get("full_query_terms", 64),
+            full_postings_cols=meta.get("full_postings_cols", 256),
+            full_rescore_expand=meta.get("full_rescore_expand", 16),
         )
         idx = cls(meta["vocab_size"], cfg, mesh)
         idx.doc_ids = json.load(open(os.path.join(path, "doc_ids.json")))

@@ -168,24 +168,75 @@ def make_search_fn(
     k: int,
     rescore: bool = True,
     jit: bool = True,
+    postings_cols: Optional[int] = None,  # use only the top-C' postings/term
+    merge_shifts: Optional[int] = None,  # None = T-1 (exact run sums)
+    rescore_expand: int = 4,  # candidate pool = expand * k
+    select_by_impact: bool = False,  # term selection by q_w * max posting w
 ):
     """Build the inverted search: dense q [B, V] -> (scores, ids).
 
     `jit=False` returns the raw pure function for embedding inside a
     shard_map region (sharded corpora, see engine._build_search_fn).
+
+    Two operating points share this code:
+
+      * **inf-free** (default): T = a handful of term slots, all C postings
+        per term, exact run sums. Queries have ~2-10 active terms, so the
+        T slots cover them all and the sort-merge score is the exact
+        postings-visible score.
+      * **full-forward** (`postings_cols`/`select_by_impact` set): hundreds
+        of active query terms. Candidate generation widens to the top-T
+        terms by impact upper bound (q_w x that term's max posting weight,
+        the WAND bound — post_w[:, 0] since postings are impact-sorted) but
+        reads only the top-C' postings per term, keeping the sort size
+        T*C' ~ constant. The sort-merge sums are then only a candidate
+        ranking; `rescore` recovers EXACT scores because the rescore dot
+        product uses the full dense query against each candidate's stored
+        doc-major row. This replaces the reference's Lucene WAND traversal
+        for wide queries (/root/reference/scripts/search.py:59-70) with a
+        TPU-shaped gather/sort pipeline whose cost stays independent of
+        corpus size.
+
+    `merge_shifts` < T-1 truncates per-run sums (a doc appearing in more
+    than merge_shifts+1 of the looked-up postings lists gets a partial
+    candidate score) — only meaningful with rescore on.
     """
     C = post_docs.shape[1]
-    TC = query_terms * C
+    Cq = C if postings_cols is None else min(postings_cols, C)
+    TC = query_terms * Cq
+    shifts = (query_terms - 1) if merge_shifts is None else min(
+        merge_shifts, query_terms - 1
+    )
+    if not rescore and (shifts < query_terms - 1 or Cq < C):
+        raise ValueError(
+            "approximate candidate generation (merge_shifts/postings_cols) "
+            "requires rescore=True — without rescore the returned scores "
+            "would be truncated"
+        )
 
     def search(q: jax.Array, post_docs, post_w, doc_toks, doc_ws):
         B = q.shape[0]
-        # query sparsification: top-T terms by weight (inference-free queries
-        # have ~2-10 active terms; T slots cover them)
-        q_w, q_tok = jax.lax.top_k(q, query_terms)  # [B, T]
+        if select_by_impact:
+            # impact upper bound per term: q_w * max posting weight. Postings
+            # are impact-sorted so column 0 is each token's max weight; terms
+            # with empty postings get bound 0 and never win a slot.
+            ub = q * jnp.maximum(post_w[:, 0].astype(jnp.float32), 0.0)[None, :]
+            _, q_tok = jax.lax.top_k(ub, query_terms)  # [B, T]
+            q_w = jnp.take_along_axis(q, q_tok, axis=1)
+        else:
+            # top-T terms by weight (inference-free queries have ~2-10
+            # active terms; T slots cover them)
+            q_w, q_tok = jax.lax.top_k(q, query_terms)  # [B, T]
         term_valid = q_w > 0
 
-        docs = post_docs[q_tok]  # [B, T, C] row gather
-        pw = post_w[q_tok].astype(jnp.float32)
+        if Cq < C:
+            # narrow gather: only the top-Cq impact columns per term (the
+            # slice composes with the row gather into one [B, T, Cq] fetch)
+            docs = post_docs[:, :Cq][q_tok]
+            pw = post_w[:, :Cq][q_tok].astype(jnp.float32)
+        else:
+            docs = post_docs[q_tok]  # [B, T, C] row gather
+            pw = post_w[q_tok].astype(jnp.float32)
         part = pw * q_w[:, :, None]
         valid = (docs != _PAD_ID) & term_valid[:, :, None] & (pw > 0)
 
@@ -206,7 +257,7 @@ def make_search_fn(
             [sid[:, 1:] != sid[:, :-1], jnp.ones((B, 1), bool)], axis=1
         )
         run_sum = sp
-        for j in range(1, query_terms):
+        for j in range(1, shifts + 1):
             same = jnp.concatenate(
                 [jnp.zeros((B, j), bool), sid[:, j:] == sid[:, :-j]], axis=1
             )
@@ -228,7 +279,7 @@ def make_search_fn(
             return s, jnp.where(i == _PAD_ID, -1, i)
 
         # exact rescore of the top candidate pool against doc-major rows
-        k1 = min(4 * k, TC)
+        k1 = min(rescore_expand * k, TC)
         s1, sel = jax.lax.top_k(sums, k1)
         cand = jnp.where(
             jnp.isfinite(s1), jnp.take_along_axis(rid, sel, axis=1), _PAD_ID

@@ -337,6 +337,23 @@ def test_inverted_sharded_matches_single_device(mesh8):
             assert x[d] == pytest.approx(y[d], rel=1e-5)
 
 
+def test_inverted_full_forward_sharded_matches_single(mesh8):
+    """Full-forward mode under the 8-way corpus shard must agree with the
+    single-device full-forward path."""
+    kw = dict(postings_cap=N_DOCS, query_terms=4, weight_dtype="float32",
+              full_query_terms=64, full_postings_cols=N_DOCS,
+              full_rescore_expand=16)
+    single = build("inverted", **kw)
+    sharded = build("inverted", mesh=mesh8, **kw)
+    dense_q = make_sparse_reps(N_Q, nnz=64, seed=3)
+    a = single.search(dense_q, k=10)
+    b = sharded.search(dense_q, k=10)
+    for x, y in zip(a, b):
+        assert set(x.keys()) == set(y.keys())
+        for d in x:
+            assert x[d] == pytest.approx(y[d], rel=1e-5)
+
+
 def test_native_postings_matches_numpy():
     from opensearch_sparse_model_tuning_sample_tpu.index import inverted
 
@@ -353,21 +370,79 @@ def test_native_postings_matches_numpy():
     np.testing.assert_array_equal(pd_c, pd_n)
 
 
-def test_inverted_full_forward_falls_back_to_exact_scan():
-    """Full-forward queries (more active terms than the inverted engine's
-    lookup budget) must return EXACT top-k via the scan fallback — the
+def _exact_full_forward_want(dense_q, k=10):
+    scores = dense_q @ DOCS.T
+    want = []
+    for row in scores:
+        top = np.argsort(-row)[:k]
+        want.append({str(i): float(row[i]) for i in top if row[i] > 0})
+    return want
+
+
+def test_inverted_full_forward_mode_is_exact_when_uncapped():
+    """Full-forward queries route to the wide-but-shallow inverted lookup +
+    exact rescore. With postings uncapped and enough term slots, candidate
+    generation misses nothing and rescore makes scores EXACT — the
     reference's OpenSearch scores every query token (search.py:59-70)."""
     idx = build("inverted", postings_cap=N_DOCS, query_terms=4,
-                weight_dtype="float32")
+                weight_dtype="float32", full_query_terms=64,
+                full_postings_cols=N_DOCS, full_rescore_expand=16)
     dense_q = make_sparse_reps(N_Q, nnz=64, seed=3)
     got = idx.search(dense_q, k=10)
-    scores = dense_q @ DOCS.T
-    for row, h in zip(scores, got):
-        top = np.argsort(-row)[:10]
-        want = {str(i): float(row[i]) for i in top if row[i] > 0}
+    assert idx._engine == "inverted"
+    assert any(k[2] == "inverted_full" for k in idx._search_fns)
+    for h, want in zip(got, _exact_full_forward_want(dense_q)):
         assert set(h) == set(want)
         for d in want:
             assert h[d] == pytest.approx(want[d], rel=1e-5)
+
+
+def test_inverted_full_forward_scan_escape_hatch():
+    """full_fallback_scan=True preserves the old exact doc-major scan."""
+    idx = build("inverted", postings_cap=N_DOCS, query_terms=4,
+                weight_dtype="float32", full_fallback_scan=True)
+    dense_q = make_sparse_reps(N_Q, nnz=64, seed=3)
+    got = idx.search(dense_q, k=10)
+    assert any(k[2] == "sparse" for k in idx._search_fns)
+    for h, want in zip(got, _exact_full_forward_want(dense_q)):
+        assert set(h) == set(want)
+        for d in want:
+            assert h[d] == pytest.approx(want[d], rel=1e-5)
+
+
+def test_inverted_full_forward_recall_with_truncated_postings():
+    """Production knobs (capped postings, sliced lookup columns, truncated
+    merge shifts): recall@10 vs the exact scan must stay >= 0.99 on a
+    SPLADE-like corpus — the contract VERDICT round-2 set for replacing the
+    22 q/s scan fallback."""
+    r = np.random.default_rng(11)
+    n, v, l = 4000, 512, 48
+    reps = np.zeros((n, v), dtype=np.float32)
+    for i in range(n):
+        sel = r.choice(v, size=l, replace=False)
+        reps[i, sel] = r.gamma(2.0, 0.5, size=l)
+    cfg = IndexConfig(engine="inverted", l_max=64, block_docs=64,
+                      query_batch=4, weight_dtype="float32",
+                      postings_cap=256, query_terms=4,
+                      full_query_terms=64, full_postings_cols=128,
+                      full_rescore_expand=16, full_merge_shifts=8)
+    idx = SparseIndex(v, cfg)
+    idx.add([str(i) for i in range(n)], reps)
+    idx.finalize()
+    # full-forward-ish queries: ~100 active terms
+    nq = 16
+    qs = np.zeros((nq, v), dtype=np.float32)
+    for i in range(nq):
+        sel = r.choice(v, size=100, replace=False)
+        qs[i, sel] = r.gamma(2.0, 0.5, size=100)
+    got = idx.search(qs, k=10)
+    exact = qs @ reps.T
+    hits = total = 0
+    for row, h in zip(exact, got):
+        want = set(np.argsort(-row)[:10])
+        hits += len(want & {int(d) for d in h})
+        total += 10
+    assert hits / total >= 0.99, f"recall@10 {hits/total:.3f}"
 
 
 def test_inverted_inf_free_skips_fallback():
