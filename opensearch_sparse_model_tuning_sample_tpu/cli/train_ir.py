@@ -59,6 +59,19 @@ def main(config_source=None):
         model.cfg.hidden_size, model.cfg.num_hidden_layers, model.cfg.vocab_size,
     )
 
+    # ensemble before collator: the collator derives its per-teacher feature
+    # specs (wordpiece / raw-texts-for-torch-host / remote) from the built
+    # teachers
+    teacher_ensemble = None
+    if kd_kwargs:
+        from ..train.teachers import build_ensemble
+
+        teacher_ensemble = build_ensemble(
+            kd_kwargs, data_args.use_in_batch_negatives,
+            max_length=data_args.max_seq_length,
+        )
+        logger.info("kd-ensemble teachers: %s", kd_kwargs.get("types"))
+
     collator = build_collator(
         data_args.data_type,
         model.tokenizer,
@@ -66,6 +79,7 @@ def main(config_source=None):
         teacher_tokenizer_ids=kd_kwargs.get("teacher_tokenizer_ids", []),
         seq_buckets=data_args.seq_buckets,
         embedding_store=embedding_store,
+        teacher_ensemble=teacher_ensemble,
     )
 
     loss_specs = build_loss_specs(data_args)
@@ -99,13 +113,6 @@ def main(config_source=None):
         prefetch=training_args.dataloader_prefetch_factor or 0,
     )
 
-    teacher_ensemble = None
-    if kd_kwargs:
-        from ..train.teachers import build_ensemble
-
-        teacher_ensemble = build_ensemble(kd_kwargs, data_args.use_in_batch_negatives)
-        logger.info("kd-ensemble teachers: %s", kd_kwargs.get("types"))
-
     trainer = Trainer(
         model, model_args, data_args, training_args,
         loss_specs=loss_specs, teacher_ensemble=teacher_ensemble, mesh=mesh,
@@ -123,7 +130,10 @@ def main(config_source=None):
                         state_dir)
 
     def batches():
-        for batch in epochs(loader, training_args.max_steps):
+        # exact resume: fast-forward the data stream to the restored step so
+        # the resumed run sees the same batch sequence as an uninterrupted one
+        for batch in epochs(loader, training_args.max_steps,
+                            start=int(trainer.state.step)):
             if embedding_store is not None:
                 batch = collator.resolve_pending(batch)
             yield batch

@@ -42,6 +42,7 @@ class _CollatorBase:
         seq_buckets: Optional[Sequence[int]] = None,
         teacher_tokenizer_ids: Sequence[str] = (),
         embedding_store=None,
+        teacher_ensemble=None,
     ):
         from ..models.tokenizer import WordPieceTokenizer
 
@@ -52,9 +53,36 @@ class _CollatorBase:
         self.cap = min(max_length, buckets[-1])
         self.buckets = [b for b in buckets if b <= self.cap] or [self.cap]
         self.store = embedding_store
-        # teacher tokenizers: numeric ids are remote (precomputed embeddings,
-        # prefetched via the store); everything else gets its own tokenizer
+        # teacher feature specs. With a built ensemble, derive them from the
+        # actual teacher kinds (torch host teachers tokenize their own raw
+        # texts; native teachers reuse the ensemble's tokenizer). Otherwise
+        # fall back to teacher_tokenizer_ids alone: numeric ids are remote
+        # (precomputed embeddings via the store), paths/None get a WordPiece
+        # tokenizer (reference collator.py:23-52, 92-106).
         self.teachers: List[Dict] = []
+        if teacher_ensemble is not None:
+            ids = list(teacher_tokenizer_ids)
+            for i, t in enumerate(teacher_ensemble.teachers):
+                if t.kind == "remote":
+                    tid = ids[i] if i < len(ids) else None
+                    if embedding_store is None:
+                        raise ValueError(
+                            f"remote teacher {t.model_id!r} but no embedding "
+                            "store is configured"
+                        )
+                    self.teachers.append(
+                        {"remote": True,
+                         "model_id": int(tid) if _is_remote_id(tid) else t.model_id}
+                    )
+                elif t.kind == "hf":
+                    # host teacher: raw texts travel in the batch; the
+                    # trainer swaps them for embeddings pre-jit
+                    self.teachers.append({"remote": False, "host": True})
+                else:
+                    tok = t.tokenizer
+                    tok.try_attach_native()
+                    self.teachers.append({"remote": False, "tokenizer": tok})
+            return
         for tid in teacher_tokenizer_ids:
             if _is_remote_id(tid):
                 if embedding_store is None:
@@ -101,6 +129,12 @@ class _CollatorBase:
                     self.store.register_task("vector", mid, list(d_ids))
                 teacher_q.append({"__pending__": ("vector_q", mid, tuple(q_ids))})
                 teacher_d.append({"__pending__": ("vector", mid, tuple(d_ids))})
+            elif t.get("host"):
+                # torch host teacher (train/teachers.py HostTeacherModel):
+                # it tokenizes raw texts itself; TeacherEnsemble.host_precompute
+                # replaces these with {"embeddings"} before the jitted step
+                teacher_q.append({"texts": tuple(queries)})
+                teacher_d.append({"texts": tuple(docs)})
             else:
                 tok = t["tokenizer"]
                 teacher_q.append(tok(queries, max_length=Lq, pad_to=Lq))
@@ -204,6 +238,7 @@ def build_collator(
     teacher_tokenizer_ids: Sequence[str] = (),
     seq_buckets: Optional[Sequence[int]] = None,
     embedding_store=None,
+    teacher_ensemble=None,
 ):
     """Registry entry point (reference COLLATOR_CLS_MAP, collator.py:180-184)."""
     return COLLATOR_CLS_MAP[data_type](
@@ -212,4 +247,5 @@ def build_collator(
         seq_buckets=seq_buckets,
         teacher_tokenizer_ids=teacher_tokenizer_ids,
         embedding_store=embedding_store,
+        teacher_ensemble=teacher_ensemble,
     )

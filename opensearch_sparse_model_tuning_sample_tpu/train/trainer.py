@@ -309,6 +309,10 @@ class Trainer:
         )
 
     def train_step(self, batch) -> Dict[str, float]:
+        # torch host teachers (arbitrary HF architectures) run pre-jit on
+        # their raw texts; their reps enter the step as plain arrays
+        if self.teacher_ensemble is not None and self.teacher_ensemble.has_host:
+            batch = self.teacher_ensemble.host_precompute(batch)
         # the step fn folds the step count into this base key on device
         batch = self._place(batch)
         self.state, metrics = self._step_fn(self.state, batch, self._rng)

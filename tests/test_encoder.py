@@ -119,6 +119,32 @@ def test_hf_checkpoint_roundtrip(tiny_model, tmp_path):
     )
 
 
+def test_hidden_act_roundtrips_through_export(tiny_model, tmp_path):
+    """A non-default hidden_act must survive save->load (silent-wrongness
+    class: the export used to hardcode "gelu", so a relu model round-tripped
+    into a gelu forward)."""
+    import dataclasses
+
+    from opensearch_sparse_model_tuning_sample_tpu.models import hf_import
+
+    relu_model = dataclasses.replace(
+        tiny_model, cfg=dataclasses.replace(tiny_model.cfg, hidden_act="relu")
+    )
+
+    d = str(tmp_path / "relu_ckpt")
+    hf_import.save_checkpoint(relu_model, d)
+    cfg, params, _ = hf_import.load_checkpoint(d)
+    assert cfg.hidden_act == "relu"
+    f = tiny_model.tokenizer(["activation round trip"], max_length=16)
+    ids, mask = jnp.asarray(f["input_ids"]), jnp.asarray(f["attention_mask"])
+    a = bert.apply(relu_model.params["bert"], relu_model.cfg, ids, mask)
+    b = bert.apply(params, cfg, ids, mask)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+    # and it is genuinely a different forward from the gelu model
+    g = bert.apply(tiny_model.params["bert"], tiny_model.cfg, ids, mask)
+    assert not np.allclose(np.asarray(a), np.asarray(g))
+
+
 def test_forward_matches_hf_torch_bert(tmp_path, tiny_model):
     """Numerical parity of the whole MLM forward vs torch BertForMaskedLM
     loaded from our exported checkpoint (the reference backbone semantics,

@@ -140,6 +140,225 @@ def test_kd_ensemble_train_step(tiny_model, tmp_path):
     )
 
 
+# ------------------------------------------------- foreign-layout teachers
+
+
+VOCAB_WORDS = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+               "hello", "world", "dense", "teacher", "foreign", "layout",
+               "a", "b", "c", "query", "doc"]
+
+
+def _write_vocab(path):
+    with open(path, "w") as f:
+        f.write("\n".join(VOCAB_WORDS) + "\n")
+
+
+@pytest.fixture(scope="module")
+def foreign_bert_dir(tmp_path_factory):
+    """A torch-produced BERT checkpoint with a FOREIGN layout: relu act,
+    non-default eps, dense dump (AutoModel — no MLM head at all). The class
+    of checkpoint VERDICT r2 said hit a wall."""
+    torch = pytest.importorskip("torch")
+    import transformers
+
+    d = str(tmp_path_factory.mktemp("foreign_bert"))
+    _write_vocab(f"{d}/vocab.txt")
+    cfg = transformers.BertConfig(
+        vocab_size=len(VOCAB_WORDS), hidden_size=32, num_hidden_layers=2,
+        num_attention_heads=2, intermediate_size=64, hidden_act="relu",
+        layer_norm_eps=1e-5, max_position_embeddings=64,
+        hidden_dropout_prob=0.0, attention_probs_dropout_prob=0.0,
+    )
+    torch.manual_seed(0)
+    model = transformers.BertModel(cfg)
+    model.eval()
+    model.save_pretrained(d)
+    tok = transformers.BertTokenizerFast(vocab_file=f"{d}/vocab.txt")
+    tok.save_pretrained(d)
+    return d
+
+
+def test_foreign_layout_dense_teacher_parity(foreign_bert_dir):
+    """relu + custom eps + no-MLM-head + mean pooling imports natively and
+    matches the torch AutoModel forward (reference dense teacher semantics,
+    bi_encoder_wrapper.py:38-59, generalized with mean pooling)."""
+    torch = pytest.importorskip("torch")
+    import transformers
+
+    t = build_teacher("dense", foreign_bert_dir, pooling="mean")
+    assert t.kind == "dense", "BERT-family layout must import natively"
+    assert t.cfg.hidden_act == "relu" and t.cfg.layer_norm_eps == 1e-5
+
+    texts = ["hello world", "dense teacher foreign layout"]
+    f = feats(t.tokenizer, texts, L=12)
+    rep = np.asarray(dense_teacher_rep(
+        t.params, t.cfg, f["input_ids"], f["attention_mask"], pooling="mean",
+    ))
+    np.testing.assert_allclose(np.linalg.norm(rep, axis=1), 1.0, rtol=1e-4)
+
+    hf_model = transformers.AutoModel.from_pretrained(foreign_bert_dir)
+    hf_model.eval()
+    with torch.no_grad():
+        out = hf_model(
+            input_ids=torch.tensor(np.asarray(f["input_ids"], np.int64)),
+            attention_mask=torch.tensor(np.asarray(f["attention_mask"], np.int64)),
+        ).last_hidden_state
+        m = torch.tensor(np.asarray(f["attention_mask"], np.float32)).unsqueeze(-1)
+        want = (out * m).sum(1) / m.sum(1)
+        want = torch.nn.functional.normalize(want, p=2, dim=1).numpy()
+    np.testing.assert_allclose(rep, want, atol=2e-2)  # bf16 teacher compute
+
+    # cls pooling is a genuinely different rep
+    rep_cls = np.asarray(dense_teacher_rep(
+        t.params, t.cfg, f["input_ids"], f["attention_mask"], pooling="cls",
+    ))
+    assert not np.allclose(rep, rep_cls)
+
+
+def test_mean_pooling_hand_oracle(dense_teacher):
+    from opensearch_sparse_model_tuning_sample_tpu.models import bert
+
+    f = feats(dense_teacher.tokenizer, ["hello world", "a"], L=8)
+    hidden = np.asarray(bert.encode_hidden(
+        dense_teacher.params, dense_teacher.cfg,
+        f["input_ids"], f["attention_mask"], deterministic=True,
+    ), dtype=np.float32)
+    m = np.asarray(f["attention_mask"], np.float32)[:, :, None]
+    want = (hidden * m).sum(1) / m.sum(1)
+    want = want / np.linalg.norm(want, axis=1, keepdims=True)
+    got = np.asarray(dense_teacher_rep(
+        dense_teacher.params, dense_teacher.cfg,
+        f["input_ids"], f["attention_mask"], pooling="mean",
+    ))
+    np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_non_bert_architecture_falls_back_to_torch_host(tmp_path):
+    """A non-BERT HF checkpoint (distilbert) cannot import natively but must
+    load as a torch host teacher and produce ensemble scores — the reference
+    hosts arbitrary AutoModel architectures (config_kd.yaml's
+    gte-large-en-v1.5)."""
+    torch = pytest.importorskip("torch")
+    import transformers
+
+    d = str(tmp_path / "distil")
+    import os
+
+    os.makedirs(d)
+    _write_vocab(f"{d}/vocab.txt")
+    cfg = transformers.DistilBertConfig(
+        vocab_size=len(VOCAB_WORDS), dim=32, n_layers=2, n_heads=2,
+        hidden_dim=64, max_position_embeddings=64, dropout=0.0,
+        attention_dropout=0.0,
+    )
+    torch.manual_seed(1)
+    transformers.DistilBertModel(cfg).save_pretrained(d)
+    transformers.DistilBertTokenizerFast(vocab_file=f"{d}/vocab.txt").save_pretrained(d)
+
+    t = build_teacher("dense", d, pooling="cls")
+    assert t.kind == "hf" and t.host_model is not None
+
+    ens = TeacherEnsemble([t], score_scale=30.0)
+    assert ens.has_host
+    batch = {
+        "teacher_q": [{"texts": ("hello world", "query doc")}],
+        "teacher_d": [{"texts": tuple(f"doc {w}" for w in "a b c a b c".split())}],
+    }
+    batch = ens.host_precompute(batch)
+    q_emb = batch["teacher_q"][0]["embeddings"]
+    assert q_emb.shape == (2, 32)
+    np.testing.assert_allclose(np.linalg.norm(q_emb, axis=1), 1.0, rtol=1e-5)
+    scores = np.asarray(ens.get_scores(batch["teacher_q"], batch["teacher_d"]))
+    assert scores.shape == (2, 3)
+    assert np.isfinite(scores).all()
+
+    # parity with direct torch: CLS + L2 norm (reference DenseModel)
+    hf_model = transformers.AutoModel.from_pretrained(d)
+    hf_model.eval()
+    tok = transformers.AutoTokenizer.from_pretrained(d)
+    with torch.no_grad():
+        f = tok(["hello world", "query doc"], padding=True, return_tensors="pt")
+        want = hf_model(**f).last_hidden_state[:, 0]
+        want = torch.nn.functional.normalize(want, p=2, dim=1).numpy()
+    np.testing.assert_allclose(q_emb, want, atol=1e-5)
+
+
+def test_unmappable_checkpoint_error_names_keys(tmp_path):
+    """A bert-typed config with an alien state dict must fail with the exact
+    missing keys, not a bare KeyError."""
+    import json
+
+    from safetensors.numpy import save_file
+
+    from opensearch_sparse_model_tuning_sample_tpu.models import hf_import
+
+    d = tmp_path / "alien"
+    d.mkdir()
+    (d / "config.json").write_text(json.dumps({
+        "model_type": "bert", "vocab_size": 16, "hidden_size": 8,
+        "num_hidden_layers": 1, "num_attention_heads": 2,
+        "intermediate_size": 16,
+    }))
+    save_file(
+        {"encoder.blocks.0.attn.qkv.weight": np.zeros((8, 24), np.float32)},
+        str(d / "model.safetensors"),
+    )
+    with pytest.raises(hf_import.UnsupportedArchitecture) as e:
+        hf_import.load_checkpoint(str(d))
+    msg = str(e.value)
+    assert "bert.embeddings.word_embeddings.weight" in msg
+    assert "encoder.blocks" in msg  # names what IS there
+
+
+def test_host_teacher_in_full_train_loop(tmp_path):
+    """End-to-end: collator derives the host-teacher spec from the ensemble,
+    raw texts ride the batch, the trainer swaps them for embeddings pre-jit,
+    and the kldiv step runs."""
+    torch = pytest.importorskip("torch")
+    import os
+
+    import transformers
+
+    from opensearch_sparse_model_tuning_sample_tpu.data.collator import build_collator
+    from opensearch_sparse_model_tuning_sample_tpu.models import sparse_encoder as se
+
+    d = str(tmp_path / "distil2")
+    os.makedirs(d)
+    _write_vocab(f"{d}/vocab.txt")
+    cfg = transformers.DistilBertConfig(
+        vocab_size=len(VOCAB_WORDS), dim=16, n_layers=1, n_heads=2,
+        hidden_dim=32, max_position_embeddings=64, dropout=0.0,
+        attention_dropout=0.0,
+    )
+    torch.manual_seed(2)
+    transformers.DistilBertModel(cfg).save_pretrained(d)
+    transformers.DistilBertTokenizerFast(vocab_file=f"{d}/vocab.txt").save_pretrained(d)
+
+    model = se.build_model(arch="tiny", idf_path="assets/idf.npz", seed=0)
+    ma = ModelArguments(inf_free=True)
+    da = DataArguments(
+        loss_types=["kldiv"], flops_d_lambda=0.01, flops_d_T=10,
+        kd_ensemble_teacher_kwargs={"types": ["dense"], "model_ids": [d]},
+    )
+    ta = TrainingArguments(output_dir=str(tmp_path / "out"), max_steps=2,
+                           warmup_steps=1, save_strategy="no")
+    from opensearch_sparse_model_tuning_sample_tpu.train.teachers import build_ensemble
+
+    ens = build_ensemble(da.kd_ensemble_teacher_kwargs, False, max_length=32)
+    assert ens.teachers[0].kind == "hf"
+    collator = build_collator(
+        "kd", model.tokenizer, 32, seq_buckets=[16],
+        teacher_ensemble=ens,
+    )
+    rows = [("hello world", ["doc a", "doc b"], [1.0, 0.5]),
+            ("query doc", ["doc c", "doc a"], [0.9, 0.1])]
+    batch = collator(rows)
+    assert batch["teacher_q"][0]["texts"] == ("hello world", "query doc")
+    trainer = Trainer(model, ma, da, ta, teacher_ensemble=ens, mesh=make_mesh(1))
+    m = trainer.train_step(batch)
+    assert np.isfinite(float(m["ranking_loss"]))
+
+
 def test_merged_topk_collective(mesh8):
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
