@@ -101,6 +101,13 @@ class DataArguments:
     nano_beir_datasets: str = ""
 
     # --- TPU-native extensions ---
+    # Metric cutoffs for the BEIR harness. The reference pins [1, 10]
+    # (evaluate_beir.py:187-190); 100 is added so the north-star recall@100
+    # (BASELINE.json) is actually produced. result_size (docs retrieved per
+    # query) defaults to max(k_values) so every cutoff is meaningful; the
+    # reference's fixed 15 is available by setting eval_result_size: 15.
+    eval_k_values: List[int] = field(default_factory=lambda: [1, 10, 100])
+    eval_result_size: Optional[int] = None
     # Pad-to buckets for tokenized batches; static shapes keep XLA recompiles
     # bounded (one compiled step per bucket).
     seq_buckets: List[int] = field(default_factory=lambda: [64, 128, 256, 512])
@@ -112,6 +119,22 @@ class DataArguments:
     index_l_max: int = 256
     index_postings_cap: int = 2048
     index_query_batch: int = 64
+
+
+@dataclass
+class MiningArguments:
+    """Mirror of reference MiningArguments (args.py:76-79). NOTE: declared
+    but never consumed by the reference either — demo_train_data.py reads
+    `beir_datasets`. Kept so configs naming these knobs parse; cli/mine.py
+    honors `mine_datasets` (falls back to `beir_datasets`) and `source`
+    (overrides the mining model checkpoint)."""
+
+    mine_datasets: Optional[str] = None
+    source: Optional[str] = None
+
+    def __post_init__(self):
+        self.mine_datasets = _null(self.mine_datasets)
+        self.source = _null(self.source)
 
 
 @dataclass
@@ -149,8 +172,9 @@ class TrainingArguments:
     profile_dir: Optional[str] = None
     # Resume from {output_dir}/train_state (orbax full state: params +
     # optimizer + step + loss moving average) — exact-resume capability the
-    # reference lacks (SURVEY §5). The data iterator restarts from the
-    # beginning; step count continues where it left off.
+    # reference lacks (SURVEY §5). The data stream fast-forwards to the
+    # restored step (epoch seed + in-epoch position), so the resumed run
+    # sees the identical batch sequence an uninterrupted run would.
     resume: bool = False
 
     def __post_init__(self):
@@ -174,8 +198,9 @@ def _split_fields(raw: Dict[str, Any]):
         "model": {f.name for f in dataclasses.fields(ModelArguments)},
         "data": {f.name for f in dataclasses.fields(DataArguments)},
         "train": {f.name for f in dataclasses.fields(TrainingArguments)},
+        "mine": {f.name for f in dataclasses.fields(MiningArguments)},
     }
-    buckets = {"model": {}, "data": {}, "train": {}}
+    buckets = {"model": {}, "data": {}, "train": {}, "mine": {}}
     for k, v in raw.items():
         placed = False
         for name, fields_ in cls_fields.items():
@@ -230,7 +255,8 @@ def _coerce_list_fields(bucket: Dict[str, Any], cls) -> None:
 
 def parse_config(
     source: Optional[Any] = None,
-) -> tuple[ModelArguments, DataArguments, TrainingArguments]:
+    with_mining: bool = False,
+):
     """Parse a YAML file path, a dict, or argv into the three arg groups.
 
     Reference parity (args.py:81-96): `python cli/train_ir.py cfg.yaml`
@@ -272,6 +298,8 @@ def parse_config(
     data_args = DataArguments(**buckets["data"])
     training_args = TrainingArguments(**buckets["train"])
     os.makedirs(training_args.output_dir, exist_ok=True)
+    if with_mining:
+        return model_args, data_args, training_args, MiningArguments(**buckets["mine"])
     return model_args, data_args, training_args
 
 

@@ -471,8 +471,12 @@ def search(
     use_two_phase: bool = False,
     return_text: bool = False,
     corpus_texts: Optional[Dict[str, str]] = None,
+    delete: bool = False,
 ) -> Dict:
-    """Encode queries, top-k search, FLOPS stats — reference search.py:13-104."""
+    """Encode queries, top-k search, FLOPS stats — reference search.py:13-104.
+
+    `delete`: drop the index after searching (reference search.py:95-97
+    `indices.delete` — frees device HBM between datasets)."""
     qd = KeyValueDataset(queries)
     encoder = BatchEncoder(model, max_length=max_length, do_count=True)
     run_res: Dict[str, Dict[str, float]] = {}
@@ -510,6 +514,8 @@ def search(
         "Index_name: %s, flops: %s, d_length:%s, q_length:%s (%.1f q/s)",
         index_name, flops, d_length, q_length, qps,
     )
+    if delete:
+        index.delete()
     out = {
         "run_res": run_res,
         "flops": flops,
@@ -566,7 +572,16 @@ def evaluate_datasets(
     """Per dataset: load -> ingest -> search -> NDCG@10; write CSV + avg
     JSON + metrics records. Returns avg_res."""
     os.makedirs(eval_dir, exist_ok=True)
-    result = {"dataset": [], "flops": [], "NDCG@10": [], "q_length": [], "d_length": []}
+    k_values = [int(k) for k in getattr(data_args, "eval_k_values", None) or [1, 10]]
+    if 10 not in k_values:  # NDCG@10 is the headline metric everywhere below
+        k_values = sorted(k_values + [10])
+    result_size = getattr(data_args, "eval_result_size", None) or max(k_values)
+    extra_cols = [f"Recall@{k}" for k in k_values if k not in (1, 10)]
+    result = {
+        "dataset": [], "flops": [], "NDCG@10": [],
+        **{c: [] for c in extra_cols},
+        "q_length": [], "d_length": [],
+    }
     for name in datasets:
         corpus, queries, qrels = load_fn(name)
         logger.info("Loaded %s: %d docs, %d queries", name, len(corpus), len(queries))
@@ -593,14 +608,17 @@ def evaluate_datasets(
             queries, model, index, eval_dir, name.lower(),
             max_length=data_args.eval_max_seq_length,
             batch_size=training_args.per_device_eval_batch_size,
+            result_size=result_size,
             inf_free=model_args.inf_free,
             query_prune=data_args.query_prune,
             use_two_phase=data_args.use_two_phase,
         )
-        ndcg, _map, recall, p = trec_eval.evaluate(qrels, res["run_res"], [1, 10])
+        ndcg, _map, recall, p = trec_eval.evaluate(qrels, res["run_res"], k_values)
         logger.info("retrieve metrics for %s: %s %s %s %s", name, ndcg, _map, recall, p)
         result["dataset"].append(name)
         result["NDCG@10"].append(ndcg["NDCG@10"])
+        for c in extra_cols:
+            result[c].append(recall[c])
         result["flops"].append(res["flops"])
         result["q_length"].append(res["q_length"])
         result["d_length"].append(res["d_length"])
@@ -610,17 +628,15 @@ def evaluate_datasets(
 
     avg_res = {
         key: sum(result[key]) / len(result[key])
-        for key in ["flops", "q_length", "d_length", "NDCG@10"]
+        for key in ["flops", "q_length", "d_length", "NDCG@10", *extra_cols]
     }
     tag = f"_step{step}" if step is not None else ""
+    cols = ["dataset", "flops", "NDCG@10", *extra_cols, "q_length", "d_length"]
     with open(os.path.join(eval_dir, f"beir_statistics{tag}.csv"), "w", newline="") as f:
         w = csv.writer(f)
-        w.writerow(["dataset", "flops", "NDCG@10", "q_length", "d_length"])
+        w.writerow(cols)
         for i, name in enumerate(result["dataset"]):
-            w.writerow(
-                [name, result["flops"][i], result["NDCG@10"][i],
-                 result["q_length"][i], result["d_length"][i]]
-            )
+            w.writerow([result[c][i] if c != "dataset" else name for c in cols])
     with open(os.path.join(eval_dir, f"avg_res{tag}.json"), "w") as f:
         json.dump(avg_res, f)
 

@@ -36,6 +36,9 @@ def ndcg_at_k(qrels_q: Dict[str, int], ranked: List[str], k: int) -> float:
 
 
 def average_precision_at_k(qrels_q: Dict[str, int], ranked: List[str], k: int) -> float:
+    """trec_eval `map_cut.k`: sum of precision at each relevant rank within
+    the top k, divided by the TOTAL number of relevant docs (n_rel, not
+    min(n_rel, k) — dividing by the min inflates MAP@k when k < n_rel)."""
     n_rel = sum(1 for r in qrels_q.values() if r > 0)
     if n_rel == 0:
         return 0.0
@@ -44,7 +47,7 @@ def average_precision_at_k(qrels_q: Dict[str, int], ranked: List[str], k: int) -
         if qrels_q.get(d, 0) > 0:
             hits += 1
             ap += hits / (i + 1)
-    return ap / min(n_rel, k)
+    return ap / n_rel
 
 
 def recall_at_k(qrels_q: Dict[str, int], ranked: List[str], k: int) -> float:

@@ -62,16 +62,63 @@ def test_recall_and_precision():
     assert p["P@4"] == pytest.approx(0.5)
 
 
+def test_hand_worked_example_all_metrics():
+    """Fully hand-computed trec_eval oracle on a two-query example, including
+    the case the old MAP definition got wrong: MAP@k with k < n_rel divides
+    by n_rel (trec_eval `map_cut`), not min(n_rel, k)."""
+    qrels = {
+        "q1": {"d1": 2, "d2": 1, "d3": 0},  # 2 relevant docs
+        "q2": {"da": 1},
+    }
+    run = {
+        "q1": {"d2": 0.9, "d5": 0.8, "d1": 0.7, "d4": 0.1},  # d2,d5,d1,d4
+        "q2": {"da": 0.5, "db": 0.4},
+    }
+    ndcg, m, r, p = trec_eval.evaluate(qrels, run, [1, 2, 10])
+
+    # q1 NDCG@10: DCG = 1/log2(2) + 2/log2(4) = 2.0;
+    # IDCG = 2/log2(2) + 1/log2(3)
+    q1_ndcg10 = 2.0 / (2.0 + 1.0 / math.log2(3))
+    assert ndcg["NDCG@10"] == pytest.approx((q1_ndcg10 + 1.0) / 2, abs=1e-4)
+
+    # q1 MAP@10 = (1/1 + 2/3) / 2 ; q2 MAP@10 = 1
+    assert m["MAP@10"] == pytest.approx(((1 + 2 / 3) / 2 + 1.0) / 2, abs=1e-4)
+    # MAP@1: q1 top1=d2 -> (1/1)/2 = 0.5 (NOT 1.0 — divide by n_rel=2);
+    # q2 -> 1.0
+    assert m["MAP@1"] == pytest.approx((0.5 + 1.0) / 2, abs=1e-4)
+
+    # Recall@2: q1 {d2,d5} hits 1 of 2 -> 0.5; q2 -> 1.0
+    assert r["Recall@2"] == pytest.approx((0.5 + 1.0) / 2, abs=1e-4)
+    # P@2: q1 1/2; q2 1/2 (db not relevant)
+    assert p["P@2"] == pytest.approx(0.5, abs=1e-4)
+
+
 def test_parity_with_pytrec_eval_definitions():
-    """Cross-check against torch-free manual computation on a random run —
-    guards the tie-break (score desc, docid asc) and cutoffs."""
+    """Cross-check NDCG/MAP/Recall/P against pytrec_eval on a random
+    qrels/run (skipped where pytrec_eval isn't installed; the hand-worked
+    example above pins the definitions regardless)."""
+    pytrec_eval = pytest.importorskip("pytrec_eval")
     rng = np.random.default_rng(0)
     qrels = {f"q{i}": {f"d{j}": int(rng.integers(0, 3)) for j in range(20)}
              for i in range(5)}
     run = {f"q{i}": {f"d{j}": float(rng.normal()) for j in range(30)}
            for i in range(5)}
-    ndcg, _, _, _ = trec_eval.evaluate(qrels, run, [10])
-    assert 0.0 <= ndcg["NDCG@10"] <= 1.0
+    ks = [1, 10]
+    measures = {f"ndcg_cut.{k}" for k in ks} | {f"map_cut.{k}" for k in ks} | \
+        {f"recall.{k}" for k in ks} | {f"P.{k}" for k in ks}
+    ev = pytrec_eval.RelevanceEvaluator(qrels, measures)
+    scores = ev.evaluate(run)
+    ndcg, m, r, p = trec_eval.evaluate(qrels, run, ks)
+    n = len(scores)
+    for k in ks:
+        assert ndcg[f"NDCG@{k}"] == pytest.approx(
+            sum(s[f"ndcg_cut_{k}"] for s in scores.values()) / n, abs=1e-4)
+        assert m[f"MAP@{k}"] == pytest.approx(
+            sum(s[f"map_cut_{k}"] for s in scores.values()) / n, abs=1e-4)
+        assert r[f"Recall@{k}"] == pytest.approx(
+            sum(s[f"recall_{k}"] for s in scores.values()) / n, abs=1e-4)
+        assert p[f"P@{k}"] == pytest.approx(
+            sum(s[f"P_{k}"] for s in scores.values()) / n, abs=1e-4)
 
 
 # --------------------------------------------------- end-to-end ingest/search
@@ -255,6 +302,44 @@ def test_multihost_ingest_rerun_same_outdir(tiny_model, synth, tmp_path):
         list(ex.map(run, [0, 1]))
     second = np.load(os.path.join(out, "mh.corpus.npy"))
     np.testing.assert_allclose(second, first)  # fresh stat, not doubled
+
+
+def test_harness_produces_recall_100(tiny_model, synth, tmp_path, monkeypatch):
+    """The north-star metric (BASELINE.json recall@100) must come out of the
+    standard harness: default eval_k_values=[1,10,100] widens result_size to
+    100 and records Recall@100 in avg_res + the CSV."""
+    import csv as _csv
+
+    from opensearch_sparse_model_tuning_sample_tpu.core.config import parse_config
+    from opensearch_sparse_model_tuning_sample_tpu.eval.beir import evaluate_datasets
+
+    corpus, queries, qrels = synth
+
+    def loader(name):
+        return corpus, queries, qrels
+
+    monkeypatch.setenv("METRICS_DIR", str(tmp_path / "metrics"))
+    ma, da, ta = parse_config({
+        "output_dir": str(tmp_path), "beir_datasets": "synthetic",
+        "max_steps": 1, "arch": "tiny", "eval_max_seq_length": 64,
+        "per_device_eval_batch_size": 32,
+    })
+    eval_dir = str(tmp_path / "beir_eval")
+    avg = evaluate_datasets(["synthetic"], loader, tiny_model, ma, da, ta, eval_dir)
+    assert "Recall@100" in avg and 0.0 <= avg["Recall@100"] <= 1.0
+    with open(os.path.join(eval_dir, "beir_statistics.csv")) as f:
+        header = next(_csv.reader(f))
+    assert "Recall@100" in header
+
+    # the reference's exact [1,10]/15 surface stays available
+    ma2, da2, ta2 = parse_config({
+        "output_dir": str(tmp_path), "beir_datasets": "synthetic",
+        "max_steps": 1, "arch": "tiny", "eval_max_seq_length": 64,
+        "per_device_eval_batch_size": 32, "eval_k_values": "1,10",
+        "eval_result_size": 15, "skip_ingest": True,
+    })
+    avg2 = evaluate_datasets(["synthetic"], loader, tiny_model, ma2, da2, ta2, eval_dir)
+    assert "Recall@100" not in avg2
 
 
 def test_skip_ingest_reuses_saved_index(tiny_model, synth, tmp_path, monkeypatch):
