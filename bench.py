@@ -204,7 +204,13 @@ def main():
                 "metric": "index_queries_per_sec_128k_docs",
                 "value": round(qps, 1),
                 "unit": "queries/s",
+                # vs_baseline compares to this repo's own round-1 anchor on
+                # the same hardware (BENCH_BASELINE.json), NOT to any measured
+                # OpenSearch number — no OpenSearch node exists in this
+                # environment. See BASELINE.md "OpenSearch comparison" for
+                # how the north-star claim is (and isn't) derivable.
                 "vs_baseline": round(qps / anchor, 3),
+                "baseline_kind": "round-1 self-anchor (same hardware), not OpenSearch",
                 "extra": {
                     "p50_query_latency_ms": round(p50_ms, 3),
                     "inverted_qps_2m_docs": round(inv_qps, 1),

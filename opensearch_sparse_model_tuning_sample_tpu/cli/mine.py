@@ -21,9 +21,18 @@ logger = logging.getLogger(__name__)
 
 
 def main(config_source=None):
-    model_args, data_args, training_args = parse_config(config_source)
+    model_args, data_args, training_args, mining_args = parse_config(
+        config_source, with_mining=True
+    )
     set_logging(training_args.output_dir, "mine.log", training_args.log_level)
-    datasets = data_args.beir_datasets.split(",")
+    # MiningArguments parity (reference args.py:76-79, declared there but
+    # demo_train_data.py reads beir_datasets): mine_datasets wins when set;
+    # `source` points the mining encoder at a specific checkpoint.
+    if mining_args.source:
+        model_args.model_name_or_path = mining_args.source
+        if model_args.tokenizer_name is None:
+            model_args.tokenizer_name = mining_args.source
+    datasets = (mining_args.mine_datasets or data_args.beir_datasets).split(",")
     if len(datasets) != 1:
         raise ValueError("can only accept one beir dataset")
     name = datasets[0]

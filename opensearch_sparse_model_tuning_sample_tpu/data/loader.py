@@ -40,6 +40,7 @@ class DataLoader:
         self.seed = seed
         self.prefetch = prefetch
         self._epoch = 0
+        self._skip_next = 0  # batches to skip on the NEXT pass (exact resume)
         self._sampler = (
             CombinedRandomSampler(dataset.datasets, batch_size, seed=seed,
                                   drop_last=drop_last)
@@ -55,9 +56,16 @@ class DataLoader:
 
     # ------------------------------------------------------------------
     def _row_batches(self) -> Iterator[list]:
+        # exact-resume fast-forward: skip the first `_skip_next` batches of
+        # this pass WITHOUT fetching rows or collating — the epoch's batch
+        # order is a pure function of (seed, epoch), so position (epoch, j)
+        # reconstructs the uninterrupted sequence
+        skip, self._skip_next = self._skip_next, 0
         if self._sampler is not None:
             self._sampler.set_epoch(self._epoch)
-            for pairs in self._sampler:
+            for j, pairs in enumerate(self._sampler):
+                if j < skip:
+                    continue
                 yield [self.dataset[p] for p in pairs]
         else:
             rng = np.random.default_rng(self.seed + self._epoch)
@@ -66,7 +74,7 @@ class DataLoader:
                 len(perm) - len(perm) % self.batch_size
                 if self.drop_last else len(perm)
             )
-            for start in range(0, stop, self.batch_size):
+            for start in range(skip * self.batch_size, stop, self.batch_size):
                 idxs = perm[start : start + self.batch_size]
                 yield [self.dataset[int(i)] for i in idxs]
 
@@ -127,8 +135,20 @@ class DataLoader:
 
 def epochs(loader: DataLoader, max_steps: int, start: int = 0) -> Iterator:
     """Cycle the loader across epochs, yielding exactly `max_steps - start`
-    batches (the HF-Trainer epoch loop flattened into one stream)."""
+    batches (the HF-Trainer epoch loop flattened into one stream).
+
+    `start` > 0 is EXACT resume: the stream fast-forwards to global batch
+    index `start` — completed epochs set the epoch counter (so reshuffle
+    seeds match) and the in-epoch remainder is skipped index-only — making
+    the resumed sequence identical to the uninterrupted run's (the data-order
+    half of --resume; the reference cannot resume data order at all)."""
     produced = start
+    if start:
+        per_epoch = len(loader)
+        if per_epoch <= 0:
+            raise ValueError("cannot fast-forward an empty loader")
+        loader._epoch = start // per_epoch  # completed epochs
+        loader._skip_next = start % per_epoch
     while produced < max_steps:
         empty = True
         for batch in loader:

@@ -167,6 +167,35 @@ def test_loader_drop_last_and_epochs(tok):
     assert len(stream) == 7  # cycles epochs
 
 
+def test_epochs_resume_reproduces_sequence(tok):
+    """Exact resume (VERDICT r2 weak #3): epochs(start=S) must continue with
+    the same batches an uninterrupted run would produce — across an epoch
+    boundary and mid-epoch, for both the plain and the combined sampler."""
+    rows = [{"query": f"q{i}", "pos": f"p{i}", "negs": ["n", "m"]} for i in range(6)]
+
+    def ident(batch_rows):  # identity collate: compare raw rows
+        return [r[0] for r in batch_rows]
+
+    def fresh():
+        return DataLoader(PosNegsDataset(rows, 2), batch_size=2,
+                          collate_fn=ident, seed=7)
+
+    full = list(epochs(fresh(), 11))
+    for s in (1, 3, 4, 8):  # mid-epoch and epoch-boundary resumes
+        resumed = list(epochs(fresh(), 11, start=s))
+        assert resumed == full[s:], f"resume at {s} diverged"
+
+    # combined sampler path
+    rows_b = [{"query": f"b{i}", "pos": "p", "negs": ["n"]} for i in range(4)]
+    def fresh_c():
+        ds = CombinedDataset([PosNegsDataset(rows, 1), PosNegsDataset(rows_b, 1)])
+        return DataLoader(ds, batch_size=2, collate_fn=ident, seed=7)
+
+    full_c = list(epochs(fresh_c(), 13))
+    for s in (2, 5, 9):
+        assert list(epochs(fresh_c(), 13, start=s)) == full_c[s:]
+
+
 def test_combined_loader(tok):
     rows_a = [{"query": "a", "pos": "p", "negs": ["n"]}] * 4
     rows_b = [{"query": "b", "pos": "p", "negs": ["n"]}] * 2
