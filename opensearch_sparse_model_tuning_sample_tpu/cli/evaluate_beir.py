@@ -14,7 +14,7 @@ import os
 import sys
 
 from ..core.config import NANO_BEIR_DATASETS, parse_config, snapshot_config
-from ..core.mesh import make_mesh
+from ..core.mesh import make_mesh, maybe_init_distributed
 from ..eval.beir import eval_suffix, evaluate_datasets, resolve_dataset
 from ..models import sparse_encoder as se
 from ..utils.logging_utils import set_logging
@@ -77,6 +77,7 @@ def main(config_source=None):
     )
     set_logging(training_args.output_dir, "eval_beir.log", training_args.log_level)
 
+    maybe_init_distributed()  # multi-process: all ranks ingest, rank 0 searches
     mesh = make_mesh(training_args.dp_size)
     model = se.from_model_args(model_args, seed=training_args.seed)
 

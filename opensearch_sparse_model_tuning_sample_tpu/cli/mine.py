@@ -11,7 +11,7 @@ import logging
 import os
 
 from ..core.config import parse_config
-from ..core.mesh import make_mesh
+from ..core.mesh import make_mesh, maybe_init_distributed
 from ..eval.beir import resolve_dataset
 from ..mine.hard_negatives import mine_hard_negatives
 from ..models import sparse_encoder as se
@@ -37,6 +37,7 @@ def main(config_source=None):
         raise ValueError("can only accept one beir dataset")
     name = datasets[0]
 
+    maybe_init_distributed()
     mesh = make_mesh(training_args.dp_size)
     model = se.from_model_args(model_args, seed=training_args.seed)
 

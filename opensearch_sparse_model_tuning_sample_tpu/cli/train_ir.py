@@ -14,7 +14,7 @@ import sys
 import jax
 
 from ..core.config import parse_config, snapshot_config
-from ..core.mesh import make_mesh
+from ..core.mesh import make_mesh, maybe_init_distributed
 from ..data.collator import build_collator
 from ..data.datasets import load_dataset, load_datasets
 from ..data.loader import DataLoader, epochs
@@ -39,8 +39,12 @@ def main(config_source=None):
             os.path.join(training_args.output_dir, "config.yaml"),
         )
 
+    dist = maybe_init_distributed()  # torchrun-analog launch (README.md:64-68)
     mesh = make_mesh(training_args.dp_size)
-    logger.info("mesh: %s devices (%s)", mesh.devices.size, jax.devices()[0].platform)
+    logger.info(
+        "mesh: %s devices (%s)%s", mesh.devices.size, jax.devices()[0].platform,
+        f" process {jax.process_index()}/{jax.process_count()}" if dist else "",
+    )
 
     # precomputed-embedding store for "remote" teachers (train_ir.py:50-57)
     embedding_store = None
@@ -86,8 +90,13 @@ def main(config_source=None):
     logger.info("losses: %s", loss_specs)
 
     # global batch = per_device * mesh size (DP semantics parity with
-    # torchrun --nproc_per_node=N per-device batches)
+    # torchrun --nproc_per_node=N per-device batches). In a multi-process
+    # run the loader produces this process's LOCAL slice; the trainer
+    # assembles the global batch without cross-host movement.
     global_batch = training_args.per_device_train_batch_size * mesh.devices.size
+    loader_batch = (
+        global_batch // jax.process_count() if dist else global_batch
+    )
     if data_args.train_file is not None:
         dataset = load_dataset(
             data_args.train_file, data_args.data_type,
@@ -96,6 +105,15 @@ def main(config_source=None):
             first_rank_thresh=data_args.first_rank_thresh,
             score_scale=data_args.score_scale,
         )
+        if dist:
+            # single-file datasets shard across processes here (the dir path
+            # load_datasets shards internally; reference DDPDatasetWithRank)
+            from ..data.datasets import HostShardDataset
+
+            dataset = HostShardDataset(
+                dataset, jax.process_index(), jax.process_count(),
+                drop=True,  # equal shard sizes: ranks agree on batch counts
+            )
     elif data_args.train_file_dir is not None:
         dataset = load_datasets(
             data_args.train_file_dir, data_args.data_type,
@@ -108,7 +126,7 @@ def main(config_source=None):
         raise ValueError("train_file or train_file_dir must be specified")
 
     loader = DataLoader(
-        dataset, batch_size=global_batch, collate_fn=collator,
+        dataset, batch_size=loader_batch, collate_fn=collator,
         drop_last=training_args.dataloader_drop_last, seed=training_args.seed,
         prefetch=training_args.dataloader_prefetch_factor or 0,
     )

@@ -20,6 +20,44 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 
+_DIST_INITIALIZED = False
+
+
+def maybe_init_distributed() -> bool:
+    """Multi-process (multi-host) wiring — the analog of the reference's
+    `torchrun --nproc_per_node=N` launch (README.md:64-68).
+
+    Env-gated so single-process runs are untouched:
+      * OSSMT_COORDINATOR=host:port, OSSMT_NUM_PROCESSES, OSSMT_PROCESS_ID —
+        explicit 3-tuple (the torchrun-style launch; see tools/launch_dist.py)
+      * OSSMT_DIST=auto — jax.distributed.initialize() auto-detection
+        (SLURM / TPU pod metadata)
+
+    After initialization jax.devices() is the GLOBAL device list, so
+    make_mesh() builds the global mesh; each process feeds its local batch
+    shard through make_array_from_process_local_data (trainer._place).
+    Returns True when running multi-process. Idempotent.
+    """
+    global _DIST_INITIALIZED
+    import os
+
+    if _DIST_INITIALIZED:
+        return jax.process_count() > 1
+    coord = os.environ.get("OSSMT_COORDINATOR")
+    auto = os.environ.get("OSSMT_DIST") == "auto"
+    if not coord and not auto:
+        return False
+    if coord:
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=int(os.environ["OSSMT_NUM_PROCESSES"]),
+            process_id=int(os.environ["OSSMT_PROCESS_ID"]),
+        )
+    else:
+        jax.distributed.initialize()
+    _DIST_INITIALIZED = True
+    return jax.process_count() > 1
+
 
 @dataclass(frozen=True)
 class MeshConfig:

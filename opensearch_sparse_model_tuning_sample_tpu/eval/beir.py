@@ -568,9 +568,29 @@ def evaluate_datasets(
     mesh=None,
     metrics_index: str = "beir_eval",
     step: Optional[str] = None,
+    rank: Optional[int] = None,
+    world_size: Optional[int] = None,
 ) -> Dict[str, float]:
     """Per dataset: load -> ingest -> search -> NDCG@10; write CSV + avg
-    JSON + metrics records. Returns avg_res."""
+    JSON + metrics records. Returns avg_res.
+
+    Multi-process (rank/world_size, defaulting to the jax process grid):
+    every rank ingests its corpus stripe and saves a shard index; rank 0
+    merges the shards, searches, and writes metrics (reference: all ranks
+    ingest, rank 0 searches, evaluate_beir.py:159-196). Non-zero ranks
+    return {}."""
+    if rank is None or world_size is None:
+        import jax
+
+        rank, world_size = jax.process_index(), jax.process_count()
+    if world_size > 1:
+        # per-rank stripe indexes are process-local (a cross-process mesh
+        # would make every search a collective, but only rank 0 searches)
+        import jax
+
+        from ..core.mesh import make_mesh as _local_mesh
+
+        mesh = _local_mesh(devices=jax.local_devices())
     os.makedirs(eval_dir, exist_ok=True)
     k_values = [int(k) for k in getattr(data_args, "eval_k_values", None) or [1, 10]]
     if 10 not in k_values:  # NDCG@10 is the headline metric everywhere below
@@ -593,16 +613,36 @@ def evaluate_datasets(
                 max_length=data_args.eval_max_seq_length,
                 batch_size=training_args.per_device_eval_batch_size,
                 index_cfg=index_cfg_from_args(data_args),
-                mesh=mesh,
+                mesh=mesh, rank=rank, world_size=world_size,
             )
+            if world_size > 1:
+                # each rank persists its stripe; rank 0 merges and searches
+                shard_dir = f"{index_dir}.shard{rank}of{world_size}"
+                index.save(shard_dir)
+                open(os.path.join(shard_dir, ".done"), "w").close()
+                if rank != 0:
+                    continue
+                shards = [
+                    f"{index_dir}.shard{r}of{world_size}"
+                    for r in range(world_size)
+                ]
+                deadline = time.time() + 3600.0
+                for p in shards:
+                    while not os.path.exists(os.path.join(p, ".done")):
+                        if time.time() > deadline:
+                            raise TimeoutError(f"eval shard barrier: {p}")
+                        time.sleep(0.2)
+                index = SparseIndex.merge_saved(shards, mesh=mesh)
             # persist like the reference's OpenSearch node does implicitly:
             # a later run with skip_ingest: true reuses it
             index.save(index_dir)
         else:
+            if rank != 0:
+                continue
             # reference parity (evaluate_beir.py:158): skip_ingest reuses
             # the previously-built index
             index = SparseIndex.load(index_dir, mesh=mesh)
-        if not data_args.do_search:
+        if not data_args.do_search or rank != 0:
             continue
         res = search(
             queries, model, index, eval_dir, name.lower(),

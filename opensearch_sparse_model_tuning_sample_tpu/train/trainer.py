@@ -304,6 +304,16 @@ class Trainer:
     # ------------------------------------------------------------------
     def _place(self, batch):
         shard = NamedSharding(self.mesh, P(DATA_AXIS))
+        if jax.process_count() > 1:
+            # multi-process (torchrun-analog) run: this process's batch is
+            # its LOCAL shard of the global batch; assemble the global array
+            # without any cross-host data movement
+            return jax.tree_util.tree_map(
+                lambda x: jax.make_array_from_process_local_data(
+                    shard, np.asarray(x)
+                ),
+                batch,
+            )
         return jax.tree_util.tree_map(
             lambda x: jax.device_put(jnp.asarray(x), shard), batch
         )
@@ -366,6 +376,8 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def save_checkpoint(self, step: int):
+        if jax.process_index() != 0:
+            return  # main-process-only save (reference trainer.py:145-147)
         out = os.path.join(self.args.output_dir, f"checkpoint-{step}")
         self.model.params = jax.device_get(self.state.params)
         hf_import.save_checkpoint(self.model, out)
@@ -373,7 +385,10 @@ class Trainer:
 
     def save_train_state(self, path: Optional[str] = None):
         """Full resumable state via orbax (optimizer + step), beyond what the
-        reference can resume."""
+        reference can resume. Multi-process: EVERY rank must call this —
+        orbax's save contains an internal cross-process barrier
+        (sync_global_processes) and elects the writer itself; a rank-0-only
+        guard here deadlocks the caller."""
         import orbax.checkpoint as ocp
 
         path = path or os.path.join(os.path.abspath(self.args.output_dir), "train_state")
