@@ -34,10 +34,15 @@ Endpoints:
                                  "two_phase": bool}
     POST /_encode               {"texts": [...], "inf_free": bool}
 
-Implementation notes: stdlib-only (ThreadingHTTPServer). Searches take a
-process-wide lock — the device executes one query batch at a time anyway;
-concurrency should come from batching client-side or sharding the corpus
-over a mesh, not from racing dispatches.
+Implementation notes: stdlib-only (ThreadingHTTPServer). Concurrent
+searches are MICRO-BATCHED: requests queue to a single dispatcher thread
+that drains everything waiting (plus an optional coalescing window,
+--batch-window-ms) and rides compatible queries through ONE engine call —
+the device executes one query batch at a time anyway, so under concurrent
+load every client pays one dispatch instead of queueing behind N (the
+reference's OpenSearch node serves concurrent clients the same way via
+Lucene's internal thread pool). Writes (_bulk / create / refresh) still
+take the process-wide state lock; the dispatcher holds it while executing.
 """
 
 from __future__ import annotations
@@ -48,19 +53,150 @@ import logging
 import os
 import threading
 import time
+from collections import deque
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Dict, Optional
+from typing import Dict, List, Optional
 
 import numpy as np
 
 logger = logging.getLogger(__name__)
 
 
+class _SearchRequest:
+    __slots__ = ("index_name", "kind", "payload", "k", "prune", "two_phase",
+                 "event", "result", "error")
+
+    def __init__(self, index_name, kind, payload, k, prune, two_phase):
+        self.index_name = index_name
+        self.kind = kind          # "tokens" -> [(id, w), ...] | "text" -> (text, inf_free)
+        self.payload = payload
+        self.k = k
+        self.prune = prune
+        self.two_phase = two_phase
+        self.event = threading.Event()
+        self.result = None        # {doc_id: score}
+        self.error = None
+
+    def group_key(self):
+        extra = self.payload[1] if self.kind == "text" else None  # inf_free
+        return (self.index_name, self.kind, self.k, self.prune,
+                self.two_phase, extra)
+
+
+class MicroBatcher:
+    """Coalesce concurrent search requests into batched engine calls.
+
+    A single dispatcher thread drains the queue: whatever is waiting when it
+    loops (bounded by max_batch) forms the next batch, so batching emerges
+    under load without adding latency when idle; window_ms > 0 additionally
+    holds the first request open to let near-simultaneous arrivals join.
+    Compatible requests (same index / k / prune / two_phase / query kind)
+    execute as ONE `index.search_tokens` / `index.search` call.
+    """
+
+    def __init__(self, state: "ServingState", window_ms: float = 0.0,
+                 max_batch: int = 64):
+        self.state = state
+        self.window_s = max(window_ms, 0.0) / 1e3
+        self.max_batch = max(max_batch, 1)
+        self._q: deque = deque()
+        self._cv = threading.Condition()
+        self.stats = {"requests": 0, "engine_calls": 0, "batches": 0,
+                      "max_batch_seen": 0}
+        self._thread = threading.Thread(
+            target=self._run, daemon=True, name="serve-microbatch"
+        )
+        self._thread.start()
+
+    def submit(self, req: _SearchRequest) -> Dict[str, float]:
+        with self._cv:
+            self._q.append(req)
+            self.stats["requests"] += 1
+            self._cv.notify()
+        req.event.wait()
+        if req.error is not None:
+            raise req.error
+        return req.result
+
+    def _run(self):
+        while True:
+            with self._cv:
+                while not self._q:
+                    self._cv.wait()
+                if self.window_s > 0:
+                    deadline = time.monotonic() + self.window_s
+                    while len(self._q) < self.max_batch:
+                        left = deadline - time.monotonic()
+                        if left <= 0:
+                            break
+                        self._cv.wait(left)
+                batch = [
+                    self._q.popleft()
+                    for _ in range(min(len(self._q), self.max_batch))
+                ]
+            self.stats["batches"] += 1
+            self.stats["max_batch_seen"] = max(
+                self.stats["max_batch_seen"], len(batch)
+            )
+            groups: Dict[tuple, List[_SearchRequest]] = {}
+            for r in batch:
+                groups.setdefault(r.group_key(), []).append(r)
+            for reqs in groups.values():
+                try:
+                    self.stats["engine_calls"] += 1
+                    self._execute(reqs)
+                except Exception as e:  # noqa: BLE001 — serving surface
+                    for r in reqs:
+                        r.error = e
+                for r in reqs:
+                    r.event.set()
+
+    def _execute(self, reqs: List[_SearchRequest]):
+        state = self.state
+        r0 = reqs[0]
+        with state.lock:
+            index = state.indexes[r0.index_name]
+            if not index._finalized:
+                # near-real-time semantics: search refreshes. Inside the
+                # lock: finalize concatenates + clears the ingest buffers
+                # and must not race a concurrent _bulk's reopen()/add_topk()
+                index.finalize()
+            if r0.kind == "tokens":
+                L = max(max(len(r.payload) for r in reqs), 1)
+                q_tok = np.zeros((len(reqs), L), np.int32)
+                q_w = np.zeros((len(reqs), L), np.float32)
+                for b, r in enumerate(reqs):
+                    for j, (i, w) in enumerate(r.payload):
+                        q_tok[b, j], q_w[b, j] = i, w
+                hits = index.search_tokens(
+                    q_tok, q_w, k=r0.k, query_prune=r0.prune,
+                    two_phase=r0.two_phase,
+                )
+            else:
+                texts = [r.payload[0] for r in reqs]
+                inf_free = r0.payload[1]
+                reps = state.encoder.encode_batch_device(
+                    texts, inf_free=inf_free
+                )
+                # full_forward: True for full-forward queries; None for
+                # inf-free so the engine still checks the active-term count
+                # (a long inf-free query can exceed the inverted engine's
+                # query_terms lookup budget too)
+                hits = index.search(
+                    reps, k=r0.k, query_prune=r0.prune,
+                    two_phase=r0.two_phase,
+                    full_forward=True if not inf_free else None,
+                )
+        for r, h in zip(reqs, hits):
+            r.result = h
+
+
 class ServingState:
     """Model + named indexes + the device lock."""
 
     def __init__(self, model, indexes: Dict[str, object], max_length: int = 512,
-                 index_cfg=None):
+                 index_cfg=None, batch_window_ms: float = 0.0,
+                 max_batch: int = 64):
         from ..index.engine import IndexConfig
         from ..models.sparse_encoder import BatchEncoder
 
@@ -70,6 +206,9 @@ class ServingState:
         self.lock = threading.Lock()
         self.index_cfg = index_cfg or IndexConfig()
         self.pipelines: Dict[str, dict] = {}
+        self.batcher = MicroBatcher(
+            self, window_ms=batch_window_ms, max_batch=max_batch
+        )
 
     def encode(self, texts, inf_free: bool = True):
         with self.lock:
@@ -169,40 +308,22 @@ class ServingState:
         ns = body["query"]["neural_sparse"]
         field = next(iter(ns))
         spec = ns[field]
+        if index_name not in self.indexes:
+            raise KeyError(f"no index {index_name}")
         t0 = time.time()
-        with self.lock:
-            index = self.indexes[index_name]
-            if not index._finalized:
-                # near-real-time semantics: search refreshes. Inside the lock:
-                # finalize concatenates + clears the ingest buffers and must
-                # not race a concurrent _bulk's reopen()/add_topk()
-                index.finalize()
-            if "query_tokens" in spec:
-                tw = spec["query_tokens"]
-                tok = self.model.tokenizer
-                ids = [tok.vocab.get(t, -1) for t in tw]
-                pairs = [(i, float(w)) for i, w in zip(ids, tw.values()) if i >= 0]
-                q_tok = np.zeros((1, max(len(pairs), 1)), np.int32)
-                q_w = np.zeros((1, max(len(pairs), 1)), np.float32)
-                for j, (i, w) in enumerate(pairs):
-                    q_tok[0, j], q_w[0, j] = i, w
-                hits = index.search_tokens(
-                    q_tok, q_w, k=k, query_prune=prune, two_phase=two_phase
-                )
-            else:
-                text = spec["query_text"]
-                inf_free = bool(spec.get("inf_free", True))
-                reps = self.encoder.encode_batch_device([text], inf_free=inf_free)
-                # full_forward: True for full-forward queries; None for
-                # inf-free so the engine still checks the active-term count
-                # (a long inf-free query can exceed the inverted engine's
-                # query_terms lookup budget too)
-                hits = index.search(
-                    reps, k=k, query_prune=prune, two_phase=two_phase,
-                    full_forward=True if not inf_free else None,
-                )
+        if "query_tokens" in spec:
+            tw = spec["query_tokens"]
+            vocab = self.model.tokenizer.vocab
+            pairs = [
+                (vocab[t], float(w)) for t, w in tw.items() if t in vocab
+            ]
+            req = _SearchRequest(index_name, "tokens", pairs, k, prune, two_phase)
+        else:
+            payload = (spec["query_text"], bool(spec.get("inf_free", True)))
+            req = _SearchRequest(index_name, "text", payload, k, prune, two_phase)
+        hit = self.batcher.submit(req)
         took_ms = int((time.time() - t0) * 1000)
-        ranked = sorted(hits[0].items(), key=lambda kv: -kv[1])
+        ranked = sorted(hit.items(), key=lambda kv: -kv[1])
         return {
             "took": took_ms,
             "timed_out": False,
@@ -243,6 +364,8 @@ def make_handler(state: ServingState):
                 })
             elif self.path == "/_health":
                 self._send(200, {"status": "green"})
+            elif self.path == "/_stats":
+                self._send(200, {"search_microbatch": dict(state.batcher.stats)})
             else:
                 self._send(404, {"error": f"no route {self.path}"})
 
@@ -337,6 +460,11 @@ def main(argv=None):
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=9201)
     p.add_argument("--max-length", type=int, default=512)
+    p.add_argument("--batch-window-ms", type=float, default=2.0,
+                   help="coalescing window for concurrent searches (0 = "
+                        "drain-available batching only)")
+    p.add_argument("--max-batch", type=int, default=64,
+                   help="max concurrent searches per engine dispatch")
     args = p.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
@@ -349,7 +477,10 @@ def main(argv=None):
     for spec in args.index:
         name, path = spec.split("=", 1)
         indexes[name] = SparseIndex.load(path)
-    state = ServingState(model, indexes, max_length=args.max_length)
+    state = ServingState(
+        model, indexes, max_length=args.max_length,
+        batch_window_ms=args.batch_window_ms, max_batch=args.max_batch,
+    )
     serve(state, args.host, args.port).serve_forever()
 
 
