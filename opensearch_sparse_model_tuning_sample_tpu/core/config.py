@@ -119,6 +119,10 @@ class DataArguments:
     index_l_max: int = 256
     index_postings_cap: int = 2048
     index_query_batch: int = 64
+    # "docs" = corpus stripes per device; "queries" = replicated index,
+    # query batch sharded (zero-collective hot path when the corpus fits
+    # one device) — see IndexConfig.shard_by
+    index_shard_by: str = "docs"
 
 
 @dataclass

@@ -542,6 +542,7 @@ def index_cfg_from_args(data_args) -> IndexConfig:
         l_max=getattr(data_args, "index_l_max", 256),
         postings_cap=getattr(data_args, "index_postings_cap", 2048),
         query_batch=getattr(data_args, "index_query_batch", 64),
+        shard_by=getattr(data_args, "index_shard_by", "docs"),
     )
 
 

@@ -86,6 +86,14 @@ class IndexConfig:
     full_rescore_expand: int = 16
     full_merge_shifts: Optional[int] = None  # None = exact run sums (T-1)
     full_fallback_scan: bool = False  # escape hatch: old exact-scan behavior
+    # multi-device layout. "docs": corpus stripes per device, per-shard
+    # top-k merged with one all-gather — required when the corpus doesn't
+    # fit one device. "queries": the index is REPLICATED and the query
+    # batch shards over the mesh — zero collectives on the hot path, ideal
+    # for the inverted engine (8.8M docs x l_max=128 int16+bf16 + postings
+    # ~5.3 GB fits a single v5e chip; postings lookups are gather-bound, so
+    # N chips answer N query slices at full speed).
+    shard_by: str = "docs"
 
 
 class SparseIndex:
@@ -117,6 +125,7 @@ class SparseIndex:
         self._search_fns: Dict[tuple, object] = {}
         self._q_builder = None
         self._warned_fallback = False
+        self._shard_queries = False  # resolved at finalize()
 
     # ------------------------------------------------------------- ingest
     def add(self, doc_ids: Sequence[str], reps: np.ndarray):
@@ -194,6 +203,20 @@ class SparseIndex:
                 "sparse" if self.n_docs < self.cfg.auto_threshold else "inverted"
             )
         n_shards = self.mesh.devices.size if self.mesh is not None else 1
+        # query sharding replicates the index: every device holds the full
+        # corpus and answers its slice of the query batch (cfg.shard_by docs)
+        self._shard_queries = n_shards > 1 and self.cfg.shard_by == "queries"
+        if self._shard_queries:
+            if self.cfg.query_batch % n_shards:
+                self.cfg.query_batch = _round_up(
+                    self.cfg.query_batch, n_shards
+                )
+                logger.info(
+                    "shard_by=queries: query_batch rounded up to %d "
+                    "(multiple of %d devices)",
+                    self.cfg.query_batch, n_shards,
+                )
+            n_shards = 1  # doc layout below is the single-device one
         blk = self.cfg.block_docs
         n = self.n_docs
         n_pad = _round_up(max(n, 1), blk * n_shards)
@@ -262,8 +285,11 @@ class SparseIndex:
                     )
 
         if self.mesh is not None:
-            sh = NamedSharding(self.mesh, P(DATA_AXIS))
-            if self._engine != "inverted" or self.mesh.devices.size > 1:
+            sh = NamedSharding(
+                self.mesh, P() if self._shard_queries else P(DATA_AXIS)
+            )
+            if (self._engine != "inverted" or self.mesh.devices.size > 1
+                    or self._shard_queries):
                 self._docs_dev = jax.device_put(self._docs_dev, sh)
                 if self._tok_dev is not None:
                     self._tok_dev = jax.device_put(self._tok_dev, sh)
@@ -362,6 +388,26 @@ class SparseIndex:
 
             post_docs, post_w = self._post_docs, self._post_w
             n_shards = self.mesh.devices.size if self.mesh is not None else 1
+            if self._shard_queries:
+                # replicated index, query batch sharded over the mesh: each
+                # device answers its query slice against the FULL corpus —
+                # no collective on the hot path at all
+                body = inverted.make_search_fn(
+                    post_docs, post_w, None, None, jit=False, **inv_kw
+                )
+                smfn = jax.jit(
+                    shard_map(
+                        body, mesh=self.mesh,
+                        in_specs=(P(DATA_AXIS), P(), P(), P(), P()),
+                        out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+                        check_vma=False,
+                    )
+                )
+
+                def inverted_search_qsharded(q, docs, toks):
+                    return smfn(q, post_docs, post_w, toks, docs)
+
+                return inverted_search_qsharded
             if n_shards == 1:
                 fn = inverted.make_search_fn(
                     post_docs, post_w, self._tok_dev, self._docs_dev, **inv_kw
@@ -487,6 +533,21 @@ class SparseIndex:
 
         if engine == "dense" and two_phase:
             two_phase = False  # dense engine is already one exact matmul
+
+        if self._shard_queries:
+            # replicated corpus, query batch sharded (see inverted branch)
+            def qsharded(q, docs, toks):
+                return local_topk(q, docs, toks, jnp.asarray(0, jnp.int32))
+
+            in_specs = (
+                P(DATA_AXIS), P(), P() if self._tok_dev is not None else P()
+            )
+            return jax.jit(
+                shard_map(
+                    qsharded, mesh=self.mesh, in_specs=in_specs,
+                    out_specs=(P(DATA_AXIS), P(DATA_AXIS)), check_vma=False,
+                )
+            )
 
         if self.mesh is None or self.mesh.devices.size == 1:
 

@@ -528,3 +528,49 @@ def test_two_phase_small_block_docs():
     idx.finalize()
     got = idx.search(QS, k=20, two_phase=True)
     assert all(len(h) > 0 for h in got)
+
+
+@pytest.mark.parametrize("engine", ["sparse", "inverted", "dense"])
+def test_query_sharded_matches_single_device(mesh8, engine):
+    """shard_by="queries": replicated index, query batch sharded over the
+    mesh — results must match the unsharded engine exactly (fp32)."""
+    kw = dict(weight_dtype="float32")
+    if engine == "inverted":
+        kw.update(postings_cap=N_DOCS, query_terms=16)
+    single = build(engine, **kw)
+    qsharded = build(engine, mesh=mesh8, shard_by="queries", **kw)
+    assert qsharded._shard_queries
+    assert qsharded.cfg.query_batch % 8 == 0
+    a = single.search(QS, k=10)
+    b = qsharded.search(QS, k=10)
+    for x, y in zip(a, b):
+        assert set(x.keys()) == set(y.keys())
+        for d in x:
+            assert x[d] == pytest.approx(y[d], rel=1e-5)
+
+
+def test_query_sharded_full_forward(mesh8):
+    """Full-forward (wide-query) inverted search under query sharding."""
+    kw = dict(postings_cap=N_DOCS, query_terms=4, weight_dtype="float32",
+              full_query_terms=64, full_postings_cols=N_DOCS,
+              full_rescore_expand=16)
+    single = build("inverted", **kw)
+    qsharded = build("inverted", mesh=mesh8, shard_by="queries", **kw)
+    dense_q = make_sparse_reps(N_Q, nnz=64, seed=3)
+    a = single.search(dense_q, k=10)
+    b = qsharded.search(dense_q, k=10)
+    for x, y in zip(a, b):
+        assert set(x.keys()) == set(y.keys())
+        for d in x:
+            assert x[d] == pytest.approx(y[d], rel=1e-5)
+
+
+def test_query_sharded_save_load_roundtrip(mesh8, tmp_path):
+    idx = build("sparse", mesh=mesh8, shard_by="queries",
+                weight_dtype="float32")
+    want = idx.search(QS, k=5)
+    idx.save(str(tmp_path / "qidx"))
+    idx2 = SparseIndex.load(str(tmp_path / "qidx"))  # no mesh: single-device
+    got = idx2.search(QS, k=5)
+    for a, b in zip(want, got):
+        assert set(a.keys()) == set(b.keys())
