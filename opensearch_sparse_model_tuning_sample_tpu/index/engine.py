@@ -94,6 +94,17 @@ class IndexConfig:
     # ~5.3 GB fits a single v5e chip; postings lookups are gather-bound, so
     # N chips answer N query slices at full speed).
     shard_by: str = "docs"
+    # build postings ON DEVICE, DURING ingest (chunks of incremental_unit
+    # docs sorted on device and merged into a running top-C state,
+    # dispatched async) so finalize() pays only the tail instead of a
+    # blocking corpus-sized host build. None = auto: enabled when the
+    # default backend is a TPU (measured: device chunk sorts are
+    # milliseconds on TPU but 26x SLOWER than the C++ host builder on the
+    # CPU backend). True/False force it. Applies to single-shard postings
+    # (incl. shard_by="queries"); doc-sharded postings keep the
+    # synchronous per-stripe build.
+    incremental_postings: Optional[bool] = None
+    incremental_unit: int = 131072
 
 
 class SparseIndex:
@@ -126,6 +137,8 @@ class SparseIndex:
         self._q_builder = None
         self._warned_fallback = False
         self._shard_queries = False  # resolved at finalize()
+        self._inc = None  # async device postings builder (inverted engines)
+        self._inc_fed = 0
 
     # ------------------------------------------------------------- ingest
     def add(self, doc_ids: Sequence[str], reps: np.ndarray):
@@ -160,6 +173,7 @@ class SparseIndex:
             ws = np.pad(ws, ((0, 0), (0, pad)))
         self._tok_chunks.append(toks)
         self._w_chunks.append(ws)
+        self._feed_incremental()
 
     def add_topk(self, doc_ids: Sequence[str], token_idx: np.ndarray, weights: np.ndarray):
         """Add pre-sparsified rows (from BatchEncoder.encode_batch_sparse):
@@ -180,6 +194,75 @@ class SparseIndex:
         ws[:, :m] = np.where(active, weights, 0.0)[:, :m]
         self._tok_chunks.append(toks)
         self._w_chunks.append(ws)
+        self._feed_incremental()
+
+    # ------------------------------------------- incremental postings build
+    def _incremental_applicable(self) -> bool:
+        inc = self.cfg.incremental_postings
+        if inc is None:  # auto: device sorts only pay off on TPU
+            inc = jax.default_backend() == "tpu"
+        if not inc:
+            return False
+        if (self.mesh is not None and self.mesh.devices.size > 1
+                and self.cfg.shard_by != "queries"):
+            return False  # per-stripe postings build stays synchronous
+        if self.cfg.engine == "inverted":
+            return True
+        return (self.cfg.engine == "auto"
+                and self.n_docs >= self.cfg.auto_threshold)
+
+    def _slice_rows(self, start: int, count: int):
+        """Rows [start, start+count) of the accumulated chunk stream."""
+        toks_parts, w_parts = [], []
+        lo, hi, pos = start, start + count, 0
+        for t, w in zip(self._tok_chunks, self._w_chunks):
+            n = t.shape[0]
+            if pos + n > lo and pos < hi:
+                s, e = max(lo - pos, 0), min(hi - pos, n)
+                toks_parts.append(t[s:e])
+                w_parts.append(w[s:e])
+            pos += n
+            if pos >= hi:
+                break
+        return (
+            np.concatenate(toks_parts, axis=0),
+            np.concatenate(w_parts, axis=0),
+        )
+
+    def _feed_incremental(self, flush: bool = False):
+        """Stream accumulated rows to the device postings builder in
+        incremental_unit batches (flush=True sends the tail too). Activated
+        lazily: explicit "inverted" from the first add; "auto" once the doc
+        count crosses the engine-resolution threshold (all accumulated rows
+        are fed at activation)."""
+        if self._inc is None:
+            if not self._incremental_applicable():
+                return
+            from . import inverted
+
+            self._inc = inverted.IncrementalPostingsBuilder(
+                self.vocab_size, self.cfg.postings_cap,
+                unit=max(self.cfg.incremental_unit, 1),
+            )
+            self._inc_fed = 0
+        unit = self._inc.unit
+        while True:
+            unfed = self.n_docs - self._inc_fed
+            if unfed <= 0 or (unfed < unit and not flush):
+                return
+            take = min(unfed, unit)
+            toks, ws = self._slice_rows(self._inc_fed, take)
+            self._inc.feed(toks, ws, self._inc_fed)
+            self._inc_fed += take
+
+    def _discard_incremental(self):
+        if self._inc is not None:
+            try:
+                self._inc.finish()
+            except Exception:  # noqa: BLE001 — builder is being discarded
+                pass
+            self._inc = None
+        self._inc_fed = 0
 
     @property
     def n_docs(self) -> int:
@@ -275,10 +358,18 @@ class SparseIndex:
                         np.stack(pws), dtype=jnp.dtype(self.cfg.weight_dtype)
                     )
                 else:
-                    pd, pw = inverted.build_postings(
-                        toks[:n] if n else toks, ws[:n] if n else ws,
-                        self.vocab_size, self.cfg.postings_cap,
-                    )
+                    if self._inc is not None or self._incremental_applicable():
+                        # overlap path: the builder consumed chunks during
+                        # ingest; pay only the tail + final merge here
+                        self._feed_incremental(flush=True)
+                        pd, pw = self._inc.finish()
+                        self._inc = None
+                        self._inc_fed = 0
+                    else:
+                        pd, pw = inverted.build_postings(
+                            toks[:n] if n else toks, ws[:n] if n else ws,
+                            self.vocab_size, self.cfg.postings_cap,
+                        )
                     self._post_docs = jnp.asarray(pd)
                     self._post_w = jnp.asarray(
                         pw, dtype=jnp.dtype(self.cfg.weight_dtype)
@@ -314,6 +405,7 @@ class SparseIndex:
         dtype (bf16 by default), which is the same precision search uses."""
         if not self._finalized:
             return
+        self._discard_incremental()
         n = self.n_docs
         if self._tok_dev is not None:
             if n:
@@ -348,6 +440,7 @@ class SparseIndex:
         self.doc_ids = []
         self._tok_chunks, self._w_chunks, self._dense_chunks = [], [], []
         self.count_tensor = np.zeros((self.vocab_size,), dtype=np.int64)
+        self._discard_incremental()
 
     # ------------------------------------------------------------- search
     def _build_search_fn(self, k: int, two_phase: bool = False,

@@ -159,6 +159,139 @@ def _build_postings_np(
     return post_docs, post_w
 
 
+def merge_postings(
+    a_docs: np.ndarray, a_w: np.ndarray,  # [V, C]
+    b_docs: np.ndarray, b_w: np.ndarray,  # [V, C]
+    row_chunk: int = 4096,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-token top-C of the union of two impact-sorted postings sets.
+
+    Any global top-C posting for a token is in its source set's top-C, so
+    merging per-chunk partials this way reproduces the one-shot build's
+    posting SET exactly (tie order between equal weights may differ).
+    Processed in vocab row-chunks to bound the transient to
+    row_chunk x 2C."""
+    V, C = a_docs.shape
+    out_docs = np.empty_like(a_docs)
+    out_w = np.empty_like(a_w)
+    for s in range(0, V, row_chunk):
+        e = min(s + row_chunk, V)
+        w = np.concatenate([a_w[s:e], b_w[s:e]], axis=1)  # [v, 2C]
+        d = np.concatenate([a_docs[s:e], b_docs[s:e]], axis=1)
+        part = np.argpartition(-w, C - 1, axis=1)[:, :C]
+        pw = np.take_along_axis(w, part, axis=1)
+        order = np.argsort(-pw, axis=1, kind="stable")
+        sel = np.take_along_axis(part, order, axis=1)
+        out_w[s:e] = np.take_along_axis(w, sel, axis=1)
+        out_docs[s:e] = np.take_along_axis(d, sel, axis=1)
+    # entries with w == 0 are padding wherever they came from
+    out_docs[out_w <= 0] = _PAD_ID
+    return out_docs, out_w
+
+
+@partial(jax.jit, static_argnames=("vocab_size", "cap"))
+def _device_chunk_postings(
+    toks: jax.Array,  # [n, L] int32
+    ws: jax.Array,  # [n, L] f32
+    doc_offset: jax.Array,  # scalar int32
+    vocab_size: int,
+    cap: int,
+) -> Tuple[jax.Array, jax.Array]:
+    """One chunk's postings on device: flat sort by (token, -weight), then
+    per-token segment gather of the top-cap entries. One lax.sort of n*L
+    keys — milliseconds on TPU vs seconds of host argsort."""
+    n, L = toks.shape
+    flat_tok = toks.reshape(-1).astype(jnp.int32)
+    flat_w = ws.reshape(-1).astype(jnp.float32)
+    flat_doc = (
+        jnp.repeat(jnp.arange(n, dtype=jnp.int32), L) + doc_offset
+    )
+    # inactive entries sort into a sentinel segment past every real token
+    flat_tok = jnp.where(flat_w > 0, flat_tok, vocab_size)
+    s_tok, _, s_doc, s_w = jax.lax.sort(
+        (flat_tok, -flat_w, flat_doc, flat_w), num_keys=2
+    )
+    starts = jnp.searchsorted(s_tok, jnp.arange(vocab_size), side="left")
+    ends = jnp.searchsorted(s_tok, jnp.arange(vocab_size), side="right")
+    idx = starts[:, None] + jnp.arange(cap, dtype=starts.dtype)[None, :]
+    valid = idx < ends[:, None]
+    idx = jnp.clip(idx, 0, s_tok.shape[0] - 1)
+    post_docs = jnp.where(valid, s_doc[idx], _PAD_ID)
+    post_w = jnp.where(valid, s_w[idx], 0.0)
+    return post_docs, post_w
+
+
+@jax.jit
+def _device_merge_postings(
+    a_docs: jax.Array, a_w: jax.Array,  # [V, C]
+    b_docs: jax.Array, b_w: jax.Array,  # [V, C]
+) -> Tuple[jax.Array, jax.Array]:
+    """Per-token top-C of the union of two postings sets (device row-sort).
+    Padding (w == 0) sorts last, so rows short of C stay PAD-terminated."""
+    cat_w = jnp.concatenate([a_w, b_w], axis=1)
+    cat_d = jnp.concatenate([a_docs, b_docs], axis=1)
+    neg_w, s_d = jax.lax.sort((-cat_w, cat_d), num_keys=1, dimension=1)
+    w = -neg_w[:, : a_w.shape[1]]
+    d = s_d[:, : a_w.shape[1]]
+    return jnp.where(w > 0, d, _PAD_ID), w
+
+
+class IncrementalPostingsBuilder:
+    """Build postings ON DEVICE, incrementally, DURING ingest: each fed
+    chunk becomes one device sort + one device merge into the running
+    per-token top-C state, dispatched asynchronously into the same stream
+    the encoder uses — by finalize() the postings are already materialized
+    in HBM, vs a blocking host-side build of the whole corpus (~35 s/1M
+    docs on this host; worse, it scales with corpus size while each chunk
+    here is constant work). The reference never pays a finalize cost at
+    all (OpenSearch indexes server-side during _bulk, ingest.py:88-106);
+    this restores that index-while-ingesting contract.
+
+    Chunks are padded to a fixed `unit` row count so the whole ingest
+    compiles exactly two programs (chunk build + merge)."""
+
+    def __init__(self, vocab_size: int, postings_cap: int, unit: int = 131072):
+        self.vocab_size = vocab_size
+        self.cap = postings_cap
+        self.unit = unit
+        self._docs: Optional[jax.Array] = None
+        self._w: Optional[jax.Array] = None
+        self.fed_docs = 0
+
+    def feed(self, toks: np.ndarray, ws: np.ndarray, doc_offset: int):
+        n = toks.shape[0]
+        if n == 0:
+            return
+        if n < self.unit:  # pad to the compiled shape; pad rows are w=0
+            pad = self.unit - n
+            toks = np.concatenate(
+                [toks, np.zeros((pad, toks.shape[1]), toks.dtype)]
+            )
+            ws = np.concatenate([ws, np.zeros((pad, ws.shape[1]), ws.dtype)])
+        elif n > self.unit:
+            raise ValueError(f"chunk of {n} rows exceeds unit {self.unit}")
+        pd, pw = _device_chunk_postings(
+            jnp.asarray(toks, jnp.int32), jnp.asarray(ws, jnp.float32),
+            jnp.asarray(doc_offset, jnp.int32), self.vocab_size, self.cap,
+        )
+        if self._docs is None:
+            self._docs, self._w = pd, pw
+        else:
+            self._docs, self._w = _device_merge_postings(
+                self._docs, self._w, pd, pw
+            )
+        self.fed_docs = doc_offset + n
+
+    def finish(self) -> Tuple[jax.Array, jax.Array]:
+        """Running state (device arrays; jnp.asarray is a no-op on them)."""
+        if self._docs is None:
+            return (
+                jnp.full((self.vocab_size, self.cap), _PAD_ID, jnp.int32),
+                jnp.zeros((self.vocab_size, self.cap), jnp.float32),
+            )
+        return self._docs, self._w
+
+
 def make_search_fn(
     post_docs: jax.Array,  # [V, C] int32
     post_w: jax.Array,  # [V, C] (weight dtype)

@@ -574,3 +574,100 @@ def test_query_sharded_save_load_roundtrip(mesh8, tmp_path):
     got = idx2.search(QS, k=5)
     for a, b in zip(want, got):
         assert set(a.keys()) == set(b.keys())
+
+
+def test_merge_postings_matches_oneshot():
+    from opensearch_sparse_model_tuning_sample_tpu.index import inverted
+
+    r = np.random.default_rng(11)
+    C = 8
+    toks = r.integers(0, 64, size=(400, 12)).astype(np.int32)
+    ws = r.gamma(2.0, 0.5, size=(400, 12)).astype(np.float32)
+    ws[r.random((400, 12)) < 0.3] = 0.0
+    want_d, want_w = inverted._build_postings_np(toks, ws, 64, C)
+    a_d, a_w = inverted._build_postings_np(toks[:150], ws[:150], 64, C)
+    b_d, b_w = inverted._build_postings_np(toks[150:], ws[150:], 64, C)
+    b_d = np.where(b_d != inverted._PAD_ID, b_d + 150, b_d)
+    got_d, got_w = inverted.merge_postings(a_d, a_w, b_d, b_w, row_chunk=7)
+    np.testing.assert_allclose(got_w, want_w)
+    np.testing.assert_array_equal(got_d, want_d)
+
+
+def test_incremental_builder_matches_oneshot():
+    from opensearch_sparse_model_tuning_sample_tpu.index import inverted
+
+    r = np.random.default_rng(12)
+    C = 16
+    toks = r.integers(0, V, size=(900, 10)).astype(np.int32)
+    ws = r.gamma(2.0, 0.5, size=(900, 10)).astype(np.float32)
+    ws[r.random((900, 10)) < 0.2] = 0.0
+    want_d, want_w = inverted.build_postings(toks, ws, V, C)
+    b = inverted.IncrementalPostingsBuilder(V, C, unit=250)
+    for s in range(0, 900, 250):
+        b.feed(toks[s:s + 250], ws[s:s + 250], s)
+    got_d, got_w = np.asarray(b.finish()[0]), np.asarray(b.finish()[1])
+    np.testing.assert_allclose(got_w, want_w)
+    np.testing.assert_array_equal(got_d, want_d)
+
+
+def test_device_merge_matches_numpy_merge():
+    from opensearch_sparse_model_tuning_sample_tpu.index import inverted
+
+    r = np.random.default_rng(13)
+    C = 8
+    toks = r.integers(0, 64, size=(300, 12)).astype(np.int32)
+    ws = r.gamma(2.0, 0.5, size=(300, 12)).astype(np.float32)
+    ws[r.random((300, 12)) < 0.3] = 0.0
+    a_d, a_w = inverted._build_postings_np(toks[:100], ws[:100], 64, C)
+    b_d, b_w = inverted._build_postings_np(toks[100:], ws[100:], 64, C)
+    b_d = np.where(b_d != inverted._PAD_ID, b_d + 100, b_d)
+    want_d, want_w = inverted.merge_postings(a_d, a_w, b_d, b_w)
+    got_d, got_w = inverted._device_merge_postings(a_d, a_w, b_d, b_w)
+    np.testing.assert_allclose(np.asarray(got_w), want_w)
+    np.testing.assert_array_equal(np.asarray(got_d), want_d)
+
+
+def test_incremental_index_build_during_ingest():
+    """Postings built on the background thread during add() produce the
+    same search results as the synchronous finalize-time build."""
+    kw = dict(postings_cap=64, query_terms=16, weight_dtype="float32")
+    cfg_inc = IndexConfig(engine="inverted", l_max=32, block_docs=64,
+                          query_batch=4, incremental_postings=True,
+                          incremental_unit=64, **kw)
+    cfg_sync = IndexConfig(engine="inverted", l_max=32, block_docs=64,
+                           query_batch=4, incremental_postings=False, **kw)
+    inc, sync = SparseIndex(V, cfg_inc), SparseIndex(V, cfg_sync)
+    for idx in (inc, sync):
+        for s in range(0, N_DOCS, 50):
+            batch = DOCS[s:s + 50]
+            idx.add([str(i) for i in range(s, s + batch.shape[0])], batch)
+    assert inc._inc is not None and inc._inc_fed >= 256  # fed during ingest
+    assert sync._inc is None
+    inc.finalize()
+    sync.finalize()
+    np.testing.assert_array_equal(
+        np.asarray(inc._post_docs), np.asarray(sync._post_docs)
+    )
+    a = inc.search(QS, k=10)
+    b = sync.search(QS, k=10)
+    for x, y in zip(a, b):
+        assert x == y
+
+
+def test_incremental_activates_on_auto_threshold():
+    cfg = IndexConfig(engine="auto", auto_threshold=150, l_max=32,
+                      block_docs=64, query_batch=4, incremental_postings=True,
+                      incremental_unit=64, postings_cap=64,
+                      weight_dtype="float32")
+    idx = SparseIndex(V, cfg)
+    idx.add([str(i) for i in range(100)], DOCS[:100])
+    assert idx._inc is None  # below threshold: engine could still be sparse
+    idx.add([str(i) for i in range(100, 300)], DOCS[100:300])
+    assert idx._inc is not None  # crossed: all accumulated rows fed
+    idx.finalize()
+    assert idx._engine == "inverted"
+    got = idx.search(QS, k=10)
+    oracle = build("inverted", postings_cap=64, weight_dtype="float32")
+    want = oracle.search(QS, k=10)
+    for x, y in zip(got, want):
+        assert set(x.keys()) == set(y.keys())
