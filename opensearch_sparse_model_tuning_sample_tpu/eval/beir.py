@@ -276,6 +276,58 @@ def _count_part_path(out_dir: str, index_name: str, rank: int, world_size: int) 
     return os.path.join(out_dir, f"{index_name}.count.rank{rank}of{world_size}.npz")
 
 
+class _Liveness:
+    """Fail-fast rank-death detection for the filesystem ingest barrier.
+
+    Each rank touches a heartbeat file while it works (encode loop) and
+    while it waits (barrier polls). A peer whose heartbeat file EXISTS but
+    has gone stale past `grace` seconds started and then stopped beating —
+    presumed dead, and the waiter raises immediately instead of hanging
+    until `barrier_timeout` (the reference's accelerate wait_for_everyone
+    hangs the same way; this is strictly stronger). A peer with NO
+    heartbeat yet may simply not have launched — that case keeps the full
+    timeout, since slow launch and death are indistinguishable.
+    """
+
+    def __init__(self, out_dir: str, index_name: str, rank: int,
+                 world_size: int, grace: float):
+        self.paths = [
+            os.path.join(out_dir, f"{index_name}.hb.rank{r}of{world_size}")
+            for r in range(world_size)
+        ]
+        self.rank = rank
+        self.grace = grace
+        self._last = 0.0
+
+    def beat(self, force: bool = False) -> None:
+        now = time.time()
+        if force or now - self._last >= 2.0:
+            with open(self.paths[self.rank], "w"):
+                pass
+            self._last = now
+
+    def check(self, r: int) -> None:
+        """Raise if rank r's heartbeat exists but is stale beyond grace."""
+        if not self.grace or r == self.rank:
+            return
+        try:
+            age = time.time() - os.path.getmtime(self.paths[r])
+        except OSError:
+            return  # never started: can't adjudicate, let the timeout rule
+        if age > self.grace:
+            raise RuntimeError(
+                f"ingest barrier: rank {r} heartbeat is {age:.0f}s stale "
+                f"(grace {self.grace:.0f}s) — presumed dead; failing fast "
+                f"instead of waiting out the barrier timeout"
+            )
+
+    def clear_own(self) -> None:
+        try:
+            os.remove(self.paths[self.rank])
+        except FileNotFoundError:
+            pass
+
+
 def _reduce_counts(
     out_dir: str,
     index_name: str,
@@ -284,6 +336,7 @@ def _reduce_counts(
     count_tensor: np.ndarray,
     n_docs: int,
     timeout: float,
+    liveness: Optional["_Liveness"] = None,
 ) -> Tuple[np.ndarray, int]:
     """All-reduce the per-rank activation counts through the shared out_dir
     (atomic tmp+rename writes; every rank polls for all parts — doubles as
@@ -311,6 +364,9 @@ def _reduce_counts(
         while not os.path.exists(p):
             if time.time() > deadline:
                 raise TimeoutError(f"ingest barrier: rank {r} never wrote {p}")
+            if liveness is not None:
+                liveness.beat()
+                liveness.check(r)
             time.sleep(0.2)
         blob = np.load(p)
         total += blob["count"]
@@ -324,13 +380,18 @@ def _reduce_counts(
     return total, total_docs, t_written
 
 
-def _await_fresh(path: str, t_after: float, timeout: float) -> None:
+def _await_fresh(path: str, t_after: float, timeout: float,
+                 liveness: Optional["_Liveness"] = None,
+                 writer_rank: int = 0) -> None:
     """Poll until `path` exists with mtime >= t_after (same filesystem
     clock as the writer — the shared out_dir)."""
     deadline = time.time() + timeout
     while not (os.path.exists(path) and os.path.getmtime(path) >= t_after):
         if time.time() > deadline:
             raise TimeoutError(f"barrier: no fresh {path}")
+        if liveness is not None:
+            liveness.beat()
+            liveness.check(writer_rank)
         time.sleep(0.2)
 
 
@@ -347,6 +408,7 @@ def ingest(
     world_size: int = 1,
     doc_inf_free: bool = False,
     barrier_timeout: float = 3600.0,
+    dead_rank_grace: float = 300.0,
 ) -> SparseIndex:
     """Encode a corpus and build the on-device index.
 
@@ -361,9 +423,20 @@ def ingest(
     filesystem analog of the reference's count all-gather + barrier
     (ingest.py:108-117, evaluate_beir.py:196) — so the FLOPS statistic is
     global, not rank-local.
+
+    Failure detection: with world_size > 1 each rank maintains a heartbeat
+    file; a peer whose heartbeat goes stale past `dead_rank_grace` seconds
+    fails the barrier IMMEDIATELY with a rank-naming error instead of
+    hanging until `barrier_timeout` (set grace to 0 to disable; it must
+    comfortably exceed the longest gap between beats — one encode batch or
+    the finalize postings build).
     """
     os.makedirs(out_dir, exist_ok=True)
+    liveness = None
     if world_size > 1:
+        liveness = _Liveness(out_dir, index_name, rank, world_size,
+                             dead_rank_grace)
+        liveness.beat(force=True)
         # clear this rank's count part from any PREVIOUS ingest into the same
         # out_dir before encoding: the barrier in _reduce_counts is
         # existence-based, and a stale part would satisfy it with the old
@@ -385,6 +458,8 @@ def ingest(
         # the transfer at l_max (id, weight) pairs per doc)
         pending = None  # (ids, n, device arrays)
         for start in range(0, n, batch_size):
+            if liveness is not None:
+                liveness.beat()
             rows = [dataset[i] for i in range(start, min(start + batch_size, n))]
             ids = [r[0] for r in rows]
             texts = [r[1] for r in rows]
@@ -400,6 +475,8 @@ def ingest(
             index.add_topk(p_ids, tok_idx, ws)
     else:
         for start in range(0, n, batch_size):
+            if liveness is not None:
+                liveness.beat()
             rows = [dataset[i] for i in range(start, min(start + batch_size, n))]
             ids = [r[0] for r in rows]
             texts = [r[1] for r in rows]
@@ -415,9 +492,10 @@ def ingest(
     # index stores (top-l_max truncated) and would undercount d_length/FLOPS
     full_counts = encoder.count_tensor
     if world_size > 1:
+        liveness.beat(force=True)  # finalize() may have been a long gap
         counts, total_docs, t_part = _reduce_counts(
             out_dir, index_name, rank, world_size,
-            full_counts, index.n_docs, barrier_timeout,
+            full_counts, index.n_docs, barrier_timeout, liveness,
         )
         if rank == 0:  # one writer (reference: main process saves the stat)
             # wait for every rank to have read the parts, then remove them
@@ -430,6 +508,8 @@ def ingest(
                 while not os.path.exists(m):
                     if time.time() > deadline:
                         raise TimeoutError(f"ingest barrier: rank {r} never confirmed {m}")
+                    liveness.beat()
+                    liveness.check(r)
                     time.sleep(0.2)
             for r in range(world_size):
                 base = _count_part_path(out_dir, index_name, r, world_size)
@@ -446,9 +526,12 @@ def ingest(
             # departure barrier: also guarantees the stat this rank's search
             # reads is THIS round's (reference gates search behind
             # wait_for_everyone, evaluate_beir.py:196)
-            _await_fresh(corpus_stat, t_part, barrier_timeout)
+            _await_fresh(corpus_stat, t_part, barrier_timeout, liveness,
+                         writer_rank=0)
     else:
         np.save(corpus_stat, full_counts.astype(np.float64) / max(index.n_docs, 1))
+    if liveness is not None:
+        liveness.clear_own()  # a departed rank is not a dead rank
     dt = time.time() - t0
     logger.info(
         "ingested %d docs into %s in %.1fs (%.1f docs/s)", n, index_name, dt,

@@ -4,6 +4,7 @@ end-to-end on the synthetic corpus, mining loop, metrics sink."""
 import json
 import math
 import os
+import time
 
 import numpy as np
 import pytest
@@ -302,6 +303,51 @@ def test_multihost_ingest_rerun_same_outdir(tiny_model, synth, tmp_path):
         list(ex.map(run, [0, 1]))
     second = np.load(os.path.join(out, "mh.corpus.npy"))
     np.testing.assert_allclose(second, first)  # fresh stat, not doubled
+
+
+def test_barrier_fails_fast_on_dead_rank(tmp_path):
+    """A rank whose heartbeat exists but went stale past the grace period is
+    presumed dead: the barrier raises a rank-naming error immediately
+    instead of hanging until barrier_timeout."""
+    import pytest
+
+    from opensearch_sparse_model_tuning_sample_tpu.eval.beir import (
+        _Liveness,
+        _reduce_counts,
+    )
+
+    out = str(tmp_path)
+    # rank 1 "started" (heartbeat exists) but stopped beating long ago
+    dead = _Liveness(out, "mh", 1, 2, grace=2.0)
+    dead.beat(force=True)
+    past = time.time() - 60
+    os.utime(dead.paths[1], (past, past))
+
+    live = _Liveness(out, "mh", 0, 2, grace=2.0)
+    live.beat(force=True)
+    t0 = time.time()
+    with pytest.raises(RuntimeError, match="rank 1.*stale"):
+        _reduce_counts(out, "mh", 0, 2, np.zeros(8), 4,
+                       timeout=600.0, liveness=live)
+    assert time.time() - t0 < 30, "must fail fast, not wait out the timeout"
+
+
+def test_barrier_missing_heartbeat_keeps_full_timeout(tmp_path):
+    """A rank with NO heartbeat may just be slow to launch — that case must
+    keep the normal timeout semantics (TimeoutError, not a death verdict)."""
+    import pytest
+
+    from opensearch_sparse_model_tuning_sample_tpu.eval.beir import (
+        _Liveness,
+        _reduce_counts,
+    )
+
+    out = str(tmp_path)
+    live = _Liveness(out, "mh", 0, 2, grace=2.0)
+    live.beat(force=True)
+    with pytest.raises(TimeoutError, match="never wrote"):
+        _reduce_counts(out, "mh", 0, 2, np.zeros(8), 4,
+                       timeout=1.0, liveness=live)
 
 
 def test_harness_produces_recall_100(tiny_model, synth, tmp_path, monkeypatch):
