@@ -136,4 +136,67 @@ int build_postings(const int32_t* toks, const float* ws, int64_t n_docs,
   return 0;
 }
 
+// Merge two impact-(weight-descending-)sorted postings sets per token row,
+// keeping the top `cap` of the union: the incremental-build merge step.
+// b's doc ids get `b_doc_offset` added (chunk builds emit LOCAL doc ids).
+// a may alias out (in-place running-state merge is the intended use);
+// b must not alias out. Rows are independent -> parallel over token ranges.
+int merge_postings(const int32_t* a_docs, const float* a_w,
+                   const int32_t* b_docs, const float* b_w, int64_t vocab,
+                   int64_t cap, int32_t b_doc_offset, int32_t* out_docs,
+                   float* out_w, int32_t n_threads) {
+  if (n_threads <= 0) {
+    n_threads = (int32_t)std::thread::hardware_concurrency();
+    if (n_threads <= 0) n_threads = 8;
+  }
+  const int32_t PAD = INT32_MAX;
+  std::vector<std::thread> threads;
+  std::atomic<int64_t> next_tok(0);
+  const int64_t grain = 512;
+  for (int t = 0; t < n_threads; ++t) {
+    threads.emplace_back([&]() {
+      std::vector<int32_t> md(cap);
+      std::vector<float> mw(cap);
+      for (;;) {
+        int64_t v0 = next_tok.fetch_add(grain);
+        if (v0 >= vocab) return;
+        int64_t v1 = std::min(vocab, v0 + grain);
+        for (int64_t v = v0; v < v1; ++v) {
+          const int32_t* ad = a_docs + v * cap;
+          const float* aw = a_w + v * cap;
+          const int32_t* bd = b_docs + v * cap;
+          const float* bw = b_w + v * cap;
+          int64_t i = 0, j = 0, k = 0;
+          // w == 0 marks padding in either input (sorted last)
+          while (k < cap) {
+            bool a_ok = i < cap && aw[i] > 0.0f;
+            bool b_ok = j < cap && bw[j] > 0.0f;
+            if (!a_ok && !b_ok) break;
+            if (a_ok && (!b_ok || aw[i] >= bw[j])) {
+              md[k] = ad[i];
+              mw[k] = aw[i];
+              ++i;
+            } else {
+              md[k] = bd[j] + b_doc_offset;
+              mw[k] = bw[j];
+              ++j;
+            }
+            ++k;
+          }
+          int32_t* od = out_docs + v * cap;
+          float* ow = out_w + v * cap;
+          std::memcpy(od, md.data(), k * sizeof(int32_t));
+          std::memcpy(ow, mw.data(), k * sizeof(float));
+          for (; k < cap; ++k) {
+            od[k] = PAD;
+            ow[k] = 0.0f;
+          }
+        }
+      }
+    });
+  }
+  for (auto& th : threads) th.join();
+  return 0;
+}
+
 }  // extern "C"

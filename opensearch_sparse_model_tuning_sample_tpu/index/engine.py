@@ -59,9 +59,13 @@ class IndexConfig:
     #             rescore (cost ~ query terms x postings_cap, independent of
     #             corpus size; see index/inverted.py for the recall contract)
     # "dense": exact MXU matmul oracle (small corpora)
-    # "auto": sparse below auto_threshold docs, inverted above (measured
-    #         crossover ~200K docs on v5e: scan 912 q/s @128K but 22 q/s
-    #         @8.8M; inverted ~600 q/s at any size)
+    # "auto": sparse below auto_threshold docs, inverted above. Round-3
+    #         measurement (v5e): scan 1052 q/s @128K vs inverted 1112 q/s
+    #         — near-tied at small sizes (and the scan is exact, recall
+    #         1.0 vs inverted's 0.98 on uniform-token queries), so the
+    #         exact scan keeps the small-corpus regime; above the
+    #         threshold the scan degrades linearly (22 q/s @8.8M) while
+    #         inverted holds ~1.2K q/s at any size.
     engine: str = "auto"
     auto_threshold: int = 262144
     l_max: int = 256  # max stored (token, weight) pairs per doc
@@ -94,15 +98,16 @@ class IndexConfig:
     # ~5.3 GB fits a single v5e chip; postings lookups are gather-bound, so
     # N chips answer N query slices at full speed).
     shard_by: str = "docs"
-    # build postings ON DEVICE, DURING ingest (chunks of incremental_unit
-    # docs sorted on device and merged into a running top-C state,
-    # dispatched async) so finalize() pays only the tail instead of a
-    # blocking corpus-sized host build. None = auto: enabled when the
-    # default backend is a TPU (measured: device chunk sorts are
-    # milliseconds on TPU but 26x SLOWER than the C++ host builder on the
-    # CPU backend). True/False force it. Applies to single-shard postings
-    # (incl. shard_by="queries"); doc-sharded postings keep the
-    # synchronous per-stripe build.
+    # build postings incrementally DURING ingest on a background host
+    # thread (chunks of incremental_unit docs through the parallel C++
+    # builder + C++ top-C row merge) so finalize() pays only the in-flight
+    # tail instead of a blocking corpus-sized build — while the device is
+    # saturated by the encoder forward, the host is the idle resource.
+    # None = auto: enabled when the default backend is a TPU (on the CPU
+    # backend the build would contend with XLA for the same cores).
+    # True/False force it. Applies to single-shard postings (incl.
+    # shard_by="queries"); doc-sharded postings keep the synchronous
+    # per-stripe build.
     incremental_postings: Optional[bool] = None
     incremental_unit: int = 131072
 
@@ -358,9 +363,12 @@ class SparseIndex:
                         np.stack(pws), dtype=jnp.dtype(self.cfg.weight_dtype)
                     )
                 else:
-                    if self._inc is not None or self._incremental_applicable():
+                    if self._inc is not None:
                         # overlap path: the builder consumed chunks during
-                        # ingest; pay only the tail + final merge here
+                        # ingest; pay only the tail + final merge here.
+                        # (If nothing was ever fed — rows injected without
+                        # add(), e.g. load()/bench — the one-shot build
+                        # below is strictly faster than chunk+merge.)
                         self._feed_incremental(flush=True)
                         pd, pw = self._inc.finish()
                         self._inc = None

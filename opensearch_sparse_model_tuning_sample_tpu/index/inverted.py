@@ -74,6 +74,17 @@ def _load_native():
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
             ctypes.c_int32,
         ]
+        try:  # added after round 2 — absent from older cached .so builds
+            lib.merge_postings.restype = ctypes.c_int
+            lib.merge_postings.argtypes = [
+                ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+                ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int32,
+            ]
+        except AttributeError:
+            pass
         _native_lib = lib
     except Exception:
         _native_lib = False
@@ -163,14 +174,42 @@ def merge_postings(
     a_docs: np.ndarray, a_w: np.ndarray,  # [V, C]
     b_docs: np.ndarray, b_w: np.ndarray,  # [V, C]
     row_chunk: int = 4096,
+    b_doc_offset: int = 0,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Per-token top-C of the union of two impact-sorted postings sets.
+    """Per-token top-C of the union of two impact-sorted postings sets
+    (`b_doc_offset` is added to b's doc ids — chunk builds emit LOCAL ids).
 
     Any global top-C posting for a token is in its source set's top-C, so
     merging per-chunk partials this way reproduces the one-shot build's
     posting SET exactly (tie order between equal weights may differ).
-    Processed in vocab row-chunks to bound the transient to
-    row_chunk x 2C."""
+    C++ row-merge when available; numpy fallback processes vocab
+    row-chunks to bound the transient to row_chunk x 2C."""
+    lib = _load_native()
+    if lib and getattr(lib, "merge_postings", None) is not None:
+        import ctypes
+
+        a_docs = np.ascontiguousarray(a_docs, dtype=np.int32)
+        a_w = np.ascontiguousarray(a_w, dtype=np.float32)
+        b_docs = np.ascontiguousarray(b_docs, dtype=np.int32)
+        b_w = np.ascontiguousarray(b_w, dtype=np.float32)
+        V, C = a_docs.shape
+        out_docs = np.empty_like(a_docs)
+        out_w = np.empty_like(a_w)
+        rc = lib.merge_postings(
+            a_docs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            a_w.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            b_docs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            b_w.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            V, C, b_doc_offset,
+            out_docs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            out_w.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            0,
+        )
+        if rc == 0:
+            return out_docs, out_w
+        logger.warning("native postings merge failed (rc=%d); numpy fallback", rc)
+    if b_doc_offset:
+        b_docs = np.where(b_docs != _PAD_ID, b_docs + b_doc_offset, b_docs)
     V, C = a_docs.shape
     out_docs = np.empty_like(a_docs)
     out_w = np.empty_like(a_w)
@@ -189,105 +228,87 @@ def merge_postings(
     return out_docs, out_w
 
 
-@partial(jax.jit, static_argnames=("vocab_size", "cap"))
-def _device_chunk_postings(
-    toks: jax.Array,  # [n, L] int32
-    ws: jax.Array,  # [n, L] f32
-    doc_offset: jax.Array,  # scalar int32
-    vocab_size: int,
-    cap: int,
-) -> Tuple[jax.Array, jax.Array]:
-    """One chunk's postings on device: flat sort by (token, -weight), then
-    per-token segment gather of the top-cap entries. One lax.sort of n*L
-    keys — milliseconds on TPU vs seconds of host argsort."""
-    n, L = toks.shape
-    flat_tok = toks.reshape(-1).astype(jnp.int32)
-    flat_w = ws.reshape(-1).astype(jnp.float32)
-    flat_doc = (
-        jnp.repeat(jnp.arange(n, dtype=jnp.int32), L) + doc_offset
-    )
-    # inactive entries sort into a sentinel segment past every real token
-    flat_tok = jnp.where(flat_w > 0, flat_tok, vocab_size)
-    s_tok, _, s_doc, s_w = jax.lax.sort(
-        (flat_tok, -flat_w, flat_doc, flat_w), num_keys=2
-    )
-    starts = jnp.searchsorted(s_tok, jnp.arange(vocab_size), side="left")
-    ends = jnp.searchsorted(s_tok, jnp.arange(vocab_size), side="right")
-    idx = starts[:, None] + jnp.arange(cap, dtype=starts.dtype)[None, :]
-    valid = idx < ends[:, None]
-    idx = jnp.clip(idx, 0, s_tok.shape[0] - 1)
-    post_docs = jnp.where(valid, s_doc[idx], _PAD_ID)
-    post_w = jnp.where(valid, s_w[idx], 0.0)
-    return post_docs, post_w
-
-
-@jax.jit
-def _device_merge_postings(
-    a_docs: jax.Array, a_w: jax.Array,  # [V, C]
-    b_docs: jax.Array, b_w: jax.Array,  # [V, C]
-) -> Tuple[jax.Array, jax.Array]:
-    """Per-token top-C of the union of two postings sets (device row-sort).
-    Padding (w == 0) sorts last, so rows short of C stay PAD-terminated."""
-    cat_w = jnp.concatenate([a_w, b_w], axis=1)
-    cat_d = jnp.concatenate([a_docs, b_docs], axis=1)
-    neg_w, s_d = jax.lax.sort((-cat_w, cat_d), num_keys=1, dimension=1)
-    w = -neg_w[:, : a_w.shape[1]]
-    d = s_d[:, : a_w.shape[1]]
-    return jnp.where(w > 0, d, _PAD_ID), w
-
-
 class IncrementalPostingsBuilder:
-    """Build postings ON DEVICE, incrementally, DURING ingest: each fed
-    chunk becomes one device sort + one device merge into the running
-    per-token top-C state, dispatched asynchronously into the same stream
-    the encoder uses — by finalize() the postings are already materialized
-    in HBM, vs a blocking host-side build of the whole corpus (~35 s/1M
-    docs on this host; worse, it scales with corpus size while each chunk
-    here is constant work). The reference never pays a finalize cost at
-    all (OpenSearch indexes server-side during _bulk, ingest.py:88-106);
-    this restores that index-while-ingesting contract.
+    """Chunked postings build on a background HOST thread DURING ingest:
+    each fed chunk runs the parallel C++ builder (LOCAL doc ids) and the
+    C++ top-C row-merge folds it into the running state, so finalize()
+    pays only the in-flight tail instead of a blocking corpus-sized build.
+    The reference never pays a finalize cost at all (OpenSearch indexes
+    server-side during _bulk, ingest.py:88-106); this restores that
+    index-while-ingesting contract.
 
-    Chunks are padded to a fixed `unit` row count so the whole ingest
-    compiles exactly two programs (chunk build + merge)."""
+    Why HOST and not device: during ingest the device is saturated by the
+    encoder forward — the host is the idle resource. The device variant
+    (one lax.sort per chunk + row-sort merge, see git history) measured
+    119.9 s vs 8.6 s one-shot C++ at 1M docs on the tunnelled TPU (the
+    128 MB/chunk re-upload dominates) and 26x slower than C++ on the CPU
+    backend — a negative result recorded in PERFORMANCE.md. The C++ build
+    releases the GIL, so the ingest loop keeps feeding the device."""
 
     def __init__(self, vocab_size: int, postings_cap: int, unit: int = 131072):
+        import queue
+        import threading
+
         self.vocab_size = vocab_size
         self.cap = postings_cap
         self.unit = unit
-        self._docs: Optional[jax.Array] = None
-        self._w: Optional[jax.Array] = None
+        self._docs: Optional[np.ndarray] = None
+        self._w: Optional[np.ndarray] = None
         self.fed_docs = 0
+        self._err: Optional[BaseException] = None
+        # bounded queue: caps host memory at ~4 in-flight chunks and
+        # back-pressures the ingest loop if the builder falls behind
+        self._q: "queue.Queue" = queue.Queue(maxsize=4)
+        self._thread = threading.Thread(
+            target=self._run, name="postings-builder", daemon=True
+        )
+        self._thread.start()
+
+    def _run(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            if self._err is not None:
+                continue  # drain without work after a failure
+            toks, ws, off = item
+            try:
+                pd, pw = build_postings(toks, ws, self.vocab_size, self.cap)
+                if self._docs is None:
+                    if off:
+                        pd = np.where(pd != _PAD_ID, pd + off, pd)
+                    self._docs, self._w = pd, pw
+                else:
+                    self._docs, self._w = merge_postings(
+                        self._docs, self._w, pd, pw, b_doc_offset=off
+                    )
+            except BaseException as e:  # noqa: BLE001 — re-raised at finish
+                self._err = e
 
     def feed(self, toks: np.ndarray, ws: np.ndarray, doc_offset: int):
+        if self._err is not None:
+            raise RuntimeError("postings builder thread failed") from self._err
         n = toks.shape[0]
         if n == 0:
             return
-        if n < self.unit:  # pad to the compiled shape; pad rows are w=0
-            pad = self.unit - n
-            toks = np.concatenate(
-                [toks, np.zeros((pad, toks.shape[1]), toks.dtype)]
-            )
-            ws = np.concatenate([ws, np.zeros((pad, ws.shape[1]), ws.dtype)])
-        elif n > self.unit:
-            raise ValueError(f"chunk of {n} rows exceeds unit {self.unit}")
-        pd, pw = _device_chunk_postings(
-            jnp.asarray(toks, jnp.int32), jnp.asarray(ws, jnp.float32),
-            jnp.asarray(doc_offset, jnp.int32), self.vocab_size, self.cap,
-        )
-        if self._docs is None:
-            self._docs, self._w = pd, pw
-        else:
-            self._docs, self._w = _device_merge_postings(
-                self._docs, self._w, pd, pw
-            )
+        self._q.put((
+            np.ascontiguousarray(toks, dtype=np.int32),
+            np.ascontiguousarray(ws, dtype=np.float32),
+            doc_offset,
+        ))
         self.fed_docs = doc_offset + n
 
-    def finish(self) -> Tuple[jax.Array, jax.Array]:
-        """Running state (device arrays; jnp.asarray is a no-op on them)."""
+    def finish(self) -> Tuple[np.ndarray, np.ndarray]:
+        """Join the builder thread and return the final (docs, w). The
+        builder is single-use: discard after finish()."""
+        self._q.put(None)
+        self._thread.join()
+        if self._err is not None:
+            raise RuntimeError("postings builder thread failed") from self._err
         if self._docs is None:
             return (
-                jnp.full((self.vocab_size, self.cap), _PAD_ID, jnp.int32),
-                jnp.zeros((self.vocab_size, self.cap), jnp.float32),
+                np.full((self.vocab_size, self.cap), _PAD_ID, np.int32),
+                np.zeros((self.vocab_size, self.cap), np.float32),
             )
         return self._docs, self._w
 

@@ -605,14 +605,20 @@ def test_incremental_builder_matches_oneshot():
     b = inverted.IncrementalPostingsBuilder(V, C, unit=250)
     for s in range(0, 900, 250):
         b.feed(toks[s:s + 250], ws[s:s + 250], s)
-    got_d, got_w = np.asarray(b.finish()[0]), np.asarray(b.finish()[1])
+    got_d, got_w = b.finish()
     np.testing.assert_allclose(got_w, want_w)
     np.testing.assert_array_equal(got_d, want_d)
 
 
-def test_device_merge_matches_numpy_merge():
+def test_native_merge_matches_numpy_merge():
+    """The C++ row-merge (incl. b_doc_offset) must match the numpy merge."""
     from opensearch_sparse_model_tuning_sample_tpu.index import inverted
 
+    lib = inverted._load_native()
+    if not lib or getattr(lib, "merge_postings", None) is None:
+        import pytest
+
+        pytest.skip("native merge unavailable")
     r = np.random.default_rng(13)
     C = 8
     toks = r.integers(0, 64, size=(300, 12)).astype(np.int32)
@@ -620,11 +626,18 @@ def test_device_merge_matches_numpy_merge():
     ws[r.random((300, 12)) < 0.3] = 0.0
     a_d, a_w = inverted._build_postings_np(toks[:100], ws[:100], 64, C)
     b_d, b_w = inverted._build_postings_np(toks[100:], ws[100:], 64, C)
-    b_d = np.where(b_d != inverted._PAD_ID, b_d + 100, b_d)
-    want_d, want_w = inverted.merge_postings(a_d, a_w, b_d, b_w)
-    got_d, got_w = inverted._device_merge_postings(a_d, a_w, b_d, b_w)
-    np.testing.assert_allclose(np.asarray(got_w), want_w)
-    np.testing.assert_array_equal(np.asarray(got_d), want_d)
+    # native path (applies the offset itself)
+    got_d, got_w = inverted.merge_postings(a_d, a_w, b_d, b_w, b_doc_offset=100)
+    # numpy oracle: offset applied by hand, native path disabled
+    b_off = np.where(b_d != inverted._PAD_ID, b_d + 100, b_d)
+    saved = inverted._native_lib
+    inverted._native_lib = False
+    try:
+        want_d, want_w = inverted.merge_postings(a_d, a_w, b_off, b_w)
+    finally:
+        inverted._native_lib = saved
+    np.testing.assert_allclose(got_w, want_w)
+    np.testing.assert_array_equal(got_d, want_d)
 
 
 def test_incremental_index_build_during_ingest():
