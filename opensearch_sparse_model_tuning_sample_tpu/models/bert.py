@@ -173,12 +173,17 @@ def _dense(x, p, compute_dtype):
         p["kernel"].astype(compute_dtype),
         preferred_element_type=jnp.float32,
     )
-    return (y + p["bias"].astype(jnp.float32)).astype(compute_dtype)
+    # bias-add in the compute dtype (torch autocast semantics: the matmul
+    # accumulates fp32 on the MXU but emits bf16, and the bias adds in
+    # bf16); identical to the fp32 path when compute_dtype is fp32
+    return y.astype(compute_dtype) + p["bias"].astype(compute_dtype)
 
 
 def _gelu(x):
-    # HF BERT uses exact (erf) GELU
-    return jax.nn.gelu(x.astype(jnp.float32), approximate=False).astype(x.dtype)
+    # HF BERT uses exact (erf) GELU, computed in the ambient dtype — torch
+    # autocast runs GELU in bf16 too; the fp32 parity path (compute_dtype
+    # fp32) is unchanged
+    return jax.nn.gelu(x, approximate=False)
 
 
 def _act(x, cfg):
@@ -188,7 +193,7 @@ def _act(x, cfg):
     if cfg.hidden_act == "gelu":
         return _gelu(x)
     if cfg.hidden_act in ("gelu_new", "gelu_pytorch_tanh", "gelu_approx"):
-        return jax.nn.gelu(x.astype(jnp.float32), approximate=True).astype(x.dtype)
+        return jax.nn.gelu(x, approximate=True)
     if cfg.hidden_act == "relu":
         return jax.nn.relu(x)
     raise ValueError(f"unsupported hidden_act {cfg.hidden_act!r}")

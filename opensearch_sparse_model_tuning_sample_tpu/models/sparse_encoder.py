@@ -80,7 +80,7 @@ def encode_doc(
     prune_ratio: Optional[float] = None,
     deterministic: bool = True,
     rng: Optional[jax.Array] = None,
-    head_chunk: int = 64,
+    head_chunk: int = 256,
 ) -> jax.Array:
     """Full forward: MLM logits -> masked max-pool -> log1p(relu) [-> log1p]
     [-> prune]. Output [B, vocab_size] fp32 (padded vocab columns dropped).
