@@ -38,7 +38,15 @@ def main(config_source=None):
     name = datasets[0]
 
     maybe_init_distributed()
-    mesh = make_mesh(training_args.dp_size)
+    import jax
+
+    rank, world_size = jax.process_index(), jax.process_count()
+    if world_size > 1:
+        # per-rank stripe indexes are process-local; only rank 0 searches
+        # (same reasoning as eval/beir.evaluate_datasets)
+        mesh = make_mesh(devices=jax.local_devices())
+    else:
+        mesh = make_mesh(training_args.dp_size)
     model = se.from_model_args(model_args, seed=training_args.seed)
 
     corpus, queries, qrels = resolve_dataset(name, data_args.beir_dir, split="train")
@@ -58,8 +66,10 @@ def main(config_source=None):
         # bootstrap when no pretrained encoder exists (the reference mines
         # with a pretrained doc-v2 model, demo_train_data.py:23-25)
         doc_inf_free=data_args.mine_doc_inf_free,
+        rank=rank, world_size=world_size,
     )
-    logger.info("mined %d rows -> %s", len(rows), save_path)
+    if rank == 0:
+        logger.info("mined %d rows -> %s", len(rows), save_path)
     return rows
 
 

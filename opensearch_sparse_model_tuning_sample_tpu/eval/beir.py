@@ -19,7 +19,9 @@ import csv
 import json
 import logging
 import os
+import threading
 import time
+from contextlib import contextmanager
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -326,6 +328,26 @@ class _Liveness:
             os.remove(self.paths[self.rank])
         except FileNotFoundError:
             pass
+
+
+@contextmanager
+def _beating(liveness: "_Liveness", period: float = 2.0):
+    """Keep `liveness` beating from a background thread across a long
+    host-side operation (index save/merge) so peers' staleness checks don't
+    misread a busy rank as a dead one."""
+    stop = threading.Event()
+
+    def run():
+        while not stop.wait(period):
+            liveness.beat(force=True)
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    try:
+        yield
+    finally:
+        stop.set()
+        t.join()
 
 
 def _reduce_counts(
@@ -692,6 +714,18 @@ def evaluate_datasets(
         ds = BEIRCorpusDataset(corpus)
         index_dir = os.path.join(eval_dir, f"{name.lower()}.index")
         if not data_args.skip_ingest:
+            shard_dir = f"{index_dir}.shard{rank}of{world_size}"
+            if world_size > 1:
+                # clear THIS rank's stale shard marker BEFORE ingest: the
+                # barrier inside ingest() guarantees every rank has passed
+                # this point before rank 0 starts polling `.done` below —
+                # without it, a repeat call into the same eval_dir (the
+                # nano sweep runs once per checkpoint) would let rank 0
+                # merge a previous round's (or mid-write) shard
+                try:
+                    os.remove(os.path.join(shard_dir, ".done"))
+                except FileNotFoundError:
+                    pass
             index = ingest(
                 ds, model, eval_dir, name.lower(),
                 max_length=data_args.eval_max_seq_length,
@@ -701,21 +735,30 @@ def evaluate_datasets(
             )
             if world_size > 1:
                 # each rank persists its stripe; rank 0 merges and searches
-                shard_dir = f"{index_dir}.shard{rank}of{world_size}"
-                index.save(shard_dir)
+                liveness = _Liveness(
+                    eval_dir, f"{name.lower()}.shards", rank, world_size,
+                    grace=300.0,
+                )
+                liveness.beat(force=True)
+                with _beating(liveness):  # save can be minutes at scale
+                    index.save(shard_dir)
                 open(os.path.join(shard_dir, ".done"), "w").close()
                 if rank != 0:
+                    liveness.clear_own()
                     continue
                 shards = [
                     f"{index_dir}.shard{r}of{world_size}"
                     for r in range(world_size)
                 ]
                 deadline = time.time() + 3600.0
-                for p in shards:
+                for r, p in enumerate(shards):
                     while not os.path.exists(os.path.join(p, ".done")):
                         if time.time() > deadline:
                             raise TimeoutError(f"eval shard barrier: {p}")
+                        liveness.beat()
+                        liveness.check(r)
                         time.sleep(0.2)
+                liveness.clear_own()
                 index = SparseIndex.merge_saved(shards, mesh=mesh)
             # persist like the reference's OpenSearch node does implicitly:
             # a later run with skip_ingest: true reuses it

@@ -640,9 +640,7 @@ class SparseIndex:
             def qsharded(q, docs, toks):
                 return local_topk(q, docs, toks, jnp.asarray(0, jnp.int32))
 
-            in_specs = (
-                P(DATA_AXIS), P(), P() if self._tok_dev is not None else P()
-            )
+            in_specs = (P(DATA_AXIS), P(), P())
             return jax.jit(
                 shard_map(
                     qsharded, mesh=self.mesh, in_specs=in_specs,

@@ -14,11 +14,12 @@ from __future__ import annotations
 
 import logging
 import os
+import time
 from typing import Dict, Optional
 
 from ..data.datasets import BEIRCorpusDataset, MsMarcoKDDataset
 from ..eval.beir import ingest, search
-from ..index.engine import IndexConfig
+from ..index.engine import IndexConfig, SparseIndex
 from ..models.sparse_encoder import SparseEncoderModel
 
 logger = logging.getLogger(__name__)
@@ -39,6 +40,8 @@ def mine_hard_negatives(
     index_cfg: Optional[IndexConfig] = None,
     mesh=None,
     doc_inf_free: bool = False,
+    rank: int = 0,
+    world_size: int = 1,
 ):
     """Returns the list of {query, pos, negs} rows; saves an HF dataset when
     `save_path` is given (reference writes data/{ds}_train).
@@ -46,13 +49,41 @@ def mine_hard_negatives(
     `doc_inf_free=True` mines against the idf-weighted lexical index — the
     offline bootstrap when no pretrained encoder is available (the reference
     mines with a pretrained doc-v2 model, demo_train_data.py).
+
+    Multi-process (reference: all ranks ingest, rank 0 searches+writes,
+    demo_train_data.py:43-66): every rank encodes its corpus stripe and
+    saves a shard index; rank 0 merges, searches, and writes the dataset.
+    Non-zero ranks return [].
     """
     ds = BEIRCorpusDataset(corpus)
+    index_dir = os.path.join(out_dir, f"{index_name}.index")
+    shard_dir = f"{index_dir}.shard{rank}of{world_size}"
+    if world_size > 1:
+        # clear this rank's stale marker before the ingest barrier (same
+        # protocol as eval/beir.evaluate_datasets — see the comment there)
+        try:
+            os.remove(os.path.join(shard_dir, ".done"))
+        except FileNotFoundError:
+            pass
     index = ingest(
         ds, model, out_dir, index_name,
         max_length=max_length, batch_size=batch_size,
         index_cfg=index_cfg, mesh=mesh, doc_inf_free=doc_inf_free,
+        rank=rank, world_size=world_size,
     )
+    if world_size > 1:
+        index.save(shard_dir)
+        open(os.path.join(shard_dir, ".done"), "w").close()
+        if rank != 0:
+            return []
+        shards = [f"{index_dir}.shard{r}of{world_size}" for r in range(world_size)]
+        deadline = time.time() + 3600.0
+        for p in shards:
+            while not os.path.exists(os.path.join(p, ".done")):
+                if time.time() > deadline:
+                    raise TimeoutError(f"mine shard barrier: {p}")
+                time.sleep(0.2)
+        index = SparseIndex.merge_saved(shards, mesh=mesh)
     res = search(
         queries, model, index, out_dir, index_name,
         max_length=max_length, batch_size=batch_size,

@@ -90,7 +90,10 @@ def config_from_hf_json(path: str, param_dtype, compute_dtype) -> BertConfig:
         )
     act = hf.get("hidden_act", "gelu")
     if act not in ("gelu", "gelu_new", "gelu_pytorch_tanh", "gelu_approx", "relu"):
-        raise ValueError(f"unsupported hidden_act {act!r} in {path}")
+        raise UnsupportedArchitecture(
+            f"unsupported hidden_act {act!r} in {path}; a BERT layout with "
+            "an exotic activation runs as a torch host teacher instead"
+        )
     return BertConfig(
         vocab_size=hf["vocab_size"],
         hidden_act=act,

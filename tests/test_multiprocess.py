@@ -42,6 +42,10 @@ WORKER = textwrap.dedent(
 
     ma, da, ta = parse_config({
         "arch": "tiny", "idf_path": os.path.join(%(repo)r, "assets/idf.npz"),
+        # fp32 compute: this test pins process-grid sharding against a
+        # single-process oracle at tight tolerance; bf16 reduce-order noise
+        # across different mesh layouts is not what it is testing
+        "compute_dtype": "float32",
         "loss_types": ["infonce"], "use_in_batch_negatives": True,
         "flops_d_lambda": 0.01, "flops_d_T": 10, "learning_rate": 1e-3,
         "max_steps": 3, "warmup_steps": 1, "save_strategy": "no",
@@ -133,6 +137,7 @@ def test_two_process_training_agrees_and_matches_single(tmp_path):
 
     ma, da, ta = parse_config({
         "arch": "tiny", "idf_path": "assets/idf.npz",
+        "compute_dtype": "float32",  # match the worker (see note above)
         "loss_types": ["infonce"], "use_in_batch_negatives": True,
         "flops_d_lambda": 0.01, "flops_d_T": 10, "learning_rate": 1e-3,
         "max_steps": 3, "warmup_steps": 1, "save_strategy": "no",
@@ -194,3 +199,45 @@ def test_multiprocess_eval_shard_merge_search(tiny_model, tmp_path, monkeypatch)
     merged = SparseIndex.load(os.path.join(eval_dir, "synthetic.index"))
     assert merged.n_docs == len(corpus)
     assert sorted(merged.doc_ids) == sorted(corpus.keys())
+
+    # repeat into the SAME eval_dir (the nano sweep calls once per
+    # checkpoint): stale shard `.done` markers from round 1 must not let
+    # rank 0 merge old shards — regression for the shard-barrier race
+    with ThreadPoolExecutor(2) as ex:
+        r0b, r1b = list(ex.map(run, [0, 1]))
+    assert r0b["NDCG@10"] == pytest.approx(r0["NDCG@10"])
+    merged = SparseIndex.load(os.path.join(eval_dir, "synthetic.index"))
+    assert merged.n_docs == len(corpus)
+
+
+def test_multiprocess_mining_shards_and_matches_single(tiny_model, tmp_path):
+    """mine_hard_negatives with a 2-rank grid: every rank ingests its corpus
+    stripe, rank 0 merges + searches + writes; the mined rows match a
+    single-process run (reference demo_train_data.py under torchrun)."""
+    from opensearch_sparse_model_tuning_sample_tpu.eval.beir import synthetic_beir
+    from opensearch_sparse_model_tuning_sample_tpu.mine.hard_negatives import (
+        mine_hard_negatives,
+    )
+
+    corpus, queries, qrels = synthetic_beir(n_docs=60, n_queries=6, seed=5)
+    kw = dict(max_length=64, batch_size=32, result_size=5, inf_free=True)
+
+    def run(rank):
+        return mine_hard_negatives(
+            corpus, queries, qrels, tiny_model,
+            out_dir=str(tmp_path / "multi"), index_name="mine",
+            rank=rank, world_size=2, **kw,
+        )
+
+    with ThreadPoolExecutor(2) as ex:
+        rows0, rows1 = list(ex.map(run, [0, 1]))
+    assert rows1 == []  # non-zero ranks don't duplicate the work
+    single = mine_hard_negatives(
+        corpus, queries, qrels, tiny_model,
+        out_dir=str(tmp_path / "single"), index_name="mine", **kw,
+    )
+
+    def key(rows):
+        return sorted((r["query"], r["pos"], tuple(sorted(r["negs"]))) for r in rows)
+
+    assert key(rows0) == key(single)

@@ -19,6 +19,7 @@ import signal
 import socket
 import subprocess
 import sys
+import time
 
 
 def free_port() -> int:
@@ -58,16 +59,41 @@ def main(argv=None):
             logs.append(f)
             procs.append(subprocess.Popen(cmd, env=env, stdout=f, stderr=f))
 
+    # Poll ALL children: the first non-zero exit tears the rest down
+    # immediately (a crashed rank otherwise leaves the survivors parked in
+    # collectives/barriers and the launcher blocked on a sequential wait).
     rc = 0
     try:
-        for p in procs:
-            rc = p.wait() or rc
+        live = set(range(args.nproc))
+        while live and rc == 0:
+            for r in sorted(live):
+                code = procs[r].poll()
+                if code is not None:
+                    live.discard(r)
+                    if code != 0:
+                        rc = code
+                        print(
+                            f"[launch_dist] rank {r} exited {code}; "
+                            "terminating remaining ranks",
+                            file=sys.stderr,
+                        )
+                        break
+            else:
+                time.sleep(0.2)
     except KeyboardInterrupt:
         rc = 130
     finally:
         for p in procs:
             if p.poll() is None:
                 p.send_signal(signal.SIGTERM)
+        deadline = time.monotonic() + 10.0
+        for p in procs:
+            if p.poll() is None:
+                try:
+                    p.wait(timeout=max(0.1, deadline - time.monotonic()))
+                except subprocess.TimeoutExpired:
+                    p.kill()
+                    p.wait()
         for f in logs:
             f.close()
     return rc
