@@ -151,9 +151,23 @@ class MicroBatcher:
                 for r in reqs:
                     r.event.set()
 
+    @staticmethod
+    def _pow2(n: int) -> int:
+        b = 1
+        while b < n:
+            b *= 2
+        return b
+
     def _execute(self, reqs: List[_SearchRequest]):
         state = self.state
         r0 = reqs[0]
+        # pad the batch dim to power-of-two buckets: the jitted encoder
+        # forward and engine dispatch compile per batch shape, and a raw
+        # len(reqs) would trigger a fresh multi-second XLA compile for every
+        # distinct concurrency level (CLAUDE.md invariant: one compile per
+        # bucket/shape). Zero-padded queries score nothing and are sliced off.
+        B = len(reqs)
+        Bp = self._pow2(B)
         with state.lock:
             index = state.indexes[r0.index_name]
             if not index._finalized:
@@ -162,9 +176,12 @@ class MicroBatcher:
                 # and must not race a concurrent _bulk's reopen()/add_topk()
                 index.finalize()
             if r0.kind == "tokens":
-                L = max(max(len(r.payload) for r in reqs), 1)
-                q_tok = np.zeros((len(reqs), L), np.int32)
-                q_w = np.zeros((len(reqs), L), np.float32)
+                # L buckets to powers of two as well; <= query_terms keeps
+                # the engine's inf-free fast path (search_tokens skips the
+                # per-call width check at that budget)
+                L = self._pow2(max(max(len(r.payload) for r in reqs), 1))
+                q_tok = np.zeros((Bp, L), np.int32)
+                q_w = np.zeros((Bp, L), np.float32)
                 for b, r in enumerate(reqs):
                     for j, (i, w) in enumerate(r.payload):
                         q_tok[b, j], q_w[b, j] = i, w
@@ -173,7 +190,7 @@ class MicroBatcher:
                     two_phase=r0.two_phase,
                 )
             else:
-                texts = [r.payload[0] for r in reqs]
+                texts = [r.payload[0] for r in reqs] + [""] * (Bp - B)
                 inf_free = r0.payload[1]
                 reps = state.encoder.encode_batch_device(
                     texts, inf_free=inf_free
@@ -187,7 +204,7 @@ class MicroBatcher:
                     two_phase=r0.two_phase,
                     full_forward=True if not inf_free else None,
                 )
-        for r, h in zip(reqs, hits):
+        for r, h in zip(reqs, hits[:B]):
             r.result = h
 
 

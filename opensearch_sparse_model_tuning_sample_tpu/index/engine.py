@@ -413,6 +413,18 @@ class SparseIndex:
         dtype (bf16 by default), which is the same precision search uses."""
         if not self._finalized:
             return
+        # Keep the merged postings as the next builder's seed: the serving
+        # _bulk -> refresh loop then merges only the delta rows instead of
+        # refeeding the whole corpus (NRT refresh cost ∝ new docs). Only the
+        # single-[V,C] layout seeds (per-shard stacked postings rebuild).
+        seed = None
+        if (self._engine == "inverted" and self._post_docs is not None
+                and self._post_docs.ndim == 2
+                and self._incremental_applicable()):
+            seed = (
+                np.asarray(self._post_docs, dtype=np.int32),
+                np.asarray(jnp.asarray(self._post_w, jnp.float32)),
+            )
         self._discard_incremental()
         n = self.n_docs
         if self._tok_dev is not None:
@@ -433,6 +445,14 @@ class SparseIndex:
         self._search_fns = {}
         self._q_builder = None
         self._finalized = False
+        if seed is not None:
+            from . import inverted
+
+            self._inc = inverted.IncrementalPostingsBuilder(
+                self.vocab_size, self.cfg.postings_cap,
+                unit=max(self.cfg.incremental_unit, 1), seed=seed,
+            )
+            self._inc_fed = n
 
     def delete(self):
         """Release all index state, device and host (the analog of OpenSearch

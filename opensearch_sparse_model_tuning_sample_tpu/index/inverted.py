@@ -245,15 +245,24 @@ class IncrementalPostingsBuilder:
     backend — a negative result recorded in PERFORMANCE.md. The C++ build
     releases the GIL, so the ingest loop keeps feeding the device."""
 
-    def __init__(self, vocab_size: int, postings_cap: int, unit: int = 131072):
+    def __init__(self, vocab_size: int, postings_cap: int, unit: int = 131072,
+                 seed: Optional[Tuple[np.ndarray, np.ndarray]] = None):
         import queue
         import threading
 
         self.vocab_size = vocab_size
         self.cap = postings_cap
         self.unit = unit
+        # `seed`: resume from an already-merged (docs, w) postings state —
+        # the serving reopen() path seeds the previous finalize's postings
+        # so a _bulk -> refresh cycle merges only the newly added rows
+        # instead of refeeding the whole corpus. Seeded doc ids are GLOBAL
+        # (merge treats the seed as the running state, offset 0).
         self._docs: Optional[np.ndarray] = None
         self._w: Optional[np.ndarray] = None
+        if seed is not None:
+            self._docs = np.ascontiguousarray(seed[0], dtype=np.int32)
+            self._w = np.ascontiguousarray(seed[1], dtype=np.float32)
         self.fed_docs = 0
         self._err: Optional[BaseException] = None
         # bounded queue: caps host memory at ~4 in-flight chunks and

@@ -684,3 +684,54 @@ def test_incremental_activates_on_auto_threshold():
     want = oracle.search(QS, k=10)
     for x, y in zip(got, want):
         assert set(x.keys()) == set(y.keys())
+
+
+def test_reopen_preserves_postings_delta():
+    """Serving NRT loop (_bulk -> _refresh): reopen() seeds the next
+    builder with the already-merged postings, so re-finalize feeds only the
+    NEW rows (refresh cost ∝ delta, not corpus) and results match a
+    from-scratch build of the full corpus."""
+    from opensearch_sparse_model_tuning_sample_tpu.index import inverted
+
+    kw = dict(postings_cap=64, query_terms=16, weight_dtype="float32")
+    cfg = IndexConfig(engine="inverted", l_max=32, block_docs=64,
+                      query_batch=4, incremental_postings=True,
+                      incremental_unit=64, **kw)
+    idx = SparseIndex(V, cfg)
+    idx.add([str(i) for i in range(200)], DOCS[:200])
+    idx.finalize()
+    idx.reopen()
+    assert idx._inc is not None and idx._inc_fed == 200  # seeded, delta-only
+
+    fed = []
+    orig = inverted.build_postings
+
+    def spy(toks, ws, vocab, cap):
+        fed.append(toks.shape[0])
+        return orig(toks, ws, vocab, cap)
+
+    inverted.build_postings = spy
+    try:
+        idx.add([str(i) for i in range(200, N_DOCS)], DOCS[200:])
+        idx.finalize()
+    finally:
+        inverted.build_postings = orig
+    assert sum(fed) == N_DOCS - 200, fed  # only the delta went through
+
+    want = build("inverted", postings_cap=64, weight_dtype="float32").search(QS, k=10)
+    got = idx.search(QS, k=10)
+    for x, y in zip(got, want):
+        assert x == y
+
+    # refresh with NO new docs: postings carry over without any rebuild
+    idx.reopen()
+    inverted.build_postings = spy
+    fed.clear()
+    try:
+        idx.finalize()
+    finally:
+        inverted.build_postings = orig
+    assert fed == [], fed
+    got = idx.search(QS, k=10)
+    for x, y in zip(got, want):
+        assert x == y

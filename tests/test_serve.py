@@ -328,3 +328,52 @@ def test_concurrent_searches_microbatch(tiny_model):
         assert "search_microbatch" in _get(f"{base}/_stats")
     finally:
         httpd.shutdown()
+
+
+def test_microbatch_pads_to_pow2_buckets(tiny_model):
+    """The dispatcher pads each engine call's batch dim to a power-of-two
+    bucket so the jitted encoder/engine compile once per bucket, not once
+    per concurrency level (CLAUDE.md static-shape invariant)."""
+    from opensearch_sparse_model_tuning_sample_tpu.cli.serve import MicroBatcher
+
+    V = tiny_model.vocab_size
+    rng = np.random.default_rng(2)
+    idx = SparseIndex(V, IndexConfig(engine="sparse", l_max=16, block_docs=32,
+                                     query_batch=16))
+    reps = np.zeros((32, V), np.float32)
+    for i in range(32):
+        reps[i, rng.choice(V, 5, replace=False)] = rng.uniform(0.5, 2.0, 5)
+    idx.add([str(i) for i in range(32)], reps)
+    idx.finalize()
+    state = ServingState(tiny_model, {"b": idx}, max_length=32)
+
+    seen = []
+    orig = SparseIndex.search_tokens
+
+    def spy(self, q_tok, q_w, **kw):
+        seen.append(q_tok.shape)
+        return orig(self, q_tok, q_w, **kw)
+
+    SparseIndex.search_tokens = spy
+    try:
+        from opensearch_sparse_model_tuning_sample_tpu.cli.serve import (
+            _SearchRequest,
+        )
+
+        for n in (3, 5, 6):  # three odd batch sizes -> two shape buckets
+            reqs = [
+                _SearchRequest(
+                    index_name="b", kind="tokens",
+                    payload=[(100 + j, 1.0), (200 + j, 0.5)][: 1 + j % 2],
+                    k=5, prune=0.0, two_phase=False,
+                )
+                for j in range(n)
+            ]
+            state.batcher._execute(reqs)
+            for r in reqs:
+                assert r.result is not None
+    finally:
+        SparseIndex.search_tokens = orig
+    batch_dims = {s[0] for s in seen}
+    assert batch_dims <= {4, 8}, seen  # 3->4, 5/6->8: two buckets, not three
+    assert all((s[0] & (s[0] - 1)) == 0 for s in seen), seen
