@@ -528,7 +528,7 @@ class SparseIndex:
                 def inverted_search_qsharded(q, docs, toks):
                     return smfn(q, post_docs, post_w, toks, docs)
 
-                return inverted_search_qsharded
+                return inverted_search_qsharded, None
             if n_shards == 1:
                 fn = inverted.make_search_fn(
                     post_docs, post_w, self._tok_dev, self._docs_dev, **inv_kw
@@ -537,7 +537,29 @@ class SparseIndex:
                 def inverted_search(q, docs, toks):
                     return fn(q, post_docs, post_w, toks, docs)
 
-                return inverted_search
+                # multi-batch driver: ONE dispatch + ONE fetch for a whole
+                # query set (lax.map over [nb, Bq, V]); per-dispatch/sync
+                # latency otherwise multiplies by the batch count — on a
+                # tunnelled runtime (~30 ms each way) that dominated the
+                # measured QPS (1.2K q/s end-to-end vs 4.8K q/s device-only
+                # at 2M docs). Postings enter as runtime args, NOT closure
+                # captures: a captured array would be baked into the
+                # compiled payload as a constant.
+                raw = inverted.make_search_fn(
+                    post_docs, post_w, self._tok_dev, self._docs_dev,
+                    jit=False, **inv_kw
+                )
+
+                @jax.jit
+                def minv(qs, pd, pw, toks, docs):
+                    return jax.lax.map(
+                        lambda qb: raw(qb, pd, pw, toks, docs), qs
+                    )
+
+                def inverted_multi(qs, docs, toks):
+                    return minv(qs, post_docs, post_w, toks, docs)
+
+                return inverted_search, inverted_multi
 
             # sharded: each device searches its local corpus stripe with its
             # local postings (LOCAL doc indices), then one all-gather merges
@@ -570,7 +592,7 @@ class SparseIndex:
             def inverted_search_sharded(q, docs, toks):
                 return smfn(q, post_docs, post_w, toks, docs)
 
-            return inverted_search_sharded
+            return inverted_search_sharded, None
 
         def local_topk(q, docs, toks, base_offset):
             """Top-k over one shard's docs. q [Bq, V] f32; docs
@@ -666,7 +688,7 @@ class SparseIndex:
                     qsharded, mesh=self.mesh, in_specs=in_specs,
                     out_specs=(P(DATA_AXIS), P(DATA_AXIS)), check_vma=False,
                 )
-            )
+            ), None
 
         if self.mesh is None or self.mesh.devices.size == 1:
 
@@ -674,7 +696,16 @@ class SparseIndex:
             def search_fn(q, docs, toks):
                 return local_topk(q, docs, toks, jnp.asarray(0, jnp.int32))
 
-            return search_fn
+            @jax.jit
+            def scan_multi(qs, docs, toks):
+                return jax.lax.map(
+                    lambda qb: local_topk(
+                        qb, docs, toks, jnp.asarray(0, jnp.int32)
+                    ),
+                    qs,
+                )
+
+            return search_fn, scan_multi
 
         mesh = self.mesh
         n_shards = mesh.devices.size
@@ -697,15 +728,20 @@ class SparseIndex:
             sharded, mesh=mesh, in_specs=in_specs, out_specs=(P(), P()),
             check_vma=False,
         )
-        return jax.jit(fn)
+        return jax.jit(fn), None
 
     def _get_search_fn(self, k: int, two_phase: bool = False,
                        engine: Optional[str] = None):
+        """Returns (per-batch fn, multi-batch fn-or-None); the multi form
+        takes q of shape [nb, Bq, V] and answers a whole query set in one
+        dispatch (single-device engines only)."""
         key = (k, two_phase, engine or self._engine)
-        fn = self._search_fns.get(key)
-        if fn is None:
-            fn = self._search_fns[key] = self._build_search_fn(k, two_phase, engine)
-        return fn
+        fns = self._search_fns.get(key)
+        if fns is None:
+            fns = self._search_fns[key] = self._build_search_fn(
+                k, two_phase, engine
+            )
+        return fns
 
     def search(
         self,
@@ -768,37 +804,63 @@ class SparseIndex:
         k_eff = min(k + (1 if exclude_self is not None else 0), self.n_docs)
         Bq = self.cfg.query_batch
         n_q = q.shape[0]
-        fn = self._get_search_fn(k_eff, two_phase, engine)
+        fn, multi_fn = self._get_search_fn(k_eff, two_phase, engine)
+        toks_arg = (
+            self._tok_dev if self._tok_dev is not None
+            else jnp.zeros((), jnp.int32)
+        )
 
-        # dispatch ALL batches before blocking: async dispatch pipelines the
-        # per-call latency (significant over remote/tunnelled runtimes)
-        pending = []
-        for start in range(0, n_q, Bq):
-            qb = q[start : start + Bq]
-            pad = Bq - qb.shape[0]
-            if pad:
-                qb = jnp.concatenate([qb, jnp.zeros((pad, q.shape[1]), jnp.float32)])
-            if self._tok_dev is not None:
-                s, i = fn(qb, self._docs_dev, self._tok_dev)
+        if multi_fn is not None and n_q > Bq:
+            # whole query set in ONE dispatch (lax.map over batches inside
+            # one jit) and ONE host fetch — per-call dispatch/sync latency
+            # (~30 ms each over a tunnelled runtime) otherwise multiplies
+            # by 2*n_batches and dominates end-to-end QPS
+            nb = -(-n_q // Bq)
+            pad_rows = nb * Bq - n_q
+            if pad_rows:
+                q = jnp.concatenate(
+                    [q, jnp.zeros((pad_rows, q.shape[1]), jnp.float32)]
+                )
+            s_all, i_all = multi_fn(
+                q.reshape(nb, Bq, q.shape[1]), self._docs_dev, toks_arg
+            )
+            s_np = np.asarray(s_all).reshape(nb * Bq, -1)[:n_q]
+            i_np = np.asarray(i_all).reshape(nb * Bq, -1)[:n_q]
+        else:
+            # dispatch ALL batches before blocking (async dispatch pipelines
+            # the per-call latency), then stack on device and fetch ONCE
+            pending = []
+            for start in range(0, n_q, Bq):
+                qb = q[start : start + Bq]
+                pad = Bq - qb.shape[0]
+                if pad:
+                    qb = jnp.concatenate(
+                        [qb, jnp.zeros((pad, q.shape[1]), jnp.float32)]
+                    )
+                s, i = fn(qb, self._docs_dev, toks_arg)
+                pending.append((s, i))
+            if len(pending) == 1:
+                s_dev, i_dev = pending[0]
             else:
-                s, i = fn(qb, self._docs_dev, jnp.zeros((), jnp.int32))
-            pending.append((start, pad, s, i))
+                s_dev = jnp.concatenate([p[0] for p in pending])
+                i_dev = jnp.concatenate([p[1] for p in pending])
+            # per-batch pad rows only ever occur in the LAST batch (starts
+            # step by Bq), so the first n_q stacked rows are the queries
+            s_np = np.asarray(s_dev)[:n_q]
+            i_np = np.asarray(i_dev)[:n_q]
 
         results: List[Dict[str, float]] = []
-        for start, pad, s, i in pending:
-            s, i = np.asarray(s), np.asarray(i)
-            for row in range(s.shape[0] - pad):
-                qi = start + row
-                out = {}
-                for score, idx in zip(s[row], i[row]):
-                    if idx < 0 or idx >= self.n_docs or score <= 0:
-                        continue
-                    did = self.doc_ids[idx]
-                    if exclude_self is not None and did == str(exclude_self[qi]):
-                        continue
-                    if len(out) < k:
-                        out[did] = float(score)
-                results.append(out)
+        for qi in range(n_q):
+            out: Dict[str, float] = {}
+            for score, idx in zip(s_np[qi], i_np[qi]):
+                if idx < 0 or idx >= self.n_docs or score <= 0:
+                    continue
+                did = self.doc_ids[idx]
+                if exclude_self is not None and did == str(exclude_self[qi]):
+                    continue
+                if len(out) < k:
+                    out[did] = float(score)
+            results.append(out)
         return results
 
     def search_tokens(
