@@ -134,10 +134,13 @@ def main():
     enc = se.BatchEncoder(model, max_length=128, seq_buckets=[128], do_count=False)
     texts = ["a benchmark document about sparse retrieval on tensor units"] * 256
     enc.encode_batch_sparse(texts, l_max=128)  # compile
+    # pipelined dispatch, as eval/beir.py::ingest drives it: all batches in
+    # flight before the first resolve, so per-call sync latency is hidden
+    # behind device compute instead of serializing with it
     t0 = time.time()
-    for _ in range(4):
-        enc.encode_batch_sparse(texts, l_max=128)
-    enc_dps = 4 * 256 / (time.time() - t0)
+    handles = [enc.encode_batch_sparse_async(texts, l_max=128) for _ in range(8)]
+    enc.resolve_sparse_many(handles, [256] * 8)
+    enc_dps = 8 * 256 / (time.time() - t0)
 
     # train-step throughput (fwd+bwd+AdamW, mini, the config_infonce shape),
     # measured as a chain of steps inside one dispatch so remote-runtime

@@ -475,10 +475,22 @@ def ingest(
     n = len(dataset)
     use_sparse_fast_path = index.cfg.engine != "dense" and not doc_inf_free
     if use_sparse_fast_path:
-        # two-deep pipeline: the device encodes batch i+1 while the host
-        # resolves and indexes batch i (on-device top-k sparsification keeps
-        # the transfer at l_max (id, weight) pairs per doc)
-        pending = None  # (ids, n, device arrays)
+        # windowed pipeline: keep up to W batches in flight, then resolve
+        # the window with ONE stacked host fetch (resolve_sparse_many) while
+        # the newest dispatch keeps the device busy. Per-batch resolves each
+        # pay the runtime's sync latency (~30 ms tunnelled), which dominates
+        # the encoder's ~24 ms/batch device time; on-device top-k
+        # sparsification keeps the transfer at l_max (id, weight) pairs/doc.
+        W = 8
+        window = []  # [(ids, n, device arrays), ...]
+
+        def flush(entries):
+            resolved = encoder.resolve_sparse_many(
+                [e[2] for e in entries], [e[1] for e in entries]
+            )
+            for (e_ids, _, _), (tok_idx, ws) in zip(entries, resolved):
+                index.add_topk(e_ids, tok_idx, ws)
+
         for start in range(0, n, batch_size):
             if liveness is not None:
                 liveness.beat()
@@ -486,15 +498,11 @@ def ingest(
             ids = [r[0] for r in rows]
             texts = [r[1] for r in rows]
             handle = encoder.encode_batch_sparse_async(texts, l_max=index.cfg.l_max)
-            if pending is not None:
-                p_ids, p_n, p_handle = pending
-                tok_idx, ws = encoder.resolve_sparse(p_handle, p_n)
-                index.add_topk(p_ids, tok_idx, ws)
-            pending = (ids, len(texts), handle)
-        if pending is not None:
-            p_ids, p_n, p_handle = pending
-            tok_idx, ws = encoder.resolve_sparse(p_handle, p_n)
-            index.add_topk(p_ids, tok_idx, ws)
+            window.append((ids, len(texts), handle))
+            if len(window) > W:
+                flush(window[:-1])  # newest stays in flight
+                window = window[-1:]
+        flush(window)
     else:
         for start in range(0, n, batch_size):
             if liveness is not None:

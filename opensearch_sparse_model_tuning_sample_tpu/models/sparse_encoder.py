@@ -279,6 +279,32 @@ class BatchEncoder:
             self._n_encoded += n_texts
         return np.asarray(idx), np.asarray(vals)
 
+    def resolve_sparse_many(self, pendings, n_texts_list):
+        """Resolve a WINDOW of async handles with one stacked host fetch per
+        tensor kind (3 fetches total instead of 3 per handle). Per-fetch sync
+        latency (~30 ms over a tunnelled runtime) otherwise dominates the
+        mini encoder's ~24 ms/batch device time. Returns [(idx, vals), ...]
+        in handle order."""
+        if not pendings:
+            return []
+        if len(pendings) == 1:
+            return [self.resolve_sparse(pendings[0], n_texts_list[0])]
+        rows = [p[0].shape[0] for p in pendings]
+        idx_all = np.asarray(jnp.concatenate([p[0] for p in pendings]))
+        val_all = np.asarray(jnp.concatenate([p[1] for p in pendings]))
+        if self.do_count:
+            # stays in the device int dtype; window sums are far below
+            # int32 range (<= window * batch docs per token)
+            count_sum = jnp.sum(jnp.stack([p[2] for p in pendings]), axis=0)
+            self.count_tensor += np.asarray(count_sum, dtype=np.int64)
+            self._n_encoded += int(sum(n_texts_list))
+        out = []
+        off = 0
+        for r in rows:
+            out.append((idx_all[off : off + r], val_all[off : off + r]))
+            off += r
+        return out
+
     def encode_batch_sparse(self, texts: List[str], l_max: int = 256):
         """Ingest fast path: (token_idx [B, l_max], weights [B, l_max]) via
         on-device top-k; only ~l_max*8 bytes/doc cross the host boundary."""
