@@ -28,7 +28,11 @@ import numpy as np
 
 from ..data.datasets import BEIRCorpusDataset, HostShardDataset, KeyValueDataset
 from ..index.engine import IndexConfig, SparseIndex
-from ..models.sparse_encoder import BatchEncoder, SparseEncoderModel
+from ..models.sparse_encoder import (
+    BatchEncoder,
+    SparseEncoderModel,
+    get_batch_encoder,
+)
 from . import trec_eval
 from .metrics_sink import emit_metrics
 
@@ -469,7 +473,12 @@ def ingest(
             if os.path.exists(f):
                 os.remove(f)
         dataset = HostShardDataset(dataset, rank, world_size)
-    encoder = BatchEncoder(model, max_length=max_length, do_count=True)
+    # scope by rank: in-process multi-rank harnesses (threaded tests) must
+    # not share one encoder's count state across simulated ranks
+    encoder = get_batch_encoder(
+        model, max_length=max_length, do_count=True,
+        scope=("ingest", rank, world_size),
+    )
     index = SparseIndex(model.vocab_size, index_cfg, mesh)
     t0 = time.time()
     n = len(dataset)
@@ -591,25 +600,36 @@ def search(
     `delete`: drop the index after searching (reference search.py:95-97
     `indices.delete` — frees device HBM between datasets)."""
     qd = KeyValueDataset(queries)
-    encoder = BatchEncoder(model, max_length=max_length, do_count=True)
+    encoder = get_batch_encoder(model, max_length=max_length, do_count=True)
     run_res: Dict[str, Dict[str, float]] = {}
     t0 = time.time()
     n = len(qd)
-    for start in range(0, n, batch_size):
-        rows = [qd[i] for i in range(start, min(start + batch_size, n))]
+    # whole CHUNKS of queries encode in one dispatch (lax.map over batches,
+    # one packed upload — encoder.encode_chunk_device) and the index
+    # answers each chunk in one search call (one dispatch + one fetch via
+    # the single-dispatch driver): ~4 host round trips per chunk. A strict
+    # per-batch encode->search->fetch loop pays ~6 round trips (~30 ms
+    # each tunnelled) per batch_size queries — measured 6x slower. Chunk
+    # cap bounds device memory for huge query sets (mining over train
+    # splits): 4096 x vocab fp32 = 500 MB.
+    chunk_rows = max(4096, batch_size)
+    for cstart in range(0, n, chunk_rows):
+        rows = [qd[i] for i in range(cstart, min(cstart + chunk_rows, n))]
         ids = [r[0] for r in rows]
-        texts = [r[1] for r in rows]
-        reps = encoder.encode_batch_device(texts, inf_free=inf_free)
+        reps, _n_valid = encoder.encode_chunk_device(
+            [r[1] for r in rows], inf_free=inf_free, rows=batch_size
+        )
         # full_forward: True for full-forward queries (they exceed the
-        # inverted engine's term-lookup budget; index.search falls back to
-        # the exact scan). For inf-free queries pass None, NOT False: a long
-        # inf-free query can also exceed query_terms, and None lets the
-        # engine check the batch's active-term count (one scalar sync per
-        # batch of `batch_size` queries — negligible next to the encode)
+        # inverted engine's term-lookup budget). For inf-free queries pass
+        # None, NOT False: a long inf-free query can also exceed
+        # query_terms, and None lets the engine check the chunk's
+        # active-term count (one scalar sync per chunk)
         hits = index.search(
             reps, k=result_size, query_prune=query_prune,
-            two_phase=use_two_phase, full_forward=True if not inf_free else None,
+            two_phase=use_two_phase,
+            full_forward=True if not inf_free else None,
         )
+        # reps rows beyond len(ids) are chunk padding; zip drops their hits
         for _id, h in zip(ids, hits):
             run_res[_id] = h
     qps = n / max(time.time() - t0, 1e-9)

@@ -48,6 +48,19 @@ from ..core.mesh import DATA_AXIS
 logger = logging.getLogger(__name__)
 
 
+def _fetch_packed(s_dev, i_dev, n_q):
+    """Fetch (scores f32, ids int32) with ONE host transfer: ids bitcast to
+    f32 and packed next to the scores, split + viewed back on the host.
+    Per-array syncs cost ~30 ms each over a tunnelled runtime — one packed
+    fetch halves the fixed cost of every search call."""
+    k = s_dev.shape[1]
+    packed = jnp.concatenate(
+        [s_dev, jax.lax.bitcast_convert_type(i_dev, jnp.float32)], axis=1
+    )
+    arr = np.asarray(packed)[:n_q]
+    return arr[:, :k], arr[:, k:].view(np.int32)
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -824,8 +837,9 @@ class SparseIndex:
             s_all, i_all = multi_fn(
                 q.reshape(nb, Bq, q.shape[1]), self._docs_dev, toks_arg
             )
-            s_np = np.asarray(s_all).reshape(nb * Bq, -1)[:n_q]
-            i_np = np.asarray(i_all).reshape(nb * Bq, -1)[:n_q]
+            s_np, i_np = _fetch_packed(
+                s_all.reshape(nb * Bq, -1), i_all.reshape(nb * Bq, -1), n_q
+            )
         else:
             # dispatch ALL batches before blocking (async dispatch pipelines
             # the per-call latency), then stack on device and fetch ONCE
@@ -846,8 +860,7 @@ class SparseIndex:
                 i_dev = jnp.concatenate([p[1] for p in pending])
             # per-batch pad rows only ever occur in the LAST batch (starts
             # step by Bq), so the first n_q stacked rows are the queries
-            s_np = np.asarray(s_dev)[:n_q]
-            i_np = np.asarray(i_dev)[:n_q]
+            s_np, i_np = _fetch_packed(s_dev, i_dev, n_q)
 
         results: List[Dict[str, float]] = []
         for qi in range(n_q):

@@ -229,9 +229,102 @@ class BatchEncoder:
 
         self._doc_fwd_topk = jax.jit(_doc_fwd_topk, static_argnames=("k",))
 
+        # chunk path: MANY batches in one dispatch (lax.map over the stacked
+        # [nb, rows, L] batch axis) with ids+mask as ONE packed upload and
+        # the activation count fused in. A per-batch encode loop pays ~5
+        # host RPCs per batch (2 uploads, forward, count, accumulate) at
+        # ~30 ms each over a tunnelled runtime — the chunk path pays 2 for
+        # the whole chunk.
+        def _chunk_fwd(params, packed, special_mask, n_valid, inf_free, nb):
+            L = packed.shape[-1]
+            ids = packed[0].reshape(nb, -1, L)
+            mask = packed[1].reshape(nb, -1, L)
+
+            def one(args):
+                i, m = args
+                if inf_free:
+                    return encode_query_inf_free(
+                        params=params, cfg=cfg, input_ids=i,
+                        special_mask=special_mask,
+                    )
+                return encode_doc(
+                    params, cfg, i, m,
+                    use_l0=model.use_l0, prune_ratio=model.prune_ratio,
+                )
+
+            reps = jax.lax.map(one, (ids, mask))  # [nb, rows, V]
+            reps = reps.reshape(-1, reps.shape[-1])
+            valid = (jnp.arange(reps.shape[0]) < n_valid)[:, None]
+            count = jnp.sum((reps > 0) & valid, axis=0).astype(jnp.int32)
+            return reps, count
+
+        self._chunk_fwd = jax.jit(
+            _chunk_fwd, static_argnames=("inf_free", "nb")
+        )
+
+    def encode_chunk_device(
+        self, texts: List[str], inf_free: bool = False, rows: int = 256
+    ):
+        """Encode a large chunk of texts with two host round trips total.
+
+        Returns (reps [nb*rows, V] device array, n_valid): rows beyond
+        n_valid are padding (zero-id encodes) the caller must ignore. The
+        batch count pads up to a power of two so tail chunks reuse a
+        bounded set of compiled shapes."""
+        feats = self.model.tokenizer.encode_bucketed(
+            texts, self.max_length, self.seq_buckets
+        )
+        ids, mask = feats["input_ids"], feats["attention_mask"]
+        n = ids.shape[0]
+        nb = -(-n // rows)
+        nb_pow2 = 1
+        while nb_pow2 < nb:
+            nb_pow2 *= 2
+        pad = nb_pow2 * rows - n
+        if pad:
+            ids = np.concatenate(
+                [ids, np.zeros((pad, ids.shape[1]), ids.dtype)]
+            )
+            mask = np.concatenate(
+                [mask, np.zeros((pad, mask.shape[1]), mask.dtype)]
+            )
+        packed = jnp.asarray(np.stack([ids, mask]))
+        reps, count = self._chunk_fwd(
+            self.model.params, packed, self._special_mask_dev, n,
+            inf_free=inf_free, nb=nb_pow2,
+        )
+        if self.do_count:
+            self._accum_count(count)
+            self._n_encoded += n
+        return reps, n
+
     def reset_count(self):
         self.count_tensor = np.zeros((self.model.vocab_size,), dtype=np.int64)
         self._n_encoded = 0
+
+    # activation counts accumulate ON DEVICE (a pure async add per batch)
+    # and flush to the host only when read: the per-batch
+    # np.asarray(activation_count) otherwise costs a blocking ~30 ms sync
+    # per encode call over the tunnelled runtime. int32 is safe: per-token
+    # counts are bounded by the corpus size (« 2^31).
+    @property
+    def count_tensor(self) -> np.ndarray:
+        if self._count_dev is not None:
+            self._count_host = self._count_host + np.asarray(
+                self._count_dev, dtype=np.int64
+            )
+            self._count_dev = None
+        return self._count_host
+
+    @count_tensor.setter
+    def count_tensor(self, value):
+        self._count_host = np.asarray(value, dtype=np.int64)
+        self._count_dev = None
+
+    def _accum_count(self, count_dev):
+        self._count_dev = (
+            count_dev if self._count_dev is None else self._count_dev + count_dev
+        )
 
     def encode_batch(self, texts: List[str], inf_free: bool = False) -> np.ndarray:
         return np.asarray(self.encode_batch_device(texts, inf_free=inf_free))
@@ -254,7 +347,7 @@ class BatchEncoder:
                 params=self.model.params, input_ids=ids, attention_mask=mask
             )
         if self.do_count:
-            self.count_tensor += np.asarray(activation_count(reps), dtype=np.int64)
+            self._accum_count(activation_count(reps))
             self._n_encoded += len(texts)
         return reps
 
@@ -275,7 +368,7 @@ class BatchEncoder:
     def resolve_sparse(self, pending, n_texts: int):
         idx, vals, count = pending
         if self.do_count:
-            self.count_tensor += np.asarray(count, dtype=np.int64)
+            self._accum_count(count)
             self._n_encoded += n_texts
         return np.asarray(idx), np.asarray(vals)
 
@@ -295,8 +388,7 @@ class BatchEncoder:
         if self.do_count:
             # stays in the device int dtype; window sums are far below
             # int32 range (<= window * batch docs per token)
-            count_sum = jnp.sum(jnp.stack([p[2] for p in pendings]), axis=0)
-            self.count_tensor += np.asarray(count_sum, dtype=np.int64)
+            self._accum_count(jnp.sum(jnp.stack([p[2] for p in pendings]), axis=0))
             self._n_encoded += int(sum(n_texts_list))
         out = []
         off = 0
@@ -315,6 +407,40 @@ class BatchEncoder:
     def encode(self, texts: List[str], inf_free: bool = False) -> List[Dict[str, float]]:
         reps = self.encode_batch(texts, inf_free=inf_free)
         return sparse_to_token_weight_dicts(reps, self.model.tokenizer)
+
+
+def get_batch_encoder(
+    model: SparseEncoderModel,
+    max_length: int = 512,
+    seq_buckets: Optional[List[int]] = None,
+    do_count: bool = True,
+    scope=None,
+) -> BatchEncoder:
+    """Memoized BatchEncoder per (model, shape config).
+
+    Constructing a BatchEncoder builds fresh `jax.jit` wrappers, and every
+    call through a fresh wrapper RE-TRACES the forward even when the XLA
+    executable cache hits — measured 1.4 s per 512-query chunk vs 0.03 s
+    through a reused encoder. Call sites that run once per dataset
+    (eval search/ingest, mining) must reuse through this factory. Count
+    state resets on reuse, matching a fresh encoder.
+
+    `scope` discriminates callers that must NOT share count state within
+    one process — e.g. in-process multi-rank harnesses pass (rank,
+    world_size) so each simulated rank counts only its own shard."""
+    key = (max_length, tuple(seq_buckets or ()), do_count, scope)
+    cache = getattr(model, "_encoder_cache", None)
+    if cache is None:
+        cache = model._encoder_cache = {}
+    enc = cache.get(key)
+    if enc is None:
+        enc = cache[key] = BatchEncoder(
+            model, max_length=max_length, seq_buckets=seq_buckets,
+            do_count=do_count,
+        )
+    else:
+        enc.reset_count()
+    return enc
 
 
 # ---------------------------------------------------------------------------
