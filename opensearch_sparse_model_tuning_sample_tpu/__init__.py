@@ -38,10 +38,10 @@ def __getattr__(name):
         from .train.trainer import Trainer
 
         return Trainer
-    if name == "WordPieceTokenizer":
-        from .models.tokenizer import WordPieceTokenizer
+    if name in ("WordPieceTokenizer", "ByteLevelBPETokenizer", "load_tokenizer"):
+        from .models import tokenizer as _tok
 
-        return WordPieceTokenizer
+        return getattr(_tok, name)
     if name == "make_mesh":
         from .core.mesh import make_mesh
 

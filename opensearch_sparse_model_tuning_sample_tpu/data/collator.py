@@ -44,7 +44,7 @@ class _CollatorBase:
         embedding_store=None,
         teacher_ensemble=None,
     ):
-        from ..models.tokenizer import WordPieceTokenizer
+        from ..models.tokenizer import load_tokenizer
 
         self.tokenizer = tokenizer
         buckets = sorted(seq_buckets or [64, 128, 256, 512])
@@ -97,9 +97,7 @@ class _CollatorBase:
             else:
                 import os
 
-                tok = WordPieceTokenizer.from_pretrained(
-                    tid if os.path.isdir(str(tid)) else None
-                )
+                tok = load_tokenizer(tid if os.path.isdir(str(tid)) else None)
                 tok.try_attach_native()  # C++ WordPiece on the collate path
                 self.teachers.append({"remote": False, "tokenizer": tok})
 

@@ -46,6 +46,20 @@ class BertConfig:
     attention_probs_dropout_prob: float = 0.1
     hidden_act: str = "gelu"  # "gelu" (exact) | "gelu_new" (tanh) | "relu"
     pad_token_id: int = 0
+    # --- HF layout-family knobs (the reference hosts any AutoModelForMaskedLM
+    # architecture, sparse_encoders.py:57-59; these three cover the BERT /
+    # RoBERTa / DistilBERT families natively) ---
+    model_type: str = "bert"  # "bert" | "roberta" | "distilbert"
+    # "absolute": positions 0..L-1 (BERT/DistilBERT). "from_pad_offset":
+    # RoBERTa's create_position_ids_from_input_ids — cumsum over non-pad
+    # positions, offset by pad_token_id, pads pinned to pad_token_id.
+    position_style: str = "absolute"
+    # DistilBERT has no token-type embeddings at all; RoBERTa keeps a
+    # (constant) type-0 row that still adds into the embedding sum.
+    use_token_type: bool = True
+    # RoBERTa's LM head applies gelu regardless of hidden_act; None = follow
+    # hidden_act (BERT/DistilBERT semantics).
+    head_act: Optional[str] = None
     # --- TPU knobs ---
     vocab_pad_multiple: int = 128
     param_dtype: Any = jnp.float32
@@ -186,17 +200,27 @@ def _gelu(x):
     return jax.nn.gelu(x, approximate=False)
 
 
-def _act(x, cfg):
+def _act_by_name(x, name: str):
     # the checkpoint's hidden_act: silently using gelu for a relu model
     # would compute wrong outputs with no error (config_from_hf_json
     # rejects unknown names at import time)
-    if cfg.hidden_act == "gelu":
+    if name == "gelu":
         return _gelu(x)
-    if cfg.hidden_act in ("gelu_new", "gelu_pytorch_tanh", "gelu_approx"):
+    if name in ("gelu_new", "gelu_pytorch_tanh", "gelu_approx"):
         return jax.nn.gelu(x, approximate=True)
-    if cfg.hidden_act == "relu":
+    if name == "relu":
         return jax.nn.relu(x)
-    raise ValueError(f"unsupported hidden_act {cfg.hidden_act!r}")
+    raise ValueError(f"unsupported hidden_act {name!r}")
+
+
+def _act(x, cfg):
+    return _act_by_name(x, cfg.hidden_act)
+
+
+def _head_act(x, cfg):
+    # RoBERTa's RobertaLMHead hardcodes gelu even when hidden_act differs;
+    # BERT/DistilBERT heads follow the body activation
+    return _act_by_name(x, cfg.head_act or cfg.hidden_act)
 
 
 def _dropout(x, rate, rng, deterministic):
@@ -257,13 +281,20 @@ def encode_hidden(
 
     if token_type_ids is None:
         token_type_ids = jnp.zeros_like(input_ids)
-    pos_ids = jnp.arange(L, dtype=jnp.int32)[None, :]
+    if cfg.position_style == "from_pad_offset":
+        # RoBERTa create_position_ids_from_input_ids: pads sit at
+        # pad_token_id, real tokens count up from pad_token_id + 1
+        not_pad = (input_ids != cfg.pad_token_id).astype(jnp.int32)
+        pos_ids = jnp.cumsum(not_pad, axis=1) * not_pad + cfg.pad_token_id
+    else:
+        pos_ids = jnp.arange(L, dtype=jnp.int32)[None, :]
 
-    x = (
-        emb["word_embeddings"].astype(jnp.float32)[input_ids]
-        + emb["position_embeddings"].astype(jnp.float32)[pos_ids]
-        + emb["token_type_embeddings"].astype(jnp.float32)[token_type_ids]
-    ).astype(cd)
+    x = emb["word_embeddings"].astype(jnp.float32)[input_ids] + emb[
+        "position_embeddings"
+    ].astype(jnp.float32)[pos_ids]
+    if cfg.use_token_type:
+        x = x + emb["token_type_embeddings"].astype(jnp.float32)[token_type_ids]
+    x = x.astype(cd)
     x = _layer_norm(x, emb["layer_norm"], cfg.layer_norm_eps)
     if rng is None:
         rng = jax.random.PRNGKey(0)
@@ -295,7 +326,7 @@ def mlm_logits(params, cfg: BertConfig, hidden: jax.Array) -> jax.Array:
     -> [B, L, padded_V] fp32."""
     p = params["mlm_head"]
     cd = cfg.compute_dtype
-    h = _act(_dense(hidden, p["transform"], cd), cfg)
+    h = _head_act(_dense(hidden, p["transform"], cd), cfg)
     h = _layer_norm(h, p["layer_norm"], cfg.layer_norm_eps)
     logits = jnp.dot(
         h.astype(cd),
@@ -327,7 +358,7 @@ def mlm_maxpool(
     # largest divisor of L not above `chunk` (gcd is wrong for that: e.g.
     # gcd(96, 64)=32 but 48 divides 96; gcd(510, 64)=2 would scan 255 steps)
     chunk = max(c for c in range(1, min(chunk, L) + 1) if L % c == 0)
-    h = _act(_dense(hidden, p["transform"], cd), cfg)
+    h = _head_act(_dense(hidden, p["transform"], cd), cfg)
     h = _layer_norm(h, p["layer_norm"], cfg.layer_norm_eps)
     wT = _decoder_weight(params).astype(cd).T
     bias = p["bias"].astype(jnp.float32)

@@ -69,6 +69,95 @@ def _strip_prefix(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     return out
 
 
+def _canon_roberta(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """RobertaForMaskedLM key space -> the canonical bert./cls.predictions.
+    space (the transformer-stack leaf names are identical; only the arch
+    prefix and the LM-head module names differ)."""
+    out: Dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        if k.endswith(".position_ids"):
+            continue
+        if k == "lm_head.decoder.bias":
+            continue  # tied duplicate of lm_head.bias
+        if k.startswith("roberta."):
+            k = "bert." + k[len("roberta.") :]
+        elif k.startswith("lm_head."):
+            rest = k[len("lm_head.") :]
+            if rest.startswith("dense."):
+                k = "cls.predictions.transform.dense." + rest[len("dense.") :]
+            elif rest.startswith("layer_norm."):
+                k = "cls.predictions.transform.LayerNorm." + rest[len("layer_norm.") :]
+            elif rest == "bias":
+                k = "cls.predictions.bias"
+            elif rest.startswith("decoder."):
+                k = "cls.predictions.decoder." + rest[len("decoder.") :]
+        elif not k.startswith(("bert.", "cls.")):
+            k = "bert." + k  # bare RobertaModel dump (no arch prefix)
+        out[k] = v
+    return out
+
+
+# DistilBERT layer-leaf names -> canonical BERT leaf names (structurally the
+# same post-LN transformer block under different field names)
+_DISTIL_LEAF_MAP = {
+    "attention.q_lin": "attention.self.query",
+    "attention.k_lin": "attention.self.key",
+    "attention.v_lin": "attention.self.value",
+    "attention.out_lin": "attention.output.dense",
+    "sa_layer_norm": "attention.output.LayerNorm",
+    "ffn.lin1": "intermediate.dense",
+    "ffn.lin2": "output.dense",
+    "output_layer_norm": "output.LayerNorm",
+}
+
+
+def _canon_distilbert(
+    sd: Dict[str, np.ndarray], cfg: BertConfig
+) -> Dict[str, np.ndarray]:
+    """DistilBertForMaskedLM key space -> the canonical space. DistilBERT has
+    no token-type table; a zero row is injected so the canonical tree build
+    resolves (use_token_type=False keeps it out of the forward)."""
+    out: Dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        if k.endswith(".position_ids"):
+            continue
+        nk = k
+        if nk.startswith("distilbert."):
+            nk = nk[len("distilbert.") :]
+        if nk.startswith("embeddings."):
+            nk = "bert." + nk
+        elif nk.startswith("transformer.layer."):
+            parts = nk.split(".")
+            stem, suffix = ".".join(parts[3:-1]), parts[-1]
+            mapped = _DISTIL_LEAF_MAP.get(stem)
+            if mapped is not None:
+                nk = f"bert.encoder.layer.{parts[2]}.{mapped}.{suffix}"
+        elif nk.startswith("vocab_transform."):
+            nk = "cls.predictions.transform.dense." + nk.split(".", 1)[1]
+        elif nk.startswith("vocab_layer_norm."):
+            nk = "cls.predictions.transform.LayerNorm." + nk.split(".", 1)[1]
+        elif nk == "vocab_projector.weight":
+            nk = "cls.predictions.decoder.weight"
+        elif nk == "vocab_projector.bias":
+            nk = "cls.predictions.bias"
+        out[nk] = v
+    word = out.get("bert.embeddings.word_embeddings.weight")
+    if word is not None:
+        out.setdefault(
+            "bert.embeddings.token_type_embeddings.weight",
+            np.zeros((cfg.type_vocab_size, word.shape[1]), dtype=word.dtype),
+        )
+    return out
+
+
+def _canonicalize(sd: Dict[str, np.ndarray], cfg: BertConfig) -> Dict[str, np.ndarray]:
+    if cfg.model_type == "roberta":
+        return _canon_roberta(sd)
+    if cfg.model_type == "distilbert":
+        return _canon_distilbert(sd, cfg)
+    return _strip_prefix(sd)
+
+
 class UnsupportedArchitecture(ValueError):
     """The checkpoint is not a BERT-family layout this importer can host
     natively. build_teacher catches this to fall back to the torch host
@@ -76,38 +165,95 @@ class UnsupportedArchitecture(ValueError):
     through AutoModel(ForMaskedLM) (bi_encoder_wrapper.py:19-20, 53-55)."""
 
 
-def config_from_hf_json(path: str, param_dtype, compute_dtype) -> BertConfig:
-    with open(path) as f:
-        hf = json.load(f)
-    mt = hf.get("model_type", "bert")
-    if mt not in ("bert", ""):
+SUPPORTED_ACTS = ("gelu", "gelu_new", "gelu_pytorch_tanh", "gelu_approx", "relu")
+
+
+def _check_act(act: str, path: str) -> str:
+    if act not in SUPPORTED_ACTS:
         raise UnsupportedArchitecture(
-            f"model_type {mt!r} in {path} is not BERT-family; the native JAX "
-            "importer hosts BERT-MLM layouts (any hidden size/eps/act, tied "
-            "or untied decoder, with or without MLM head). Other "
-            "architectures run as torch host teachers (kd ensemble type "
-            "'hf', or automatic fallback when transformers can load the dir)"
-        )
-    act = hf.get("hidden_act", "gelu")
-    if act not in ("gelu", "gelu_new", "gelu_pytorch_tanh", "gelu_approx", "relu"):
-        raise UnsupportedArchitecture(
-            f"unsupported hidden_act {act!r} in {path}; a BERT layout with "
+            f"unsupported hidden_act {act!r} in {path}; a layout with "
             "an exotic activation runs as a torch host teacher instead"
         )
-    return BertConfig(
-        vocab_size=hf["vocab_size"],
-        hidden_act=act,
-        hidden_size=hf["hidden_size"],
-        num_hidden_layers=hf["num_hidden_layers"],
-        num_attention_heads=hf["num_attention_heads"],
-        intermediate_size=hf["intermediate_size"],
-        max_position_embeddings=hf.get("max_position_embeddings", 512),
-        type_vocab_size=hf.get("type_vocab_size", 2),
-        layer_norm_eps=hf.get("layer_norm_eps", 1e-12),
-        hidden_dropout_prob=hf.get("hidden_dropout_prob", 0.1),
-        attention_probs_dropout_prob=hf.get("attention_probs_dropout_prob", 0.1),
-        param_dtype=param_dtype,
-        compute_dtype=compute_dtype,
+    return act
+
+
+def config_from_hf_json(path: str, param_dtype, compute_dtype) -> BertConfig:
+    """HF config.json -> BertConfig for the BERT / RoBERTa / DistilBERT
+    layout families (the reference hosts these through AutoModelForMaskedLM,
+    sparse_encoders.py:57-59); anything else raises UnsupportedArchitecture
+    so build_teacher can fall back to the torch host path."""
+    with open(path) as f:
+        hf = json.load(f)
+    mt = hf.get("model_type", "bert") or "bert"
+    common = dict(param_dtype=param_dtype, compute_dtype=compute_dtype)
+    if mt == "bert":
+        return BertConfig(
+            vocab_size=hf["vocab_size"],
+            hidden_act=_check_act(hf.get("hidden_act", "gelu"), path),
+            hidden_size=hf["hidden_size"],
+            num_hidden_layers=hf["num_hidden_layers"],
+            num_attention_heads=hf["num_attention_heads"],
+            intermediate_size=hf["intermediate_size"],
+            max_position_embeddings=hf.get("max_position_embeddings", 512),
+            type_vocab_size=hf.get("type_vocab_size", 2),
+            layer_norm_eps=hf.get("layer_norm_eps", 1e-12),
+            hidden_dropout_prob=hf.get("hidden_dropout_prob", 0.1),
+            attention_probs_dropout_prob=hf.get("attention_probs_dropout_prob", 0.1),
+            pad_token_id=hf.get("pad_token_id", 0),
+            **common,
+        )
+    if mt in ("roberta", "xlm-roberta"):
+        # XLM-R is architecturally identical to RoBERTa (same module names,
+        # same "roberta." state-dict prefix); its sentencepiece tokenizer is
+        # not bundled — pass tokenizer_name explicitly for XLM-R students
+        return BertConfig(
+            model_type="roberta",
+            vocab_size=hf["vocab_size"],
+            hidden_act=_check_act(hf.get("hidden_act", "gelu"), path),
+            head_act="gelu",  # RobertaLMHead pins gelu regardless of hidden_act
+            hidden_size=hf["hidden_size"],
+            num_hidden_layers=hf["num_hidden_layers"],
+            num_attention_heads=hf["num_attention_heads"],
+            intermediate_size=hf["intermediate_size"],
+            max_position_embeddings=hf.get("max_position_embeddings", 514),
+            type_vocab_size=hf.get("type_vocab_size", 1),
+            layer_norm_eps=hf.get("layer_norm_eps", 1e-5),
+            hidden_dropout_prob=hf.get("hidden_dropout_prob", 0.1),
+            attention_probs_dropout_prob=hf.get("attention_probs_dropout_prob", 0.1),
+            pad_token_id=hf.get("pad_token_id", 1),
+            position_style="from_pad_offset",
+            **common,
+        )
+    if mt == "distilbert":
+        if hf.get("sinusoidal_pos_embds"):
+            raise UnsupportedArchitecture(
+                f"sinusoidal_pos_embds in {path}: DistilBERT imports support "
+                "learned absolute positions only (the released checkpoints); "
+                "sinusoidal variants run as torch host teachers"
+            )
+        return BertConfig(
+            model_type="distilbert",
+            vocab_size=hf["vocab_size"],
+            hidden_act=_check_act(hf.get("activation", "gelu"), path),
+            hidden_size=hf["dim"],
+            num_hidden_layers=hf["n_layers"],
+            num_attention_heads=hf["n_heads"],
+            intermediate_size=hf["hidden_dim"],
+            max_position_embeddings=hf.get("max_position_embeddings", 512),
+            type_vocab_size=1,  # placeholder row; use_token_type gates the add
+            layer_norm_eps=1e-12,  # DistilBERT hardcodes nn.LayerNorm(eps=1e-12)
+            hidden_dropout_prob=hf.get("dropout", 0.1),
+            attention_probs_dropout_prob=hf.get("attention_dropout", 0.1),
+            pad_token_id=hf.get("pad_token_id", 0),
+            use_token_type=False,
+            **common,
+        )
+    raise UnsupportedArchitecture(
+        f"model_type {mt!r} in {path} is not a layout family the native JAX "
+        "importer hosts (bert/roberta/distilbert: any hidden size/eps/act, "
+        "tied or untied decoder, with or without MLM head). Other "
+        "architectures run as torch host teachers (kd ensemble type "
+        "'hf', or automatic fallback when transformers can load the dir)"
     )
 
 
@@ -152,7 +298,7 @@ def _check_required_keys(sd: Dict[str, np.ndarray], cfg: BertConfig) -> None:
 def params_from_state_dict(
     sd: Dict[str, np.ndarray], cfg: BertConfig
 ) -> Dict[str, Any]:
-    sd = _strip_prefix(sd)
+    sd = _canonicalize(sd, cfg)
     _check_required_keys(sd, cfg)
     dt = cfg.param_dtype
     pv = cfg.padded_vocab_size
@@ -261,11 +407,13 @@ def load_checkpoint(
     idf = None
     idf_path = os.path.join(ckpt_dir, "idf.json")
     if os.path.exists(idf_path):
-        from .tokenizer import WordPieceTokenizer, load_idf_weights
+        from .tokenizer import load_idf_weights, load_tokenizer
 
-        vt = os.path.join(ckpt_dir, "vocab.txt")
-        if os.path.exists(vt):
-            tok = WordPieceTokenizer.from_vocab_file(vt)
+        try:
+            tok = load_tokenizer(ckpt_dir)
+        except FileNotFoundError:
+            tok = None
+        if tok is not None:
             idf = load_idf_weights(idf_path, tok)
     return cfg, params, idf
 
@@ -334,8 +482,107 @@ def state_dict_from_params(params: Dict[str, Any], cfg: BertConfig) -> Dict[str,
     return sd
 
 
+def _decanon_roberta(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    out: Dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        if k.startswith("bert."):
+            k = "roberta." + k[len("bert.") :]
+        elif k.startswith("cls.predictions.transform.dense."):
+            k = "lm_head.dense." + k.rsplit(".", 1)[1]
+        elif k.startswith("cls.predictions.transform.LayerNorm."):
+            k = "lm_head.layer_norm." + k.rsplit(".", 1)[1]
+        elif k == "cls.predictions.bias":
+            out["lm_head.decoder.bias"] = v  # HF keeps the tied duplicate
+            k = "lm_head.bias"
+        elif k == "cls.predictions.decoder.weight":
+            k = "lm_head.decoder.weight"
+        out[k] = v
+    return out
+
+
+def _decanon_distilbert(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    inv_leaf = {v: k for k, v in _DISTIL_LEAF_MAP.items()}
+    out: Dict[str, np.ndarray] = {}
+    for k, v in sd.items():
+        if k == "bert.embeddings.token_type_embeddings.weight":
+            continue  # DistilBERT layout has no token-type table
+        if k.startswith("bert.embeddings."):
+            k = "distilbert.embeddings." + k[len("bert.embeddings.") :]
+        elif k.startswith("bert.encoder.layer."):
+            parts = k.split(".")
+            stem, suffix = ".".join(parts[4:-1]), parts[-1]
+            k = f"distilbert.transformer.layer.{parts[3]}.{inv_leaf[stem]}.{suffix}"
+        elif k.startswith("cls.predictions.transform.dense."):
+            k = "vocab_transform." + k.rsplit(".", 1)[1]
+        elif k.startswith("cls.predictions.transform.LayerNorm."):
+            k = "vocab_layer_norm." + k.rsplit(".", 1)[1]
+        elif k == "cls.predictions.bias":
+            k = "vocab_projector.bias"
+        elif k == "cls.predictions.decoder.weight":
+            k = "vocab_projector.weight"
+        out[k] = v
+    return out
+
+
+def _config_json_for_export(cfg: BertConfig) -> Dict[str, Any]:
+    if cfg.model_type == "roberta":
+        return {
+            "architectures": ["RobertaForMaskedLM"],
+            "model_type": "roberta",
+            "vocab_size": cfg.vocab_size,
+            "hidden_size": cfg.hidden_size,
+            "num_hidden_layers": cfg.num_hidden_layers,
+            "num_attention_heads": cfg.num_attention_heads,
+            "intermediate_size": cfg.intermediate_size,
+            "max_position_embeddings": cfg.max_position_embeddings,
+            "type_vocab_size": cfg.type_vocab_size,
+            "layer_norm_eps": cfg.layer_norm_eps,
+            "hidden_dropout_prob": cfg.hidden_dropout_prob,
+            "attention_probs_dropout_prob": cfg.attention_probs_dropout_prob,
+            "hidden_act": cfg.hidden_act,
+            "pad_token_id": cfg.pad_token_id,
+            "bos_token_id": 0,
+            "eos_token_id": 2,
+        }
+    if cfg.model_type == "distilbert":
+        return {
+            "architectures": ["DistilBertForMaskedLM"],
+            "model_type": "distilbert",
+            "vocab_size": cfg.vocab_size,
+            "dim": cfg.hidden_size,
+            "n_layers": cfg.num_hidden_layers,
+            "n_heads": cfg.num_attention_heads,
+            "hidden_dim": cfg.intermediate_size,
+            "max_position_embeddings": cfg.max_position_embeddings,
+            "dropout": cfg.hidden_dropout_prob,
+            "attention_dropout": cfg.attention_probs_dropout_prob,
+            "activation": cfg.hidden_act,
+            "pad_token_id": cfg.pad_token_id,
+            "sinusoidal_pos_embds": False,
+            "tie_weights_": True,
+        }
+    return {
+        "architectures": ["BertForMaskedLM"],
+        "model_type": "bert",
+        "vocab_size": cfg.vocab_size,
+        "hidden_size": cfg.hidden_size,
+        "num_hidden_layers": cfg.num_hidden_layers,
+        "num_attention_heads": cfg.num_attention_heads,
+        "intermediate_size": cfg.intermediate_size,
+        "max_position_embeddings": cfg.max_position_embeddings,
+        "type_vocab_size": cfg.type_vocab_size,
+        "layer_norm_eps": cfg.layer_norm_eps,
+        "hidden_dropout_prob": cfg.hidden_dropout_prob,
+        "attention_probs_dropout_prob": cfg.attention_probs_dropout_prob,
+        "hidden_act": cfg.hidden_act,
+        "pad_token_id": cfg.pad_token_id,
+    }
+
+
 def save_checkpoint(model, output_dir: str):
-    """Write an HF-layout checkpoint dir from a SparseEncoderModel.
+    """Write an HF-layout checkpoint dir from a SparseEncoderModel, in the
+    backbone's own layout family (bert/roberta/distilbert) so the dir loads
+    back through AutoModelForMaskedLM and through this importer alike.
 
     Mirrors reference ModelWrapper.save (trainer.py:37-49): backbone +
     tokenizer always; idf.json only when the idf vector is trainable.
@@ -345,28 +592,13 @@ def save_checkpoint(model, output_dir: str):
     os.makedirs(output_dir, exist_ok=True)
     cfg = model.cfg
     sd = state_dict_from_params(model.params["bert"], cfg)
+    if cfg.model_type == "roberta":
+        sd = _decanon_roberta(sd)
+    elif cfg.model_type == "distilbert":
+        sd = _decanon_distilbert(sd)
     save_file(sd, os.path.join(output_dir, "model.safetensors"))
     with open(os.path.join(output_dir, "config.json"), "w") as f:
-        json.dump(
-            {
-                "architectures": ["BertForMaskedLM"],
-                "model_type": "bert",
-                "vocab_size": cfg.vocab_size,
-                "hidden_size": cfg.hidden_size,
-                "num_hidden_layers": cfg.num_hidden_layers,
-                "num_attention_heads": cfg.num_attention_heads,
-                "intermediate_size": cfg.intermediate_size,
-                "max_position_embeddings": cfg.max_position_embeddings,
-                "type_vocab_size": cfg.type_vocab_size,
-                "layer_norm_eps": cfg.layer_norm_eps,
-                "hidden_dropout_prob": cfg.hidden_dropout_prob,
-                "attention_probs_dropout_prob": cfg.attention_probs_dropout_prob,
-                "hidden_act": cfg.hidden_act,
-                "pad_token_id": cfg.pad_token_id,
-            },
-            f,
-            indent=2,
-        )
+        json.dump(_config_json_for_export(cfg), f, indent=2)
     model.tokenizer.save_pretrained(output_dir)
     if model.idf_requires_grad:
         idf = np.asarray(model.params["idf_vector"], dtype=np.float32)

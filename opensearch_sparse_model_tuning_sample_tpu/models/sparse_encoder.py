@@ -26,7 +26,7 @@ import numpy as np
 
 from . import bert
 from .bert import BertConfig
-from .tokenizer import WordPieceTokenizer, load_idf_weights
+from .tokenizer import WordPieceTokenizer, load_idf_weights, load_tokenizer
 from ..ops.activations import (
     activation_count,
     inf_free_activation,
@@ -470,7 +470,7 @@ def build_model(
     """
     from . import hf_import
 
-    tokenizer = WordPieceTokenizer.from_pretrained(
+    tokenizer = load_tokenizer(
         tokenizer_name or model_name_or_path, preprocess_func=preprocess_func
     )
     tokenizer.try_attach_native()  # C++ fast path for bulk ingest/search

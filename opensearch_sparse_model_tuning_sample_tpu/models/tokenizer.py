@@ -77,7 +77,94 @@ class TextPreProcessors:
         return [" " + t.lower() for t in texts]
 
 
-class WordPieceTokenizer:
+class _TokenizerBase:
+    """Shared batch/padding machinery for the tokenizer family. Subclasses
+    provide `tokenize` / `encode_ids` plus vocab tables; the static-shape
+    bucket padding, preprocessors, and native-path hook live here."""
+
+    vocab: Dict[str, int]
+    ids_to_tokens: Dict[int, str]
+    pad_id: int
+    unk_id: int
+    vocab_size: int
+
+    def _init_base(self, preprocess_func: Optional[str]):
+        self.preprocess = (
+            getattr(TextPreProcessors, preprocess_func) if preprocess_func else None
+        )
+        self._native = None  # set by native.load() when the C++ path is built
+
+    def tokenize(self, text: str) -> List[str]:
+        raise NotImplementedError
+
+    def encode_ids(self, text: str, max_length: int) -> List[int]:
+        raise NotImplementedError
+
+    def try_attach_native(self) -> bool:
+        return False  # only the WordPiece family has a C++ fast path
+
+    def convert_tokens_to_ids(self, tokens: Sequence[str]) -> List[int]:
+        return [self.vocab.get(t, self.unk_id) for t in tokens]
+
+    def convert_id_to_token(self, i: int) -> str:
+        return self.ids_to_tokens.get(int(i), self.ids_to_tokens[self.unk_id])
+
+    # --------------------------------------------------------- batch path
+    def __call__(
+        self,
+        texts: Sequence[str],
+        max_length: int = 512,
+        pad_to: Optional[int] = None,
+        **_ignored,
+    ) -> Dict[str, np.ndarray]:
+        """Batch-encode -> {input_ids, attention_mask} int32 ndarrays.
+
+        `pad_to=None` pads to the longest sequence (reference `padding=True`,
+        collator.py:32-52); pass a bucket length for static TPU shapes.
+        """
+        if self.preprocess is not None:
+            texts = self.preprocess(list(texts))
+        if self._native is not None:
+            seqs = self._native.encode_batch(texts, max_length)
+        else:
+            seqs = [self.encode_ids(t, max_length) for t in texts]
+        return self._pad(seqs, pad_to)
+
+    def _pad(self, seqs, pad_to: Optional[int]) -> Dict[str, np.ndarray]:
+        if pad_to is not None:
+            L = pad_to
+        else:
+            L = max((len(s) for s in seqs), default=2)
+        B = len(seqs)
+        input_ids = np.full((B, L), self.pad_id, dtype=np.int32)
+        attention_mask = np.zeros((B, L), dtype=np.int32)
+        for i, s in enumerate(seqs):
+            s = s[:L]
+            input_ids[i, : len(s)] = s
+            attention_mask[i, : len(s)] = 1
+        return {"input_ids": input_ids, "attention_mask": attention_mask}
+
+    def encode_bucketed(
+        self, texts: Sequence[str], max_length: int, buckets: Sequence[int]
+    ) -> Dict[str, np.ndarray]:
+        """Tokenize ONCE and pad to the smallest bucket that fits (static
+        TPU shapes without double tokenization)."""
+        if self.preprocess is not None:
+            texts = self.preprocess(list(texts))
+        if self._native is not None:
+            seqs = self._native.encode_batch(list(texts), max_length)
+        else:
+            seqs = [self.encode_ids(t, max_length) for t in texts]
+        longest = max((len(s) for s in seqs), default=0)
+        L = max_length
+        for b in sorted(buckets):
+            if longest <= b <= max_length:
+                L = b
+                break
+        return self._pad(seqs, L)
+
+
+class WordPieceTokenizer(_TokenizerBase):
     def __init__(
         self,
         vocab: Dict[str, int],
@@ -95,10 +182,7 @@ class WordPieceTokenizer:
         self.sep_id = vocab[SEP]
         self.special_token_ids = [vocab[t] for t in SPECIAL_TOKENS if t in vocab]
         self.vocab_size = len(vocab)
-        self.preprocess = (
-            getattr(TextPreProcessors, preprocess_func) if preprocess_func else None
-        )
-        self._native = None  # set by native.load() when the C++ path is built
+        self._init_base(preprocess_func)
 
     # ------------------------------------------------------------- loading
     @classmethod
@@ -222,71 +306,11 @@ class WordPieceTokenizer:
             toks.extend(self._wordpiece(w))
         return toks
 
-    def convert_tokens_to_ids(self, tokens: Sequence[str]) -> List[int]:
-        return [self.vocab.get(t, self.unk_id) for t in tokens]
-
-    def convert_id_to_token(self, i: int) -> str:
-        return self.ids_to_tokens.get(int(i), UNK)
-
     def encode_ids(self, text: str, max_length: int) -> List[int]:
         """[CLS] tokens[:max_length-2] [SEP] — HF truncation semantics."""
         ids = self.convert_tokens_to_ids(self.tokenize(text))
         ids = ids[: max_length - 2]
         return [self.cls_id] + ids + [self.sep_id]
-
-    # --------------------------------------------------------- batch path
-    def __call__(
-        self,
-        texts: Sequence[str],
-        max_length: int = 512,
-        pad_to: Optional[int] = None,
-        **_ignored,
-    ) -> Dict[str, np.ndarray]:
-        """Batch-encode -> {input_ids, attention_mask} int32 ndarrays.
-
-        `pad_to=None` pads to the longest sequence (reference `padding=True`,
-        collator.py:32-52); pass a bucket length for static TPU shapes.
-        """
-        if self.preprocess is not None:
-            texts = self.preprocess(list(texts))
-        if self._native is not None:
-            seqs = self._native.encode_batch(texts, max_length)
-        else:
-            seqs = [self.encode_ids(t, max_length) for t in texts]
-        return self._pad(seqs, pad_to)
-
-    def _pad(self, seqs, pad_to: Optional[int]) -> Dict[str, np.ndarray]:
-        if pad_to is not None:
-            L = pad_to
-        else:
-            L = max((len(s) for s in seqs), default=2)
-        B = len(seqs)
-        input_ids = np.full((B, L), self.pad_id, dtype=np.int32)
-        attention_mask = np.zeros((B, L), dtype=np.int32)
-        for i, s in enumerate(seqs):
-            s = s[:L]
-            input_ids[i, : len(s)] = s
-            attention_mask[i, : len(s)] = 1
-        return {"input_ids": input_ids, "attention_mask": attention_mask}
-
-    def encode_bucketed(
-        self, texts: Sequence[str], max_length: int, buckets: Sequence[int]
-    ) -> Dict[str, np.ndarray]:
-        """Tokenize ONCE and pad to the smallest bucket that fits (static
-        TPU shapes without double tokenization)."""
-        if self.preprocess is not None:
-            texts = self.preprocess(list(texts))
-        if self._native is not None:
-            seqs = self._native.encode_batch(list(texts), max_length)
-        else:
-            seqs = [self.encode_ids(t, max_length) for t in texts]
-        longest = max((len(s) for s in seqs), default=0)
-        L = max_length
-        for b in sorted(buckets):
-            if longest <= b <= max_length:
-                L = b
-                break
-        return self._pad(seqs, L)
 
     def save_pretrained(self, output_dir: str):
         os.makedirs(output_dir, exist_ok=True)
@@ -301,6 +325,155 @@ class WordPieceTokenizer:
                 },
                 f,
             )
+
+
+_BPE_SPECIALS = ("<s>", "<pad>", "</s>", "<unk>", "<mask>")
+
+
+def _bytes_to_unicode() -> Dict[int, str]:
+    """GPT-2's reversible byte <-> printable-unicode table (every byte maps
+    to a distinct visible character so BPE can operate on arbitrary UTF-8)."""
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("\xa1"), ord("\xac") + 1))
+        + list(range(ord("\xae"), ord("\xff") + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, (chr(c) for c in cs)))
+
+
+class ByteLevelBPETokenizer(_TokenizerBase):
+    """GPT-2-style byte-level BPE — the tokenizer family RoBERTa-layout
+    checkpoints ship (vocab.json + merges.txt). Same interface as
+    WordPieceTokenizer so the collators / encoders / index path are
+    tokenizer-agnostic. The reference gets this via AutoTokenizer
+    (sparse_encoders.py:60); this is the self-contained equivalent."""
+
+    def __init__(
+        self,
+        vocab: Dict[str, int],
+        merges: List[tuple],
+        preprocess_func: Optional[str] = None,
+    ):
+        import regex
+
+        self.vocab = vocab
+        self.ids_to_tokens = {v: k for k, v in vocab.items()}
+        self.vocab_size = len(vocab)
+        self.bpe_ranks = {tuple(m): i for i, m in enumerate(merges)}
+        self.byte_encoder = _bytes_to_unicode()
+        self.byte_decoder = {v: k for k, v in self.byte_encoder.items()}
+        self._cache: Dict[str, List[str]] = {}
+        # GPT-2 pre-tokenization pattern (HF GPT2/RobertaTokenizer)
+        self._pat = regex.compile(
+            r"""'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+|"""
+            r""" ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+"""
+        )
+        self.pad_id = vocab.get("<pad>", 1)
+        self.unk_id = vocab.get("<unk>", 3)
+        self.bos_id = vocab.get("<s>", 0)
+        self.eos_id = vocab.get("</s>", 2)
+        self.special_token_ids = [vocab[t] for t in _BPE_SPECIALS if t in vocab]
+        self.do_lower_case = False
+        self._init_base(preprocess_func)
+
+    # ------------------------------------------------------------- loading
+    @classmethod
+    def from_files(
+        cls, vocab_json: str, merges_txt: str, **kw
+    ) -> "ByteLevelBPETokenizer":
+        with open(vocab_json, encoding="utf-8") as f:
+            vocab = json.load(f)
+        merges = []
+        with open(merges_txt, encoding="utf-8") as f:
+            for line in f:
+                line = line.rstrip("\n")
+                if not line or line.startswith("#version"):
+                    continue
+                parts = line.split(" ")
+                if len(parts) == 2:
+                    merges.append((parts[0], parts[1]))
+        return cls(vocab, merges, **kw)
+
+    # ------------------------------------------------------------ tokenize
+    def _bpe(self, token: str) -> List[str]:
+        cached = self._cache.get(token)
+        if cached is not None:
+            return cached
+        word = list(token)
+        while len(word) > 1:
+            pairs = {(word[i], word[i + 1]) for i in range(len(word) - 1)}
+            best = min(pairs, key=lambda p: self.bpe_ranks.get(p, 1 << 60))
+            if best not in self.bpe_ranks:
+                break
+            a, b = best
+            merged, i = [], 0
+            while i < len(word):
+                if i < len(word) - 1 and word[i] == a and word[i + 1] == b:
+                    merged.append(a + b)
+                    i += 2
+                else:
+                    merged.append(word[i])
+                    i += 1
+            word = merged
+        if len(self._cache) < 500_000:
+            self._cache[token] = word
+        return word
+
+    def tokenize(self, text: str) -> List[str]:
+        out: List[str] = []
+        for tok in self._pat.findall(text):
+            mapped = "".join(self.byte_encoder[b] for b in tok.encode("utf-8"))
+            out.extend(self._bpe(mapped))
+        return out
+
+    def encode_ids(self, text: str, max_length: int) -> List[int]:
+        """<s> tokens[:max_length-2] </s> — HF truncation semantics."""
+        ids = self.convert_tokens_to_ids(self.tokenize(text))
+        ids = ids[: max_length - 2]
+        return [self.bos_id] + ids + [self.eos_id]
+
+    def save_pretrained(self, output_dir: str):
+        os.makedirs(output_dir, exist_ok=True)
+        with open(
+            os.path.join(output_dir, "vocab.json"), "w", encoding="utf-8"
+        ) as f:
+            json.dump(self.vocab, f, ensure_ascii=False)
+        inv = sorted(self.bpe_ranks.items(), key=lambda kv: kv[1])
+        with open(
+            os.path.join(output_dir, "merges.txt"), "w", encoding="utf-8"
+        ) as f:
+            f.write("#version: 0.2\n")
+            for (a, b), _ in inv:
+                f.write(f"{a} {b}\n")
+        with open(os.path.join(output_dir, "tokenizer_config.json"), "w") as f:
+            json.dump({"tokenizer_class": "RobertaTokenizer"}, f)
+
+
+def load_tokenizer(
+    path_or_name: Optional[str], preprocess_func: Optional[str] = None
+) -> _TokenizerBase:
+    """Resolve a tokenizer from a checkpoint dir or file, dispatching on the
+    on-disk family: vocab.json + merges.txt -> byte-level BPE (RoBERTa
+    layouts), vocab.txt -> WordPiece (BERT / DistilBERT layouts). Falls back
+    to the bundled WordPiece asset when nothing is given (the reference's
+    AutoTokenizer dispatch, sparse_encoders.py:60)."""
+    if path_or_name and os.path.isdir(path_or_name):
+        vj = os.path.join(path_or_name, "vocab.json")
+        mt = os.path.join(path_or_name, "merges.txt")
+        if os.path.exists(vj) and os.path.exists(mt):
+            return ByteLevelBPETokenizer.from_files(
+                vj, mt, preprocess_func=preprocess_func
+            )
+    return WordPieceTokenizer.from_pretrained(
+        path_or_name, preprocess_func=preprocess_func
+    )
 
 
 def _repo_root() -> str:

@@ -27,7 +27,7 @@ import numpy as np
 
 from ..models import bert
 from ..models.bert import BertConfig
-from ..models.tokenizer import WordPieceTokenizer
+from ..models.tokenizer import WordPieceTokenizer, load_tokenizer
 from ..ops.activations import sparse_activation
 
 
@@ -294,7 +294,7 @@ def build_teacher(kind: str, model_id: str, seed: int = 1,
     if os.path.isdir(model_id):
         try:
             cfg, params, _ = hf_import.load_checkpoint(model_id)
-            tokenizer = WordPieceTokenizer.from_pretrained(model_id)
+            tokenizer = load_tokenizer(model_id)
         except hf_import.UnsupportedArchitecture as e:
             try:
                 return _build_host_teacher(kind, model_id, pooling, max_length)

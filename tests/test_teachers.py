@@ -234,26 +234,27 @@ def test_mean_pooling_hand_oracle(dense_teacher):
 
 
 def test_non_bert_architecture_falls_back_to_torch_host(tmp_path):
-    """A non-BERT HF checkpoint (distilbert) cannot import natively but must
-    load as a torch host teacher and produce ensemble scores — the reference
-    hosts arbitrary AutoModel architectures (config_kd.yaml's
-    gte-large-en-v1.5)."""
+    """A non-BERT-family HF checkpoint (electra here; distilbert/roberta now
+    import natively) cannot import natively but must load as a torch host
+    teacher and produce ensemble scores — the reference hosts arbitrary
+    AutoModel architectures (config_kd.yaml's gte-large-en-v1.5)."""
     torch = pytest.importorskip("torch")
     import transformers
 
-    d = str(tmp_path / "distil")
+    d = str(tmp_path / "electra")
     import os
 
     os.makedirs(d)
     _write_vocab(f"{d}/vocab.txt")
-    cfg = transformers.DistilBertConfig(
-        vocab_size=len(VOCAB_WORDS), dim=32, n_layers=2, n_heads=2,
-        hidden_dim=64, max_position_embeddings=64, dropout=0.0,
-        attention_dropout=0.0,
+    cfg = transformers.ElectraConfig(
+        vocab_size=len(VOCAB_WORDS), embedding_size=32, hidden_size=32,
+        num_hidden_layers=2, num_attention_heads=2, intermediate_size=64,
+        max_position_embeddings=64, hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
     )
     torch.manual_seed(1)
-    transformers.DistilBertModel(cfg).save_pretrained(d)
-    transformers.DistilBertTokenizerFast(vocab_file=f"{d}/vocab.txt").save_pretrained(d)
+    transformers.ElectraModel(cfg).save_pretrained(d)
+    transformers.ElectraTokenizerFast(vocab_file=f"{d}/vocab.txt").save_pretrained(d)
 
     t = build_teacher("dense", d, pooling="cls")
     assert t.kind == "hf" and t.host_model is not None
@@ -322,17 +323,18 @@ def test_host_teacher_in_full_train_loop(tmp_path):
     from opensearch_sparse_model_tuning_sample_tpu.data.collator import build_collator
     from opensearch_sparse_model_tuning_sample_tpu.models import sparse_encoder as se
 
-    d = str(tmp_path / "distil2")
+    d = str(tmp_path / "electra2")
     os.makedirs(d)
     _write_vocab(f"{d}/vocab.txt")
-    cfg = transformers.DistilBertConfig(
-        vocab_size=len(VOCAB_WORDS), dim=16, n_layers=1, n_heads=2,
-        hidden_dim=32, max_position_embeddings=64, dropout=0.0,
-        attention_dropout=0.0,
+    cfg = transformers.ElectraConfig(
+        vocab_size=len(VOCAB_WORDS), embedding_size=16, hidden_size=16,
+        num_hidden_layers=1, num_attention_heads=2, intermediate_size=32,
+        max_position_embeddings=64, hidden_dropout_prob=0.0,
+        attention_probs_dropout_prob=0.0,
     )
     torch.manual_seed(2)
-    transformers.DistilBertModel(cfg).save_pretrained(d)
-    transformers.DistilBertTokenizerFast(vocab_file=f"{d}/vocab.txt").save_pretrained(d)
+    transformers.ElectraModel(cfg).save_pretrained(d)
+    transformers.ElectraTokenizerFast(vocab_file=f"{d}/vocab.txt").save_pretrained(d)
 
     model = se.build_model(arch="tiny", idf_path="assets/idf.npz", seed=0)
     ma = ModelArguments(inf_free=True)
