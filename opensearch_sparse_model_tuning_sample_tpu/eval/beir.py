@@ -484,34 +484,37 @@ def ingest(
     n = len(dataset)
     use_sparse_fast_path = index.cfg.engine != "dense" and not doc_inf_free
     if use_sparse_fast_path:
-        # windowed pipeline: keep up to W batches in flight, then resolve
-        # the window with ONE stacked host fetch (resolve_sparse_many) while
-        # the newest dispatch keeps the device busy. Per-batch resolves each
-        # pay the runtime's sync latency (~30 ms tunnelled), which dominates
-        # the encoder's ~24 ms/batch device time; on-device top-k
-        # sparsification keeps the transfer at l_max (id, weight) pairs/doc.
-        W = 8
-        window = []  # [(ids, n, device arrays), ...]
+        # chunked pipeline: each chunk of batch_size x 8 docs runs as ONE
+        # device dispatch (encode_chunk_sparse_async packs ids+mask into one
+        # upload and lax.maps the forward+top-k over the chunk's batches),
+        # and two chunks stay in flight so chunk k's resolve (one fetch per
+        # tensor kind) overlaps chunk k+1's compute. The earlier per-batch
+        # window amortized only the D2H side and still paid per-batch H2D +
+        # dispatch RPCs (~30 ms each over a tunnelled runtime); this path
+        # pays ~3 host RPCs per 8 batches. On-device top-k sparsification
+        # keeps the transfer at l_max (id, weight) pairs/doc.
+        CH = batch_size * 8
+        pending = None  # (ids, n_valid, handle)
 
-        def flush(entries):
-            resolved = encoder.resolve_sparse_many(
-                [e[2] for e in entries], [e[1] for e in entries]
-            )
-            for (e_ids, _, _), (tok_idx, ws) in zip(entries, resolved):
-                index.add_topk(e_ids, tok_idx, ws)
+        def flush(entry):
+            e_ids, nv, handle = entry
+            tok_idx, ws = encoder.resolve_chunk_sparse(handle, nv)
+            index.add_topk(e_ids, tok_idx, ws)
 
-        for start in range(0, n, batch_size):
+        for start in range(0, n, CH):
             if liveness is not None:
                 liveness.beat()
-            rows = [dataset[i] for i in range(start, min(start + batch_size, n))]
+            rows = [dataset[i] for i in range(start, min(start + CH, n))]
             ids = [r[0] for r in rows]
             texts = [r[1] for r in rows]
-            handle = encoder.encode_batch_sparse_async(texts, l_max=index.cfg.l_max)
-            window.append((ids, len(texts), handle))
-            if len(window) > W:
-                flush(window[:-1])  # newest stays in flight
-                window = window[-1:]
-        flush(window)
+            handle, nv = encoder.encode_chunk_sparse_async(
+                texts, l_max=index.cfg.l_max, rows=batch_size
+            )
+            if pending is not None:
+                flush(pending)
+            pending = (ids, nv, handle)
+        if pending is not None:
+            flush(pending)
     else:
         for start in range(0, n, batch_size):
             if liveness is not None:

@@ -289,12 +289,16 @@ def encode_hidden(
     else:
         pos_ids = jnp.arange(L, dtype=jnp.int32)[None, :]
 
-    x = emb["word_embeddings"].astype(jnp.float32)[input_ids] + emb[
+    # embedding gathers + adds in the compute dtype: the fp32 gather/add/cast
+    # round trip costs ~1 ms/step at the config_l0 recipe shape (interleaved
+    # A/B, round 3); the next op is an fp32 LayerNorm, which bounds the
+    # rounding to one bf16 quantization of the three-table sum. fp32 compute
+    # (the parity/eval mode) is unchanged.
+    x = emb["word_embeddings"].astype(cd)[input_ids] + emb[
         "position_embeddings"
-    ].astype(jnp.float32)[pos_ids]
+    ].astype(cd)[pos_ids]
     if cfg.use_token_type:
-        x = x + emb["token_type_embeddings"].astype(jnp.float32)[token_type_ids]
-    x = x.astype(cd)
+        x = x + emb["token_type_embeddings"].astype(cd)[token_type_ids]
     x = _layer_norm(x, emb["layer_norm"], cfg.layer_norm_eps)
     if rng is None:
         rng = jax.random.PRNGKey(0)

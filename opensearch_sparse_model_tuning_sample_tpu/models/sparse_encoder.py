@@ -262,6 +262,44 @@ class BatchEncoder:
             _chunk_fwd, static_argnames=("inf_free", "nb")
         )
 
+        # ingest chunk path: MANY batches in one dispatch, each batch
+        # forward + on-device top-k, counts fused and row-validity-masked.
+        # Cuts the per-batch H2D uploads + dispatch RPCs of the async
+        # per-batch path to one per chunk (the windowed resolve already
+        # amortized the D2H side).
+        def _chunk_fwd_topk(params, packed, n_valid, k, nb):
+            L = packed.shape[-1]
+            ids = packed[0].reshape(nb, -1, L)
+            mask = packed[1].reshape(nb, -1, L)
+            rows = ids.shape[1]
+
+            def one(args):
+                i, m, b = args
+                rep = encode_doc(
+                    params, cfg, i, m,
+                    use_l0=model.use_l0, prune_ratio=model.prune_ratio,
+                )
+                valid = ((b * rows + jnp.arange(rows)) < n_valid)[:, None]
+                count = jnp.sum((rep > 0) & valid, axis=0).astype(jnp.int32)
+                vals, idx = jax.lax.top_k(rep, k)
+                active = vals > 0
+                vals = jnp.where(active, vals, 0.0)
+                idx = jnp.where(active, idx, 0).astype(jnp.int32)
+                return idx, vals, count
+
+            idxs, valss, counts = jax.lax.map(
+                one, (ids, mask, jnp.arange(nb, dtype=jnp.int32))
+            )
+            return (
+                idxs.reshape(-1, idxs.shape[-1]),
+                valss.reshape(-1, valss.shape[-1]),
+                jnp.sum(counts, axis=0),
+            )
+
+        self._chunk_fwd_topk = jax.jit(
+            _chunk_fwd_topk, static_argnames=("k", "nb")
+        )
+
     def encode_chunk_device(
         self, texts: List[str], inf_free: bool = False, rows: int = 256
     ):
@@ -350,6 +388,46 @@ class BatchEncoder:
             self._accum_count(activation_count(reps))
             self._n_encoded += len(texts)
         return reps
+
+    def encode_chunk_sparse_async(
+        self, texts: List[str], l_max: int = 256, rows: int = 256
+    ):
+        """Dispatch a CHUNK of texts through the ingest fast path as ONE
+        device call (one packed ids+mask upload, lax.map over `rows`-sized
+        batches, top-k + validity-masked counts fused). Returns
+        ((idx, vals, count) device arrays, n_valid); resolve with
+        `resolve_chunk_sparse`. The chunk pads its batch count to a power of
+        two so tail chunks reuse a bounded set of compiled shapes; note the
+        whole chunk shares ONE seq bucket (the longest doc in the chunk
+        decides), where the per-batch path buckets every `rows` docs."""
+        feats = self.model.tokenizer.encode_bucketed(
+            texts, self.max_length, self.seq_buckets
+        )
+        ids, mask = feats["input_ids"], feats["attention_mask"]
+        n = ids.shape[0]
+        nb = -(-n // rows)
+        nb_pow2 = 1
+        while nb_pow2 < nb:
+            nb_pow2 *= 2
+        pad = nb_pow2 * rows - n
+        if pad:
+            ids = np.concatenate([ids, np.zeros((pad, ids.shape[1]), ids.dtype)])
+            mask = np.concatenate([mask, np.zeros((pad, mask.shape[1]), mask.dtype)])
+        packed = jnp.asarray(np.stack([ids, mask]))
+        handle = self._chunk_fwd_topk(
+            self.model.params, packed, n,
+            k=min(l_max, self.model.vocab_size), nb=nb_pow2,
+        )
+        return handle, n
+
+    def resolve_chunk_sparse(self, handle, n_valid: int):
+        """Fetch a chunk handle's (idx, vals) for its valid rows and fold the
+        chunk's activation count into the device accumulator."""
+        idx, vals, count = handle
+        if self.do_count:
+            self._accum_count(count)
+            self._n_encoded += n_valid
+        return np.asarray(idx)[:n_valid], np.asarray(vals)[:n_valid]
 
     def encode_batch_sparse_async(self, texts: List[str], l_max: int = 256):
         """Dispatch the ingest fast path without blocking: returns device

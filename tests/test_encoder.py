@@ -309,3 +309,38 @@ def test_vocab_mismatch_reconciles_to_model(tmp_path, tiny_model):
     m = se.build_model(model_name_or_path=out, idf_path=idf_path)
     assert m.params["idf_vector"].shape[0] == m.cfg.vocab_size
     assert m.special_mask.shape[0] == m.cfg.vocab_size
+
+
+def test_chunk_sparse_ingest_matches_per_batch(tiny_model):
+    """The single-dispatch chunk ingest path (encode_chunk_sparse_async)
+    must produce the same top-k ids/weights and activation counts as the
+    per-batch fast path, including a ragged tail batch and batch-count
+    padding to a power of two."""
+    import numpy as np
+
+    from opensearch_sparse_model_tuning_sample_tpu.models import (
+        sparse_encoder as se,
+    )
+
+    enc = se.BatchEncoder(tiny_model, max_length=32, seq_buckets=[32])
+    texts = [f"document number {i} about sparse retrieval" for i in range(23)]
+    rows = 4  # 23 docs -> 6 batches -> nb padded to 8
+
+    enc.reset_count()
+    handle, nv = enc.encode_chunk_sparse_async(texts, l_max=8, rows=rows)
+    ci, cv = enc.resolve_chunk_sparse(handle, nv)
+    c_count = enc.count_tensor.copy()
+
+    enc.reset_count()
+    parts = [
+        enc.encode_batch_sparse(texts[s : s + rows], l_max=8)
+        for s in range(0, len(texts), rows)
+    ]
+    wi = np.concatenate([p[0] for p in parts])
+    wv = np.concatenate([p[1] for p in parts])
+    w_count = enc.count_tensor
+
+    assert ci.shape == wi.shape == (23, 8)
+    np.testing.assert_array_equal(ci, wi)
+    np.testing.assert_allclose(cv, wv, rtol=1e-6)
+    np.testing.assert_array_equal(c_count, w_count)
