@@ -735,3 +735,26 @@ def test_reopen_preserves_postings_delta():
     got = idx.search(QS, k=10)
     for x, y in zip(got, want):
         assert x == y
+
+
+def test_fetch_packed_roundtrips_scores_and_ids():
+    """The packed single-fetch must round-trip doc ids bit-exactly. Ids
+    bitcast to f32 are denormals and the TPU flushes them to zero in the
+    fused concat (measured on v5e: every id came back 0) — the packing must
+    therefore live in int space. This CPU test pins the host-side
+    split/view logic; the TPU job tools/ jobs re-verify on hardware."""
+    import jax.numpy as jnp
+
+    from opensearch_sparse_model_tuning_sample_tpu.index.engine import (
+        _fetch_packed,
+    )
+
+    s = jnp.asarray(np.linspace(0.1, 35.0, 48, dtype=np.float32).reshape(6, 8))
+    ids = jnp.asarray(
+        np.array([[0, 1, 2, 3, 4, 5, 550, 8_800_000]] * 6, dtype=np.int32)
+    )
+    s_np, i_np = _fetch_packed(s, ids, 5)
+    assert s_np.shape == (5, 8) and i_np.shape == (5, 8)
+    np.testing.assert_array_equal(i_np, np.asarray(ids)[:5])
+    np.testing.assert_array_equal(s_np, np.asarray(s)[:5])
+    assert i_np.dtype == np.int32 and s_np.dtype == np.float32
