@@ -24,19 +24,34 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 
 def make_corpus(n_docs, vocab, avg_terms, seed, l_max=128):
     """Vectorized synthetic SPLADE-like corpus: zipf-popular tokens,
-    gamma-distributed weights, per-doc lengths ~ Poisson(avg_terms)."""
+    gamma-distributed weights, per-doc lengths ~ Poisson(avg_terms).
+    Tokens are UNIQUE within a doc (duplicates keep the max weight) —
+    every rep the real encoder produces has unique tokens (lax.top_k
+    indices), and the inverted engine's run-sum merge and exactness
+    certificate assume it."""
     rng = np.random.default_rng(seed)
     pop = rng.zipf(1.3, size=vocab).astype(np.float64)
     pop /= pop.sum()
     cdf = np.cumsum(pop)
-    # inverse-CDF sampling, all docs at once (duplicates within a doc are
-    # fine for a throughput benchmark)
     toks = np.searchsorted(cdf, rng.random((n_docs, l_max))).astype(np.int32)
     ws = rng.gamma(2.0, 0.5, size=(n_docs, l_max)).astype(np.float32)
     lens = rng.poisson(avg_terms, size=n_docs).clip(8, l_max)
     mask = np.arange(l_max)[None, :] < lens[:, None]
     ws = np.where(mask, ws, 0.0)
     toks = np.where(mask, toks, 0)
+    # dedupe per row keeping the max weight: sort by (token asc, weight
+    # desc) with one packed key, zero repeats, then impact-sort
+    w_bits = ws.view(np.uint32).astype(np.uint64)
+    key = (toks.astype(np.uint64) << np.uint64(32)) | (
+        np.uint64(0xFFFFFFFF) - w_bits
+    )
+    order = np.argsort(key, axis=1, kind="stable")
+    toks = np.take_along_axis(toks, order, axis=1)
+    ws = np.take_along_axis(ws, order, axis=1)
+    rep = np.zeros_like(ws, dtype=bool)
+    rep[:, 1:] = toks[:, 1:] == toks[:, :-1]
+    ws = np.where(rep, 0.0, ws)
+    toks = np.where(ws > 0, toks, 0)
     order = np.argsort(-ws, axis=1)  # impact-sorted
     return np.take_along_axis(toks, order, axis=1), np.take_along_axis(ws, order, axis=1)
 

@@ -48,11 +48,12 @@ from ..core.mesh import DATA_AXIS
 logger = logging.getLogger(__name__)
 
 
-def _fetch_packed(s_dev, i_dev, n_q):
-    """Fetch (scores f32, ids int32) with ONE host transfer: scores bitcast
-    to int32 and packed next to the ids, split + viewed back on the host.
-    Per-array syncs cost ~30 ms each over a tunnelled runtime — one packed
-    fetch halves the fixed cost of every search call.
+def _fetch_packed(s_dev, i_dev, n_q, b_dev=None):
+    """Fetch (scores f32, ids int32, missed-score bounds f32|None) with ONE
+    host transfer: floats bitcast to int32 and packed next to the ids, split
+    + viewed back on the host. Per-array syncs cost ~30 ms each over a
+    tunnelled runtime — one packed fetch halves the fixed cost of every
+    search call.
 
     The packing must live in INT space: doc ids bitcast to f32 are
     denormals (any id < ~8M has a zero exponent), and the TPU flushes
@@ -60,12 +61,22 @@ def _fetch_packed(s_dev, i_dev, n_q):
     back 0 while a pure int concat round-trips bit-exactly. Scores are
     normal floats, so their int32 bit patterns survive unchanged."""
     k = s_dev.shape[1]
-    packed = jnp.concatenate(
-        [jax.lax.bitcast_convert_type(s_dev, jnp.int32), i_dev.astype(jnp.int32)],
-        axis=1,
-    )
+    cols = [
+        jax.lax.bitcast_convert_type(s_dev, jnp.int32),
+        i_dev.astype(jnp.int32),
+    ]
+    if b_dev is not None:
+        cols.append(
+            jax.lax.bitcast_convert_type(
+                b_dev.astype(jnp.float32)[:, None], jnp.int32
+            )
+        )
+    packed = jnp.concatenate(cols, axis=1)
     arr = np.asarray(packed)[:n_q]
-    return arr[:, :k].view(np.float32), arr[:, k:]
+    s_np, i_np = arr[:, :k].view(np.float32), arr[:, k : 2 * k]
+    if b_dev is None:
+        return s_np, i_np, None
+    return s_np, i_np, arr[:, 2 * k : 2 * k + 1].view(np.float32)[:, 0]
 
 
 def _round_up(x: int, m: int) -> int:
@@ -130,6 +141,18 @@ class IndexConfig:
     # per-stripe build.
     incremental_postings: Optional[bool] = None
     incremental_unit: int = 131072
+    # Exactness certificate + escalation (inverted engines). Every inverted
+    # search also computes, per query, an upper bound on the score of any
+    # doc it could have missed (inverted.make_search_fn docstring); a query
+    # whose k-th returned score beats the bound is PROVABLY exact — the
+    # machine-checkable analog of Lucene WAND's exactness the reference
+    # gets from OpenSearch. `SparseIndex.last_certified` exposes the
+    # per-query flags. With exact_escalate=True, uncertified queries are
+    # transparently re-run through the exact doc-major scan (corpus-linear,
+    # but only for the queries that need it): results become exact for
+    # every query, at speed for the certified ones. Default off: the
+    # approximate contract + visible flags, matching round-2 behavior.
+    exact_escalate: bool = False
 
     def __post_init__(self):
         valid = ("sparse", "inverted", "dense", "auto")
@@ -175,6 +198,9 @@ class SparseIndex:
         self._shard_queries = False  # resolved at finalize()
         self._inc = None  # async device postings builder (inverted engines)
         self._inc_fed = 0
+        # per-query exactness flags from the LAST inverted search (None for
+        # scan/dense searches, which are exact by construction)
+        self.last_certified: Optional[np.ndarray] = None
 
     # ------------------------------------------------------------- ingest
     def add(self, doc_ids: Sequence[str], reps: np.ndarray):
@@ -531,11 +557,13 @@ class SparseIndex:
                     merge_shifts=cfg.full_merge_shifts,
                     rescore_expand=cfg.full_rescore_expand,
                     select_by_impact=True,
+                    with_bound=True,
                 )
             else:
                 inv_kw = dict(
                     query_terms=cfg.query_terms, k=k,
                     rescore=cfg.inverted_rescore,
+                    with_bound=True,
                 )
 
             post_docs, post_w = self._post_docs, self._post_w
@@ -551,7 +579,7 @@ class SparseIndex:
                     shard_map(
                         body, mesh=self.mesh,
                         in_specs=(P(DATA_AXIS), P(), P(), P(), P()),
-                        out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+                        out_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
                         check_vma=False,
                     )
                 )
@@ -600,23 +628,30 @@ class SparseIndex:
             )
 
             def sharded_inverted(q, pd, pw, toks, docs):
-                s, i = body(q, pd[0], pw[0], toks, docs)
+                s, i, b = body(q, pd[0], pw[0], toks, docs)
                 me = jax.lax.axis_index(DATA_AXIS).astype(jnp.int32)
                 gi = jnp.where(i >= 0, i + me * shard_n, -1)
                 all_s = jax.lax.all_gather(s, DATA_AXIS)
                 all_i = jax.lax.all_gather(gi, DATA_AXIS)
+                # a missed doc lives in exactly one stripe, so the global
+                # missed-score bound is the max of the per-shard bounds
+                all_b = jax.lax.all_gather(b, DATA_AXIS)
                 Bq = q.shape[0]
                 cat_s = jnp.moveaxis(all_s, 0, 1).reshape(Bq, n_shards * k)
                 cat_i = jnp.moveaxis(all_i, 0, 1).reshape(Bq, n_shards * k)
                 ns, sel = jax.lax.top_k(cat_s, k)
-                return ns, jnp.take_along_axis(cat_i, sel, axis=1)
+                return (
+                    ns,
+                    jnp.take_along_axis(cat_i, sel, axis=1),
+                    jnp.max(all_b, axis=0),
+                )
 
             smfn = jax.jit(
                 shard_map(
                     sharded_inverted, mesh=self.mesh,
                     in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
                               P(DATA_AXIS)),
-                    out_specs=(P(), P()), check_vma=False,
+                    out_specs=(P(), P(), P()), check_vma=False,
                 )
             )
 
@@ -774,6 +809,64 @@ class SparseIndex:
             )
         return fns
 
+    def _run_queries(self, q, k_eff: int, two_phase: bool,
+                     engine: Optional[str]):
+        """Dispatch a [n_q, V] device query matrix through the chosen engine
+        and fetch (scores, ids, bounds-or-None) as numpy. Inverted engines
+        return per-query missed-score bounds; scan/dense return None."""
+        Bq = self.cfg.query_batch
+        n_q = q.shape[0]
+        fn, multi_fn = self._get_search_fn(k_eff, two_phase, engine)
+        toks_arg = (
+            self._tok_dev if self._tok_dev is not None
+            else jnp.zeros((), jnp.int32)
+        )
+
+        if multi_fn is not None and n_q > Bq:
+            # whole query set in ONE dispatch (lax.map over batches inside
+            # one jit) and ONE host fetch — per-call dispatch/sync latency
+            # (~30 ms each over a tunnelled runtime) otherwise multiplies
+            # by 2*n_batches and dominates end-to-end QPS
+            nb = -(-n_q // Bq)
+            pad_rows = nb * Bq - n_q
+            if pad_rows:
+                q = jnp.concatenate(
+                    [q, jnp.zeros((pad_rows, q.shape[1]), jnp.float32)]
+                )
+            out = multi_fn(
+                q.reshape(nb, Bq, q.shape[1]), self._docs_dev, toks_arg
+            )
+            s_all, i_all = out[0], out[1]
+            b_all = out[2].reshape(nb * Bq) if len(out) > 2 else None
+            return _fetch_packed(
+                s_all.reshape(nb * Bq, -1), i_all.reshape(nb * Bq, -1),
+                n_q, b_all,
+            )
+
+        # dispatch ALL batches before blocking (async dispatch pipelines
+        # the per-call latency), then stack on device and fetch ONCE
+        pending = []
+        for start in range(0, n_q, Bq):
+            qb = q[start : start + Bq]
+            pad = Bq - qb.shape[0]
+            if pad:
+                qb = jnp.concatenate(
+                    [qb, jnp.zeros((pad, q.shape[1]), jnp.float32)]
+                )
+            pending.append(fn(qb, self._docs_dev, toks_arg))
+        if len(pending) == 1:
+            parts = pending[0]
+        else:
+            parts = tuple(
+                jnp.concatenate([p[j] for p in pending])
+                for j in range(len(pending[0]))
+            )
+        # per-batch pad rows only ever occur in the LAST batch (starts
+        # step by Bq), so the first n_q stacked rows are the queries
+        return _fetch_packed(
+            parts[0], parts[1], n_q, parts[2] if len(parts) > 2 else None
+        )
+
     def search(
         self,
         q_reps: np.ndarray,  # [B, V] fp32 sparse query reps
@@ -833,52 +926,33 @@ class SparseIndex:
                     engine = "inverted_full"
 
         k_eff = min(k + (1 if exclude_self is not None else 0), self.n_docs)
-        Bq = self.cfg.query_batch
+        s_np, i_np, b_np = self._run_queries(q, k_eff, two_phase, engine)
         n_q = q.shape[0]
-        fn, multi_fn = self._get_search_fn(k_eff, two_phase, engine)
-        toks_arg = (
-            self._tok_dev if self._tok_dev is not None
-            else jnp.zeros((), jnp.int32)
-        )
 
-        if multi_fn is not None and n_q > Bq:
-            # whole query set in ONE dispatch (lax.map over batches inside
-            # one jit) and ONE host fetch — per-call dispatch/sync latency
-            # (~30 ms each over a tunnelled runtime) otherwise multiplies
-            # by 2*n_batches and dominates end-to-end QPS
-            nb = -(-n_q // Bq)
-            pad_rows = nb * Bq - n_q
-            if pad_rows:
-                q = jnp.concatenate(
-                    [q, jnp.zeros((pad_rows, q.shape[1]), jnp.float32)]
+        # exactness certificate (inverted engines): a query whose k-th
+        # returned exact score beats the missed-doc bound provably has the
+        # true top-k (inverted.make_search_fn docstring). Flags exposed via
+        # `last_certified`; with cfg.exact_escalate the uncertified minority
+        # transparently re-runs through the exact doc-major scan.
+        self.last_certified = None
+        if b_np is not None:
+            kth = s_np[:, -1] if s_np.shape[1] else np.full(n_q, -np.inf)
+            with np.errstate(invalid="ignore"):
+                cert = kth >= b_np
+            self.last_certified = cert
+            n_unc = int((~cert).sum())
+            if n_unc and self.cfg.exact_escalate:
+                idx = np.flatnonzero(~cert)
+                qs = jnp.take(q, jnp.asarray(idx, dtype=jnp.int32), axis=0)
+                # two_phase=False: the escalation target is the EXACT scan
+                es, ei, _ = self._run_queries(qs, k_eff, False, "sparse")
+                s_np = np.ascontiguousarray(s_np)
+                i_np = np.ascontiguousarray(i_np)
+                s_np[idx], i_np[idx] = es, ei
+                logger.debug(
+                    "exact_escalate: %d/%d queries re-ran on the exact scan",
+                    n_unc, n_q,
                 )
-            s_all, i_all = multi_fn(
-                q.reshape(nb, Bq, q.shape[1]), self._docs_dev, toks_arg
-            )
-            s_np, i_np = _fetch_packed(
-                s_all.reshape(nb * Bq, -1), i_all.reshape(nb * Bq, -1), n_q
-            )
-        else:
-            # dispatch ALL batches before blocking (async dispatch pipelines
-            # the per-call latency), then stack on device and fetch ONCE
-            pending = []
-            for start in range(0, n_q, Bq):
-                qb = q[start : start + Bq]
-                pad = Bq - qb.shape[0]
-                if pad:
-                    qb = jnp.concatenate(
-                        [qb, jnp.zeros((pad, q.shape[1]), jnp.float32)]
-                    )
-                s, i = fn(qb, self._docs_dev, toks_arg)
-                pending.append((s, i))
-            if len(pending) == 1:
-                s_dev, i_dev = pending[0]
-            else:
-                s_dev = jnp.concatenate([p[0] for p in pending])
-                i_dev = jnp.concatenate([p[1] for p in pending])
-            # per-batch pad rows only ever occur in the LAST batch (starts
-            # step by Bq), so the first n_q stacked rows are the queries
-            s_np, i_np = _fetch_packed(s_dev, i_dev, n_q)
 
         results: List[Dict[str, float]] = []
         for qi in range(n_q):

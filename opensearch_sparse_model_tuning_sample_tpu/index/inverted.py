@@ -335,6 +335,7 @@ def make_search_fn(
     merge_shifts: Optional[int] = None,  # None = T-1 (exact run sums)
     rescore_expand: int = 4,  # candidate pool = expand * k
     select_by_impact: bool = False,  # term selection by q_w * max posting w
+    with_bound: bool = False,  # also return the missed-doc score bound
 ):
     """Build the inverted search: dense q [B, V] -> (scores, ids).
 
@@ -363,6 +364,26 @@ def make_search_fn(
     `merge_shifts` < T-1 truncates per-run sums (a doc appearing in more
     than merge_shifts+1 of the looked-up postings lists gets a partial
     candidate score) — only meaningful with rescore on.
+
+    `with_bound` additionally returns, per query, an upper bound on the
+    true score of ANY doc the search could have missed (a WAND-flavored
+    exactness certificate; Lucene reaches exactness by visiting more
+    postings, we reach a *certificate* with static shapes):
+
+        bound = cut + Σ_selected q_w[t]·w_tail[t] + Σ_unselected q[t]·w_max[t]
+
+    where w_tail[t] is the smallest posting weight actually read for term t
+    (any doc absent from the read slice of t's impact-sorted row weighs no
+    more), w_max[t] = post_w[t, 0] bounds terms that never won a lookup
+    slot, and cut bounds docs dropped at the k1 candidate cut (their exact
+    run sums are known ≤ s1[k1-1]). If the k-th returned exact score ≥
+    bound, the top-k is PROVABLY exact. Preconditions: tokens unique per
+    doc row (true for every rep produced by the encoder's top-k
+    sparsification) and exact run sums; with `merge_shifts` < T-1 the cut
+    term is not sound, so the bound degenerates to +inf (never certifies).
+    Without rescore the returned scores are postings-visible sums, so the
+    bound degenerates to -inf when nothing was truncated (certified) and
+    +inf otherwise.
     """
     C = post_docs.shape[1]
     Cq = C if postings_cols is None else min(postings_cols, C)
@@ -406,6 +427,21 @@ def make_search_fn(
         ids = jnp.where(valid, docs, _PAD_ID).reshape(B, TC)
         part = jnp.where(valid, part, 0.0).reshape(B, TC)
 
+        if with_bound:
+            # missed-mass bound (see docstring): tails of the read postings
+            # slices + terms that never won a lookup slot. One [B,V] matvec
+            # + two masked [B,T] reductions — negligible next to the sort.
+            w_max = jnp.maximum(post_w[:, 0].astype(jnp.float32), 0.0)
+            total_ub = q @ w_max  # [B]
+            sel_max = jnp.sum(
+                jnp.where(term_valid, q_w * pw[:, :, 0], 0.0), axis=1
+            )
+            unsel = jnp.maximum(total_ub - sel_max, 0.0)
+            tail = jnp.sum(
+                jnp.where(term_valid, q_w * pw[:, :, -1], 0.0), axis=1
+            )
+            miss = tail + unsel
+
         # sort-merge by doc id per query row: one two-operand sort carries
         # the partial scores along with the ids (no argsort + gathers). A doc
         # id appears at most once per term's postings list, so each sorted
@@ -439,7 +475,14 @@ def make_search_fn(
             i = jnp.where(
                 jnp.isfinite(s), jnp.take_along_axis(rid, sel, axis=1), _PAD_ID
             )
-            return s, jnp.where(i == _PAD_ID, -1, i)
+            i = jnp.where(i == _PAD_ID, -1, i)
+            if with_bound:
+                # postings-visible sums are the TRUE scores only when no
+                # row was truncated at the read width — certified (-inf)
+                # exactly then, never otherwise (+inf)
+                bound = jnp.where(miss > 0, jnp.inf, -jnp.inf)
+                return s, i, bound
+            return s, i
 
         # exact rescore of the top candidate pool against doc-major rows
         k1 = min(rescore_expand * k, TC)
@@ -457,6 +500,22 @@ def make_search_fn(
         exact = jnp.where(cand == _PAD_ID, -jnp.inf, exact)
         s, sel2 = jax.lax.top_k(exact, k)
         i = jnp.take_along_axis(cand, sel2, axis=1)
-        return s, jnp.where(i == _PAD_ID, -1, i)
+        i = jnp.where(i == _PAD_ID, -1, i)
+        if with_bound:
+            if shifts < query_terms - 1:
+                # truncated run sums under-rank candidates at the k1 cut:
+                # the cut term is unsound, so never certify
+                bound = jnp.full((B,), jnp.inf, jnp.float32)
+            else:
+                if k1 < TC:
+                    cut = jnp.where(
+                        jnp.isfinite(s1[:, -1]),
+                        jnp.maximum(s1[:, -1], 0.0), 0.0,
+                    )
+                else:
+                    cut = jnp.zeros((B,), jnp.float32)
+                bound = cut + miss
+            return s, i, bound
+        return s, i
 
     return jax.jit(search) if jit else search

@@ -753,8 +753,134 @@ def test_fetch_packed_roundtrips_scores_and_ids():
     ids = jnp.asarray(
         np.array([[0, 1, 2, 3, 4, 5, 550, 8_800_000]] * 6, dtype=np.int32)
     )
-    s_np, i_np = _fetch_packed(s, ids, 5)
+    s_np, i_np, b_np = _fetch_packed(s, ids, 5)
+    assert b_np is None
     assert s_np.shape == (5, 8) and i_np.shape == (5, 8)
     np.testing.assert_array_equal(i_np, np.asarray(ids)[:5])
     np.testing.assert_array_equal(s_np, np.asarray(s)[:5])
     assert i_np.dtype == np.int32 and s_np.dtype == np.float32
+    # with per-query bounds packed as a third segment
+    bounds = jnp.asarray(np.linspace(0.0, 3.0, 6, dtype=np.float32))
+    s2, i2, b2 = _fetch_packed(s, ids, 5, bounds)
+    np.testing.assert_array_equal(i2, np.asarray(ids)[:5])
+    np.testing.assert_array_equal(s2, np.asarray(s)[:5])
+    np.testing.assert_array_equal(b2, np.asarray(bounds)[:5])
+
+
+# ------------------------------------------------- exactness certificate
+
+
+def _diffuse_corpus(n_docs, vocab, l_max, seed=3):
+    """Zipf-popular tokens, i.i.d. gamma weights, unique tokens per doc —
+    the weight distribution where impact-ordered truncation fails."""
+    r = np.random.default_rng(seed)
+    pop = r.zipf(1.3, size=vocab).astype(np.float64)
+    cdf = np.cumsum(pop / pop.sum())
+    toks = np.searchsorted(cdf, r.random((n_docs, l_max))).astype(np.int32)
+    ws = r.gamma(2.0, 0.5, size=(n_docs, l_max)).astype(np.float32)
+    key = (toks.astype(np.uint64) << np.uint64(32)) | (
+        np.uint64(0xFFFFFFFF) - ws.view(np.uint32).astype(np.uint64)
+    )
+    order = np.argsort(key, axis=1, kind="stable")
+    toks = np.take_along_axis(toks, order, axis=1)
+    ws = np.take_along_axis(ws, order, axis=1)
+    rep = np.zeros_like(ws, dtype=bool)
+    rep[:, 1:] = toks[:, 1:] == toks[:, :-1]
+    ws = np.where(rep, 0.0, ws)
+    toks = np.where(ws > 0, toks, 0)
+    order = np.argsort(-ws, axis=1)
+    return (np.take_along_axis(toks, order, axis=1),
+            np.take_along_axis(ws, order, axis=1))
+
+
+def _corpus_queries(toks, ws, n_q, width, seed=4):
+    r = np.random.default_rng(seed)
+    q_tok = np.zeros((n_q, width), np.int32)
+    q_w = np.zeros((n_q, width), np.float32)
+    for i in range(n_q):
+        row = toks[r.integers(0, toks.shape[0])]
+        row = row[row > 0]
+        pick = r.choice(row, size=min(width, len(row)), replace=False)
+        q_tok[i, : len(pick)] = pick
+        q_w[i, : len(pick)] = r.uniform(2.0, 10.0, size=len(pick))
+    return q_tok, q_w
+
+
+def _build_rows(engine, toks, ws, vocab, **cfg_kw):
+    cfg = IndexConfig(engine=engine, l_max=toks.shape[1], block_docs=256,
+                      query_batch=8, weight_dtype="float32", **cfg_kw)
+    ix = SparseIndex(vocab, cfg)
+    ix.doc_ids = [str(i) for i in range(toks.shape[0])]
+    ix._tok_chunks = [toks]
+    ix._w_chunks = [ws]
+    ix.finalize()
+    return ix
+
+
+def test_certificate_certifies_and_is_sound_when_nothing_truncated():
+    """With postings_cap >= every token's doc frequency nothing is ever
+    truncated: the bound must certify (nearly) all queries, and every
+    certified query's top-k must equal the exact scan's."""
+    vocab = 700
+    toks, ws = _diffuse_corpus(500, vocab, l_max=24)
+    q_tok, q_w = _corpus_queries(toks, ws, n_q=16, width=5)
+    inv = _build_rows("inverted", toks, ws, vocab,
+                      postings_cap=512, query_terms=8)
+    scan = _build_rows("sparse", toks, ws, vocab)
+    ih = inv.search_tokens(q_tok, q_w, k=5)
+    sh = scan.search_tokens(q_tok, q_w, k=5)
+    cert = inv.last_certified
+    assert cert is not None and cert.sum() >= 14, cert
+    for qi in np.flatnonzero(cert):
+        assert set(ih[qi]) == set(sh[qi])
+        for d, s in ih[qi].items():
+            assert abs(s - sh[qi][d]) < 1e-3
+
+
+def test_certificate_flags_truncation_and_escalation_restores_exact():
+    """Small cap + popular-token queries on diffuse weights: candidate
+    generation misses true winners. The certificate must NOT certify those
+    queries, and exact_escalate must restore the exact top-k for all."""
+    vocab = 400
+    toks, ws = _diffuse_corpus(2000, vocab, l_max=24)
+    q_tok, q_w = _corpus_queries(toks, ws, n_q=16, width=5)
+    inv = _build_rows("inverted", toks, ws, vocab,
+                      postings_cap=64, query_terms=8)
+    scan = _build_rows("sparse", toks, ws, vocab)
+    ih = inv.search_tokens(q_tok, q_w, k=5)
+    sh = scan.search_tokens(q_tok, q_w, k=5)
+    wrong = [i for i, (a, b) in enumerate(zip(ih, sh)) if set(a) != set(b)]
+    cert = inv.last_certified
+    # soundness: every wrong query must be uncertified
+    for qi in wrong:
+        assert not cert[qi], f"query {qi} wrong but certified"
+    esc = _build_rows("inverted", toks, ws, vocab,
+                      postings_cap=64, query_terms=8, exact_escalate=True)
+    eh = esc.search_tokens(q_tok, q_w, k=5)
+    for a, b in zip(eh, sh):
+        assert set(a) == set(b)
+        for d in a:
+            assert abs(a[d] - b[d]) < 1e-3
+
+
+def test_certificate_on_doc_sharded_mesh(mesh8):
+    """Sharded corpus: the global bound is the max of per-shard bounds;
+    certified queries must match the exact sharded scan."""
+    vocab = 700
+    toks, ws = _diffuse_corpus(512, vocab, l_max=24, seed=7)
+    q_tok, q_w = _corpus_queries(toks, ws, n_q=8, width=5, seed=8)
+    cfg = IndexConfig(engine="inverted", l_max=24, block_docs=32,
+                      query_batch=8, weight_dtype="float32",
+                      postings_cap=512, query_terms=8)
+    inv = SparseIndex(vocab, cfg, mesh8)
+    inv.doc_ids = [str(i) for i in range(toks.shape[0])]
+    inv._tok_chunks = [toks]
+    inv._w_chunks = [ws]
+    inv.finalize()
+    scan = _build_rows("sparse", toks, ws, vocab)
+    ih = inv.search_tokens(q_tok, q_w, k=5)
+    sh = scan.search_tokens(q_tok, q_w, k=5)
+    cert = inv.last_certified
+    assert cert is not None and cert.sum() >= 6, cert
+    for qi in np.flatnonzero(cert):
+        assert set(ih[qi]) == set(sh[qi])
