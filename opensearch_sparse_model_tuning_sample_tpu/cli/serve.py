@@ -59,6 +59,8 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
+from ..utils.shapes import next_pow2
+
 logger = logging.getLogger(__name__)
 
 
@@ -151,13 +153,6 @@ class MicroBatcher:
                 for r in reqs:
                     r.event.set()
 
-    @staticmethod
-    def _pow2(n: int) -> int:
-        b = 1
-        while b < n:
-            b *= 2
-        return b
-
     def _execute(self, reqs: List[_SearchRequest]):
         state = self.state
         r0 = reqs[0]
@@ -167,7 +162,7 @@ class MicroBatcher:
         # distinct concurrency level (CLAUDE.md invariant: one compile per
         # bucket/shape). Zero-padded queries score nothing and are sliced off.
         B = len(reqs)
-        Bp = self._pow2(B)
+        Bp = next_pow2(B)
         with state.lock:
             index = state.indexes[r0.index_name]
             if not index._finalized:
@@ -179,7 +174,7 @@ class MicroBatcher:
                 # L buckets to powers of two as well; <= query_terms keeps
                 # the engine's inf-free fast path (search_tokens skips the
                 # per-call width check at that budget)
-                L = self._pow2(max(max(len(r.payload) for r in reqs), 1))
+                L = next_pow2(max(max(len(r.payload) for r in reqs), 1))
                 q_tok = np.zeros((Bp, L), np.int32)
                 q_w = np.zeros((Bp, L), np.float32)
                 for b, r in enumerate(reqs):

@@ -612,10 +612,18 @@ def search(
     # answers each chunk in one search call (one dispatch + one fetch via
     # the single-dispatch driver): ~4 host round trips per chunk. A strict
     # per-batch encode->search->fetch loop pays ~6 round trips (~30 ms
-    # each tunnelled) per batch_size queries — measured 6x slower. Chunk
-    # cap bounds device memory for huge query sets (mining over train
-    # splits): 4096 x vocab fp32 = 500 MB.
-    chunk_rows = max(4096, batch_size)
+    # each tunnelled) per batch_size queries — measured 6x slower. The
+    # chunk is sized as a power-of-two count of batches (~4096 rows) so
+    # FULL chunks need no batch padding — encode_chunk_device pads the
+    # batch count up to a pow2, and a non-pow2 nb would forward up to
+    # ~56% phantom rows through the encoder AND the index on every chunk.
+    # The ~4096-row target also bounds device memory for huge query sets
+    # (mining over train splits): 4096 x vocab fp32 = 500 MB; only the
+    # tail chunk pays pow2 padding.
+    nb_chunk = 1
+    while nb_chunk * 2 * batch_size <= 4096:
+        nb_chunk *= 2
+    chunk_rows = nb_chunk * batch_size
     for cstart in range(0, n, chunk_rows):
         rows = [qd[i] for i in range(cstart, min(cstart + chunk_rows, n))]
         ids = [r[0] for r in rows]

@@ -149,9 +149,11 @@ class IndexConfig:
     # gets from OpenSearch. `SparseIndex.last_certified` exposes the
     # per-query flags. With exact_escalate=True, uncertified queries are
     # transparently re-run through the exact doc-major scan (corpus-linear,
-    # but only for the queries that need it): results become exact for
-    # every query, at speed for the certified ones. Default off: the
-    # approximate contract + visible flags, matching round-2 behavior.
+    # but only for the queries that need it — all-zero padding rows are
+    # trivially exact and are never escalated): results become exact for
+    # every query, at speed for the certified ones, and last_certified
+    # reads True everywhere (last_escalated marks the re-run rows).
+    # Default off: the approximate contract + visible flags.
     exact_escalate: bool = False
 
     def __post_init__(self):
@@ -199,8 +201,11 @@ class SparseIndex:
         self._inc = None  # async device postings builder (inverted engines)
         self._inc_fed = 0
         # per-query exactness flags from the LAST inverted search (None for
-        # scan/dense searches, which are exact by construction)
+        # scan/dense searches, which are exact by construction). After an
+        # exact_escalate pass the escalated rows read certified=True (their
+        # results came from the exact scan); `last_escalated` marks which.
         self.last_certified: Optional[np.ndarray] = None
+        self.last_escalated: Optional[np.ndarray] = None
 
     # ------------------------------------------------------------- ingest
     def add(self, doc_ids: Sequence[str], reps: np.ndarray):
@@ -935,24 +940,48 @@ class SparseIndex:
         # `last_certified`; with cfg.exact_escalate the uncertified minority
         # transparently re-runs through the exact doc-major scan.
         self.last_certified = None
+        self.last_escalated = None
         if b_np is not None:
             kth = s_np[:, -1] if s_np.shape[1] else np.full(n_q, -np.inf)
             with np.errstate(invalid="ignore"):
-                cert = kth >= b_np
-            self.last_certified = cert
+                # relative margin: the bound's cut term uses sorted-merge
+                # run sums while kth comes from a doc-major sum of the same
+                # f32 products, so they can disagree by a few ulps near an
+                # exact tie. Certify only when kth clears the bound by more
+                # than that — sound under fp reordering; at worst a
+                # borderline tie is left uncertified (inverted.make_search_fn
+                # docstring).
+                margin = 1e-4 * np.maximum(np.abs(b_np), np.abs(kth))
+                margin = np.where(np.isfinite(margin), margin, 0.0)
+                cert = kth >= b_np + margin
             n_unc = int((~cert).sum())
             if n_unc and self.cfg.exact_escalate:
+                # all-zero rows (batch/chunk padding from serve's pow2
+                # micro-batcher and eval's chunk driver) have kth=-inf and
+                # would never certify — but their true top-k is empty, so
+                # they are trivially exact. Escalating them would re-run a
+                # corpus-linear scan per padded batch for phantom queries.
+                has_mass = np.asarray(jnp.any(q > 0, axis=1))
+                cert = cert | ~has_mass
                 idx = np.flatnonzero(~cert)
-                qs = jnp.take(q, jnp.asarray(idx, dtype=jnp.int32), axis=0)
-                # two_phase=False: the escalation target is the EXACT scan
-                es, ei, _ = self._run_queries(qs, k_eff, False, "sparse")
-                s_np = np.ascontiguousarray(s_np)
-                i_np = np.ascontiguousarray(i_np)
-                s_np[idx], i_np[idx] = es, ei
-                logger.debug(
-                    "exact_escalate: %d/%d queries re-ran on the exact scan",
-                    n_unc, n_q,
-                )
+                if idx.size:
+                    qs = jnp.take(q, jnp.asarray(idx, dtype=jnp.int32), axis=0)
+                    # two_phase=False: the escalation target is the EXACT scan
+                    es, ei, _ = self._run_queries(qs, k_eff, False, "sparse")
+                    s_np = np.ascontiguousarray(s_np)
+                    i_np = np.ascontiguousarray(i_np)
+                    s_np[idx], i_np[idx] = es, ei
+                    logger.debug(
+                        "exact_escalate: %d/%d queries re-ran on the exact scan",
+                        idx.size, n_q,
+                    )
+                # escalated rows now hold exact-scan results: certified by
+                # construction. `last_escalated` records which rows they were.
+                esc = np.zeros(n_q, dtype=bool)
+                esc[idx] = True
+                self.last_escalated = esc
+                cert = cert | esc
+            self.last_certified = cert
 
         results: List[Dict[str, float]] = []
         for qi in range(n_q):

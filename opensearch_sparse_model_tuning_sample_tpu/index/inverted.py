@@ -377,10 +377,17 @@ def make_search_fn(
     more), w_max[t] = post_w[t, 0] bounds terms that never won a lookup
     slot, and cut bounds docs dropped at the k1 candidate cut (their exact
     run sums are known ≤ s1[k1-1]). If the k-th returned exact score ≥
-    bound, the top-k is PROVABLY exact. Preconditions: tokens unique per
-    doc row (true for every rep produced by the encoder's top-k
-    sparsification) and exact run sums; with `merge_shifts` < T-1 the cut
-    term is not sound, so the bound degenerates to +inf (never certifies).
+    bound, the top-k is PROVABLY exact — up to f32 summation order: the
+    cut term bounds dropped candidates by their sorted-merge run sums,
+    while the rescore/exact scan sums the same products doc-major, so the
+    two can differ by a few ulps near an exact tie. The consumer
+    (engine.search) therefore certifies only when kth clears the bound by
+    a small relative margin, which keeps the certificate sound under fp
+    reordering (at worst a borderline tie is left uncertified).
+    Preconditions: tokens unique per doc row (true for every rep produced
+    by the encoder's top-k sparsification) and exact run sums; with
+    `merge_shifts` < T-1 the cut term is not sound, so the bound
+    degenerates to +inf (never certifies).
     Without rescore the returned scores are postings-visible sums, so the
     bound degenerates to -inf when nothing was truncated (certified) and
     +inf otherwise.

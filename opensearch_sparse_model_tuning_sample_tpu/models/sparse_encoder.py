@@ -33,6 +33,7 @@ from ..ops.activations import (
     pooled_activation,
     special_token_mask,
 )
+from ..utils.shapes import next_pow2  # noqa: F401 — also a public re-export
 
 
 @dataclass
@@ -300,6 +301,25 @@ class BatchEncoder:
             _chunk_fwd_topk, static_argnames=("k", "nb")
         )
 
+    def _pack_chunk(self, texts: List[str], rows: int):
+        """Tokenize a chunk, pad its batch count up to a power of two, and
+        pack ids+mask into ONE [2, nb*rows, L] upload. Returns
+        (packed device array, n_valid, nb_pow2). Shared by the chunked
+        encode paths so the pad/pack logic has exactly one definition."""
+        feats = self.model.tokenizer.encode_bucketed(
+            texts, self.max_length, self.seq_buckets
+        )
+        ids, mask = feats["input_ids"], feats["attention_mask"]
+        n = ids.shape[0]
+        nb_pow2 = next_pow2(-(-n // rows))
+        pad = nb_pow2 * rows - n
+        if pad:
+            ids = np.concatenate([ids, np.zeros((pad, ids.shape[1]), ids.dtype)])
+            mask = np.concatenate(
+                [mask, np.zeros((pad, mask.shape[1]), mask.dtype)]
+            )
+        return jnp.asarray(np.stack([ids, mask])), n, nb_pow2
+
     def encode_chunk_device(
         self, texts: List[str], inf_free: bool = False, rows: int = 256
     ):
@@ -309,24 +329,7 @@ class BatchEncoder:
         n_valid are padding (zero-id encodes) the caller must ignore. The
         batch count pads up to a power of two so tail chunks reuse a
         bounded set of compiled shapes."""
-        feats = self.model.tokenizer.encode_bucketed(
-            texts, self.max_length, self.seq_buckets
-        )
-        ids, mask = feats["input_ids"], feats["attention_mask"]
-        n = ids.shape[0]
-        nb = -(-n // rows)
-        nb_pow2 = 1
-        while nb_pow2 < nb:
-            nb_pow2 *= 2
-        pad = nb_pow2 * rows - n
-        if pad:
-            ids = np.concatenate(
-                [ids, np.zeros((pad, ids.shape[1]), ids.dtype)]
-            )
-            mask = np.concatenate(
-                [mask, np.zeros((pad, mask.shape[1]), mask.dtype)]
-            )
-        packed = jnp.asarray(np.stack([ids, mask]))
+        packed, n, nb_pow2 = self._pack_chunk(texts, rows)
         reps, count = self._chunk_fwd(
             self.model.params, packed, self._special_mask_dev, n,
             inf_free=inf_free, nb=nb_pow2,
@@ -400,20 +403,7 @@ class BatchEncoder:
         two so tail chunks reuse a bounded set of compiled shapes; note the
         whole chunk shares ONE seq bucket (the longest doc in the chunk
         decides), where the per-batch path buckets every `rows` docs."""
-        feats = self.model.tokenizer.encode_bucketed(
-            texts, self.max_length, self.seq_buckets
-        )
-        ids, mask = feats["input_ids"], feats["attention_mask"]
-        n = ids.shape[0]
-        nb = -(-n // rows)
-        nb_pow2 = 1
-        while nb_pow2 < nb:
-            nb_pow2 *= 2
-        pad = nb_pow2 * rows - n
-        if pad:
-            ids = np.concatenate([ids, np.zeros((pad, ids.shape[1]), ids.dtype)])
-            mask = np.concatenate([mask, np.zeros((pad, mask.shape[1]), mask.dtype)])
-        packed = jnp.asarray(np.stack([ids, mask]))
+        packed, n, nb_pow2 = self._pack_chunk(texts, rows)
         handle = self._chunk_fwd_topk(
             self.model.params, packed, n,
             k=min(l_max, self.model.vocab_size), nb=nb_pow2,

@@ -456,13 +456,72 @@ class ByteLevelBPETokenizer(_TokenizerBase):
             json.dump({"tokenizer_class": "RobertaTokenizer"}, f)
 
 
+def _fast_normalizer_lowercases(norm: Optional[dict]) -> bool:
+    """Whether a tokenizers-fast normalizer spec lowercases input."""
+    if not norm:
+        return False
+    t = norm.get("type")
+    if t == "BertNormalizer":
+        return bool(norm.get("lowercase", True))
+    if t == "Lowercase":
+        return True
+    if t == "Sequence":
+        return any(
+            _fast_normalizer_lowercases(n) for n in norm.get("normalizers") or []
+        )
+    return False
+
+
+def from_tokenizer_json(
+    path: str, preprocess_func: Optional[str] = None
+) -> _TokenizerBase:
+    """Load from a HF fast-tokenizer `tokenizer.json` (the only tokenizer
+    file many hub dumps ship). Supports the two families this framework
+    hosts natively: WordPiece (BERT/DistilBERT) and byte-level BPE
+    (RoBERTa). Anything else raises ValueError so callers can fall back to
+    a torch host path (train/teachers.py::build_teacher)."""
+    with open(path, encoding="utf-8") as f:
+        blob = json.load(f)
+    model = blob.get("model") or {}
+    mtype = model.get("type")
+    if mtype == "WordPiece":
+        prefix = model.get("continuing_subword_prefix", "##")
+        if prefix != "##":
+            raise ValueError(
+                f"{path}: WordPiece continuing_subword_prefix {prefix!r} "
+                "unsupported (only '##')"
+            )
+        vocab = model["vocab"]
+        missing = [t for t in (PAD, UNK, CLS, SEP) if t not in vocab]
+        if missing:
+            raise ValueError(f"{path}: WordPiece vocab lacks {missing}")
+        return WordPieceTokenizer(
+            vocab,
+            do_lower_case=_fast_normalizer_lowercases(blob.get("normalizer")),
+            preprocess_func=preprocess_func,
+        )
+    if mtype == "BPE":
+        merges = [
+            tuple(m) if isinstance(m, (list, tuple)) else tuple(m.split(" "))
+            for m in model.get("merges") or []
+        ]
+        return ByteLevelBPETokenizer(
+            model["vocab"], merges, preprocess_func=preprocess_func
+        )
+    raise ValueError(
+        f"{path}: fast-tokenizer model type {mtype!r} not hosted natively "
+        "(WordPiece and byte-level BPE are)"
+    )
+
+
 def load_tokenizer(
     path_or_name: Optional[str], preprocess_func: Optional[str] = None
 ) -> _TokenizerBase:
     """Resolve a tokenizer from a checkpoint dir or file, dispatching on the
     on-disk family: vocab.json + merges.txt -> byte-level BPE (RoBERTa
-    layouts), vocab.txt -> WordPiece (BERT / DistilBERT layouts). Falls back
-    to the bundled WordPiece asset when nothing is given (the reference's
+    layouts), vocab.txt -> WordPiece (BERT / DistilBERT layouts),
+    tokenizer.json -> either (fast-format-only dumps). Falls back to the
+    bundled WordPiece asset when nothing is given (the reference's
     AutoTokenizer dispatch, sparse_encoders.py:60)."""
     if path_or_name and os.path.isdir(path_or_name):
         vj = os.path.join(path_or_name, "vocab.json")
@@ -471,6 +530,11 @@ def load_tokenizer(
             return ByteLevelBPETokenizer.from_files(
                 vj, mt, preprocess_func=preprocess_func
             )
+        tj = os.path.join(path_or_name, "tokenizer.json")
+        if not os.path.exists(os.path.join(path_or_name, "vocab.txt")) and (
+            os.path.exists(tj)
+        ):
+            return from_tokenizer_json(tj, preprocess_func=preprocess_func)
     return WordPieceTokenizer.from_pretrained(
         path_or_name, preprocess_func=preprocess_func
     )

@@ -292,10 +292,17 @@ def build_teacher(kind: str, model_id: str, seed: int = 1,
     from ..ops.activations import special_token_mask
 
     if os.path.isdir(model_id):
+        # FileNotFoundError / ValueError cover tokenizer layouts we don't
+        # host natively (e.g. an exotic tokenizer.json): the reference's
+        # AutoModel/AutoTokenizer path accepts any architecture, so such
+        # dirs must still work via the torch host fallback rather than
+        # crash. Both causes stay visible in the combined error below.
         try:
             cfg, params, _ = hf_import.load_checkpoint(model_id)
             tokenizer = load_tokenizer(model_id)
-        except hf_import.UnsupportedArchitecture as e:
+        except (
+            hf_import.UnsupportedArchitecture, FileNotFoundError, ValueError
+        ) as e:
             try:
                 return _build_host_teacher(kind, model_id, pooling, max_length)
             except Exception as host_err:

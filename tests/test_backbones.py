@@ -302,6 +302,28 @@ def test_bpe_tokenizer_save_roundtrip(bpe_files, tmp_path):
     assert re.encode_ids(text, 64) == ours.encode_ids(text, 64)
 
 
+def test_tokenizer_json_bpe_parity(bpe_files, tmp_path):
+    """A RoBERTa-layout dir shipping ONLY tokenizer.json must load natively,
+    in both the legacy "a b" string and the new [a, b] pair merge formats."""
+    import json
+
+    vocab_json, merges_txt = bpe_files
+    ours = ByteLevelBPETokenizer.from_files(vocab_json, merges_txt)
+    merges = [
+        " ".join(m)
+        for m, _ in sorted(ours.bpe_ranks.items(), key=lambda kv: kv[1])
+    ]
+    d = tmp_path / "fastbpe"
+    d.mkdir()
+    text = "the quick brown fox, naïve café 🦊"
+    for m in (merges, [m.split(" ") for m in merges]):
+        blob = {"model": {"type": "BPE", "vocab": ours.vocab, "merges": m}}
+        (d / "tokenizer.json").write_text(json.dumps(blob, ensure_ascii=False))
+        t2 = load_tokenizer(str(d))
+        assert isinstance(t2, ByteLevelBPETokenizer)
+        assert t2.encode_ids(text, 64) == ours.encode_ids(text, 64)
+
+
 # ---------------------------------------------------------------------------
 # End-to-end: roberta-layout checkpoint + BPE tokenizer through build_model
 # ---------------------------------------------------------------------------

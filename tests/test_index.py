@@ -884,3 +884,34 @@ def test_certificate_on_doc_sharded_mesh(mesh8):
     assert cert is not None and cert.sum() >= 6, cert
     for qi in np.flatnonzero(cert):
         assert set(ih[qi]) == set(sh[qi])
+
+
+def test_escalation_skips_padding_rows_and_flags_read_exact():
+    """Serve's pow2 micro-batcher and the eval chunk driver pad query
+    batches with all-zero rows. Those rows are trivially exact (empty
+    top-k): exact_escalate must not re-run a corpus-linear scan for them,
+    and after escalation last_certified reads True for every row while
+    last_escalated marks only the real re-runs."""
+    vocab = 700
+    toks, ws = _diffuse_corpus(500, vocab, l_max=24)
+    q_tok, q_w = _corpus_queries(toks, ws, n_q=6, width=5)
+    q_tok = np.concatenate([q_tok, np.zeros((2, 5), np.int32)])
+    q_w = np.concatenate([q_w, np.zeros((2, 5), np.float32)])
+    inv = _build_rows("inverted", toks, ws, vocab, postings_cap=512,
+                      query_terms=8, exact_escalate=True)
+    calls = []
+    orig = inv._run_queries
+
+    def spy(q, k, two_phase, engine=None):
+        calls.append((int(q.shape[0]), engine))
+        return orig(q, k, two_phase, engine)
+
+    inv._run_queries = spy
+    hits = inv.search_tokens(q_tok, q_w, k=5)
+    assert hits[6] == {} and hits[7] == {}
+    cert, esc = inv.last_certified, inv.last_escalated
+    assert cert is not None and cert.all(), cert
+    assert esc is not None and not esc[6] and not esc[7]
+    scan_rows = sum(n for n, e in calls if e == "sparse")
+    # only genuinely-uncertified REAL queries may hit the exact scan
+    assert scan_rows == int(esc.sum())

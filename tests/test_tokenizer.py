@@ -84,3 +84,44 @@ def test_truncation_is_hf_style(tok, hf_tok):
     ours = tok.encode_ids(long_text, 16)
     assert len(ours) == 16
     assert ours[0] == tok.cls_id and ours[-1] == tok.sep_id
+
+
+def test_tokenizer_json_wordpiece_parity(tok, tmp_path):
+    """A dir shipping ONLY a fast-format tokenizer.json (common hub dump
+    layout) must load natively and match the vocab.txt-built tokenizer."""
+    import json
+
+    from opensearch_sparse_model_tuning_sample_tpu.models.tokenizer import (
+        load_tokenizer,
+    )
+
+    d = tmp_path / "fastonly"
+    d.mkdir()
+    blob = {
+        "normalizer": {"type": "BertNormalizer", "lowercase": True},
+        "model": {
+            "type": "WordPiece",
+            "continuing_subword_prefix": "##",
+            "vocab": tok.vocab,
+        },
+    }
+    (d / "tokenizer.json").write_text(json.dumps(blob))
+    t2 = load_tokenizer(str(d))
+    assert isinstance(t2, WordPieceTokenizer)
+    assert t2.do_lower_case
+    for s in CASES:
+        assert t2.encode_ids(s, 64) == tok.encode_ids(s, 64)
+
+
+def test_tokenizer_json_unsupported_type_raises(tmp_path):
+    import json
+
+    from opensearch_sparse_model_tuning_sample_tpu.models.tokenizer import (
+        load_tokenizer,
+    )
+
+    d = tmp_path / "unigram"
+    d.mkdir()
+    (d / "tokenizer.json").write_text(json.dumps({"model": {"type": "Unigram"}}))
+    with pytest.raises(ValueError, match="Unigram"):
+        load_tokenizer(str(d))
