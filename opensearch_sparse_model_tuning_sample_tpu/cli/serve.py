@@ -66,7 +66,7 @@ logger = logging.getLogger(__name__)
 
 class _SearchRequest:
     __slots__ = ("index_name", "kind", "payload", "k", "prune", "two_phase",
-                 "event", "result", "error")
+                 "event", "result", "error", "certified", "escalated")
 
     def __init__(self, index_name, kind, payload, k, prune, two_phase):
         self.index_name = index_name
@@ -78,6 +78,10 @@ class _SearchRequest:
         self.event = threading.Event()
         self.result = None        # {doc_id: score}
         self.error = None
+        # exactness-certificate flags for THIS query (None when the engine
+        # doesn't produce them — scan/dense are exact by construction)
+        self.certified = None
+        self.escalated = False
 
     def group_key(self):
         extra = self.payload[1] if self.kind == "text" else None  # inf_free
@@ -199,8 +203,13 @@ class MicroBatcher:
                     two_phase=r0.two_phase,
                     full_forward=True if not inf_free else None,
                 )
-        for r, h in zip(reqs, hits[:B]):
+        cert = getattr(index, "last_certified", None)
+        esc = getattr(index, "last_escalated", None)
+        for b, (r, h) in enumerate(zip(reqs, hits[:B])):
             r.result = h
+            if cert is not None:
+                r.certified = bool(cert[b])
+                r.escalated = bool(esc[b]) if esc is not None else False
 
 
 class ServingState:
@@ -336,7 +345,7 @@ class ServingState:
         hit = self.batcher.submit(req)
         took_ms = int((time.time() - t0) * 1000)
         ranked = sorted(hit.items(), key=lambda kv: -kv[1])
-        return {
+        out = {
             "took": took_ms,
             "timed_out": False,
             "hits": {
@@ -348,6 +357,18 @@ class ServingState:
                 ],
             },
         }
+        if req.certified is not None:
+            # exactness certificate (index/inverted.py): whether THIS query's
+            # top-k is provably the true top-k, and whether it was obtained
+            # by escalating to the exact scan. Rides the OpenSearch response
+            # extension slot so standard clients ignore it.
+            out["ext"] = {
+                "exactness": {
+                    "certified": req.certified,
+                    "escalated": req.escalated,
+                }
+            }
+        return out
 
 
 def make_handler(state: ServingState):

@@ -605,6 +605,8 @@ def search(
     qd = KeyValueDataset(queries)
     encoder = get_batch_encoder(model, max_length=max_length, do_count=True)
     run_res: Dict[str, Dict[str, float]] = {}
+    # exactness-certificate tally (inverted engines only; see index/engine)
+    n_cert = n_esc = n_flagged = 0
     t0 = time.time()
     n = len(qd)
     # whole CHUNKS of queries encode in one dispatch (lax.map over batches,
@@ -643,6 +645,13 @@ def search(
         # reps rows beyond len(ids) are chunk padding; zip drops their hits
         for _id, h in zip(ids, hits):
             run_res[_id] = h
+        cert = index.last_certified
+        if cert is not None:
+            n_cert += int(cert[: len(ids)].sum())
+            esc = index.last_escalated
+            if esc is not None:
+                n_esc += int(esc[: len(ids)].sum())
+            n_flagged += len(ids)
     qps = n / max(time.time() - t0, 1e-9)
 
     # drop self-hits (mining on train splits, reference search.py:78-80)
@@ -667,6 +676,9 @@ def search(
         "d_length": d_length,
         "qps": qps,
     }
+    if n_flagged:
+        out["certified_frac"] = n_cert / n_flagged
+        out["escalated_frac"] = n_esc / n_flagged
     if return_text and corpus_texts is not None:
         out["run_texts"] = {
             qid: [corpus_texts[d] for d in docs] for qid, docs in run_res.items()

@@ -968,8 +968,11 @@ class SparseIndex:
                     qs = jnp.take(q, jnp.asarray(idx, dtype=jnp.int32), axis=0)
                     # two_phase=False: the escalation target is the EXACT scan
                     es, ei, _ = self._run_queries(qs, k_eff, False, "sparse")
-                    s_np = np.ascontiguousarray(s_np)
-                    i_np = np.ascontiguousarray(i_np)
+                    # single-batch fetches arrive as read-only zero-copy
+                    # views of the device buffer (ascontiguousarray would
+                    # no-op on them) — copy before splicing
+                    if not s_np.flags.writeable:
+                        s_np, i_np = s_np.copy(), i_np.copy()
                     s_np[idx], i_np[idx] = es, ei
                     logger.debug(
                         "exact_escalate: %d/%d queries re-ran on the exact scan",
@@ -1056,6 +1059,9 @@ class SparseIndex:
             "full_query_terms": self.cfg.full_query_terms,
             "full_postings_cols": self.cfg.full_postings_cols,
             "full_rescore_expand": self.cfg.full_rescore_expand,
+            # semantic knob, not a tuning knob: a loaded index must keep the
+            # exact-results contract it was built with
+            "exact_escalate": self.cfg.exact_escalate,
         }
         with open(os.path.join(path, "meta.json"), "w") as f:
             json.dump(meta, f)
@@ -1085,6 +1091,7 @@ class SparseIndex:
             full_query_terms=metas[0].get("full_query_terms", 64),
             full_postings_cols=metas[0].get("full_postings_cols", 256),
             full_rescore_expand=metas[0].get("full_rescore_expand", 16),
+            exact_escalate=any(m.get("exact_escalate", False) for m in metas),
         )
         idx = cls(v, cfg, mesh)
         for p, meta in zip(paths, metas):
@@ -1121,6 +1128,7 @@ class SparseIndex:
             full_query_terms=meta.get("full_query_terms", 64),
             full_postings_cols=meta.get("full_postings_cols", 256),
             full_rescore_expand=meta.get("full_rescore_expand", 16),
+            exact_escalate=meta.get("exact_escalate", False),
         )
         idx = cls(meta["vocab_size"], cfg, mesh)
         idx.doc_ids = json.load(open(os.path.join(path, "doc_ids.json")))

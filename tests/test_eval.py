@@ -409,3 +409,33 @@ def test_skip_ingest_reuses_saved_index(tiny_model, synth, tmp_path, monkeypatch
     ma2, da2, ta2 = parse_config(dict(base, skip_ingest=True))
     second = evaluate_datasets(["synthetic"], loader, tiny_model, ma2, da2, ta2, eval_dir)
     assert second["NDCG@10"] == pytest.approx(first["NDCG@10"], abs=0.02)
+
+
+def test_search_reports_certificate_stats(tiny_model, synth, tmp_path):
+    """Inverted-engine eval search surfaces the exactness-certificate tally
+    (certified_frac / escalated_frac over real queries, excluding chunk
+    padding); exact-by-construction engines omit the keys."""
+    corpus, queries, qrels = synth
+    out = str(tmp_path)
+    index = ingest(
+        BEIRCorpusDataset(corpus), tiny_model, out, "cert",
+        max_length=64, batch_size=32, doc_inf_free=True,
+        index_cfg=IndexConfig(engine="inverted", l_max=32, block_docs=64,
+                              query_batch=8, postings_cap=128, query_terms=8,
+                              exact_escalate=True),
+    )
+    res = search(queries, tiny_model, index, out, "cert", max_length=64,
+                 batch_size=32, inf_free=True)
+    # escalation on: every query is exact, so the whole tally certifies
+    assert res["certified_frac"] == 1.0
+    assert 0.0 <= res["escalated_frac"] <= 1.0
+
+    scan = ingest(
+        BEIRCorpusDataset(corpus), tiny_model, out, "certscan",
+        max_length=64, batch_size=32, doc_inf_free=True,
+        index_cfg=IndexConfig(engine="sparse", l_max=32, block_docs=64,
+                              query_batch=8),
+    )
+    res2 = search(queries, tiny_model, scan, out, "certscan", max_length=64,
+                  batch_size=32, inf_free=True)
+    assert "certified_frac" not in res2

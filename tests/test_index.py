@@ -118,6 +118,23 @@ def test_save_load_roundtrip(tmp_path):
     np.testing.assert_array_equal(idx.count_tensor, idx2.count_tensor)
 
 
+def test_save_load_preserves_exact_escalate(tmp_path):
+    """exact_escalate is a semantic contract, not a tuning knob — a saved
+    index must keep it on load (a served index silently losing escalation
+    would return uncertified approximate results)."""
+    cfg = IndexConfig(engine="inverted", l_max=8, block_docs=64,
+                      query_batch=4, postings_cap=32, query_terms=8,
+                      exact_escalate=True)
+    idx = SparseIndex(V, cfg)
+    idx.add([str(i) for i in range(N_DOCS)], DOCS)
+    idx.finalize()
+    idx.save(str(tmp_path / "esc"))
+    idx2 = SparseIndex.load(str(tmp_path / "esc"))
+    assert idx2.cfg.exact_escalate is True
+    idx2.search(QS, k=5)
+    assert bool(np.all(idx2.last_certified))
+
+
 def test_l_max_truncation_keeps_top_weights():
     cfg = IndexConfig(engine="sparse", l_max=4, block_docs=64, query_batch=4)
     idx = SparseIndex(V, cfg)

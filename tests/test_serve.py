@@ -377,3 +377,48 @@ def test_microbatch_pads_to_pow2_buckets(tiny_model):
     batch_dims = {s[0] for s in seen}
     assert batch_dims <= {4, 8}, seen  # 3->4, 5/6->8: two buckets, not three
     assert all((s[0] & (s[0] - 1)) == 0 for s in seen), seen
+
+
+def test_exactness_flags_in_search_response(tiny_model):
+    """Inverted-engine serving surfaces the per-query exactness certificate
+    in the response's OpenSearch extension slot; exact-by-construction
+    engines (scan/dense) emit no ext block."""
+    V = tiny_model.vocab_size
+    rng = np.random.default_rng(1)
+    reps = np.zeros((64, V), np.float32)
+    for i in range(64):
+        reps[i, rng.choice(V, 5, replace=False)] = rng.uniform(0.5, 2.0, 5)
+
+    def spin(engine):
+        idx = SparseIndex(V, IndexConfig(
+            engine=engine, l_max=16, block_docs=32, query_batch=4,
+            postings_cap=64, query_terms=8, exact_escalate=True,
+        ))
+        idx.add([str(i) for i in range(64)], reps)
+        idx.finalize()
+        state = ServingState(tiny_model, {"ix": idx}, max_length=32)
+        httpd = serve(state, host="127.0.0.1", port=0)
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
+        return httpd, f"http://127.0.0.1:{httpd.server_address[1]}"
+
+    tok = tiny_model.tokenizer
+    word = next(w for w in ("the", "a") if w in tok.vocab)
+    body = {"query": {"neural_sparse": {"text_sparse": {
+        "query_tokens": {word: 3.0}}}}, "size": 5}
+
+    httpd, url = spin("inverted")
+    try:
+        res = _post(f"{url}/ix/_search", body)
+        ex = res["ext"]["exactness"]
+        # cap=64 >= df and escalation on: the result is exact either way
+        assert ex["certified"] is True
+        assert isinstance(ex["escalated"], bool)
+    finally:
+        httpd.shutdown()
+
+    httpd, url = spin("sparse")
+    try:
+        res = _post(f"{url}/ix/_search", body)
+        assert "ext" not in res
+    finally:
+        httpd.shutdown()
