@@ -33,7 +33,7 @@ from __future__ import annotations
 import json
 import logging
 import os
-from dataclasses import dataclass
+from dataclasses import asdict, dataclass, fields
 from functools import partial
 from typing import Dict, List, Optional, Sequence
 
@@ -1041,9 +1041,13 @@ class SparseIndex:
     def save(self, path: str):
         assert self._finalized
         os.makedirs(path, exist_ok=True)
+        # 16-bit engines store fp16 (bit-exact round trip for bf16's 8-bit
+        # mantissa within fp16's normal range); a float32 index must NOT be
+        # silently truncated — its whole point is exactness
+        wdt = np.float32 if self.cfg.weight_dtype == "float32" else np.float16
         arrs = {
             "count_tensor": self.count_tensor,
-            "weights": np.asarray(self._docs_dev, dtype=np.float16),
+            "weights": np.asarray(self._docs_dev, dtype=wdt),
         }
         if self._tok_dev is not None:
             arrs["tokens"] = np.asarray(self._tok_dev)
@@ -1062,6 +1066,12 @@ class SparseIndex:
             # semantic knob, not a tuning knob: a loaded index must keep the
             # exact-results contract it was built with
             "exact_escalate": self.cfg.exact_escalate,
+            # the FULL config: a loaded index keeps every contract it was
+            # built with (weight_dtype, inverted_rescore, two-phase and
+            # full-forward budgets). The flat keys above stay for indexes
+            # readers older than this field. engine inside cfg may be
+            # "auto"; the resolved engine is the top-level "engine" key.
+            "cfg": asdict(self.cfg),
         }
         with open(os.path.join(path, "meta.json"), "w") as f:
             json.dump(meta, f)
@@ -1083,16 +1093,13 @@ class SparseIndex:
         metas = [json.load(open(os.path.join(p, "meta.json"))) for p in paths]
         v = metas[0]["vocab_size"]
         assert all(m["vocab_size"] == v for m in metas), "vocab mismatch"
-        cfg = cfg or IndexConfig(
-            engine=metas[0]["engine"], l_max=metas[0]["l_max"],
-            block_docs=metas[0]["block_docs"],
-            postings_cap=metas[0].get("postings_cap", 2048),
-            query_terms=metas[0].get("query_terms", 16),
-            full_query_terms=metas[0].get("full_query_terms", 64),
-            full_postings_cols=metas[0].get("full_postings_cols", 256),
-            full_rescore_expand=metas[0].get("full_rescore_expand", 16),
-            exact_escalate=any(m.get("exact_escalate", False) for m in metas),
-        )
+        if cfg is None:
+            cfg = cls._cfg_from_meta(metas[0])
+            # escalation is a promise to the caller: keep it if ANY shard
+            # was built with it
+            cfg.exact_escalate = any(
+                cls._cfg_from_meta(m).exact_escalate for m in metas
+            )
         idx = cls(v, cfg, mesh)
         for p, meta in zip(paths, metas):
             blob = np.load(os.path.join(p, "index.npz"))
@@ -1116,11 +1123,19 @@ class SparseIndex:
         idx.finalize()
         return idx
 
-    @classmethod
-    def load(cls, path: str, mesh: Optional[Mesh] = None) -> "SparseIndex":
-        meta = json.load(open(os.path.join(path, "meta.json")))
-        blob = np.load(os.path.join(path, "index.npz"))
-        cfg = IndexConfig(
+    @staticmethod
+    def _cfg_from_meta(meta: dict) -> IndexConfig:
+        """Reconstruct the build-time IndexConfig from saved metadata.
+
+        New-format metas carry the full dataclass under "cfg" (unknown keys
+        from future fields are dropped; the resolved engine overrides a
+        possible "auto"); legacy metas fall back to the flat keys."""
+        if "cfg" in meta:
+            known = {f.name for f in fields(IndexConfig)}
+            kw = {k: v for k, v in meta["cfg"].items() if k in known}
+            kw["engine"] = meta["engine"]
+            return IndexConfig(**kw)
+        return IndexConfig(
             engine=meta["engine"], l_max=meta["l_max"],
             block_docs=meta["block_docs"],
             postings_cap=meta.get("postings_cap", 2048),
@@ -1130,6 +1145,12 @@ class SparseIndex:
             full_rescore_expand=meta.get("full_rescore_expand", 16),
             exact_escalate=meta.get("exact_escalate", False),
         )
+
+    @classmethod
+    def load(cls, path: str, mesh: Optional[Mesh] = None) -> "SparseIndex":
+        meta = json.load(open(os.path.join(path, "meta.json")))
+        blob = np.load(os.path.join(path, "index.npz"))
+        cfg = cls._cfg_from_meta(meta)
         idx = cls(meta["vocab_size"], cfg, mesh)
         idx.doc_ids = json.load(open(os.path.join(path, "doc_ids.json")))
         idx.count_tensor = blob["count_tensor"]

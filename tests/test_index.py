@@ -118,6 +118,31 @@ def test_save_load_roundtrip(tmp_path):
     np.testing.assert_array_equal(idx.count_tensor, idx2.count_tensor)
 
 
+def test_save_load_preserves_full_config(tmp_path):
+    """The whole build-time IndexConfig survives persistence — weight_dtype,
+    rescore and budget knobs are contracts, not per-process tuning. A
+    float32 index (the exactness mode) must also keep fp32 weights on disk
+    rather than being silently truncated to fp16."""
+    cfg = IndexConfig(engine="sparse", l_max=8, block_docs=64, query_batch=4,
+                      weight_dtype="float32", two_phase_terms=5,
+                      two_phase_expand=3, inverted_rescore=False,
+                      full_query_terms=24, full_merge_shifts=7)
+    idx = SparseIndex(V, cfg)
+    idx.add([str(i) for i in range(N_DOCS)], DOCS)
+    idx.finalize()
+    idx.save(str(tmp_path / "full"))
+    blob = np.load(str(tmp_path / "full" / "index.npz"))
+    assert blob["weights"].dtype == np.float32
+    idx2 = SparseIndex.load(str(tmp_path / "full"))
+    for f in ("weight_dtype", "two_phase_terms", "two_phase_expand",
+              "inverted_rescore", "full_query_terms", "full_merge_shifts",
+              "l_max", "block_docs"):
+        assert getattr(idx2.cfg, f) == getattr(cfg, f), f
+    np.testing.assert_array_equal(
+        np.asarray(idx2._docs_dev), np.asarray(idx._docs_dev)
+    )
+
+
 def test_save_load_preserves_exact_escalate(tmp_path):
     """exact_escalate is a semantic contract, not a tuning knob — a saved
     index must keep it on load (a served index silently losing escalation
