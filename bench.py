@@ -148,7 +148,15 @@ def main():
     model = se.build_model(arch="mini", idf_path=os.path.join(REPO, "assets/idf.npz"))
     enc = se.BatchEncoder(model, max_length=128, seq_buckets=[128], do_count=False)
     texts = ["a benchmark document about sparse retrieval on tensor units"] * 256
-    enc.encode_batch_sparse(texts, l_max=128)  # compile
+    # warm the EXACT timed structure (async dispatch + stacked resolve):
+    # a sync-encode warmup leaves the async forward and the resolve's
+    # stacked-concat program uncompiled, and a cold cache then charges
+    # ~10 s of first-use compile to the timed region (measured: 198 vs
+    # ~10K docs/s)
+    enc.resolve_sparse_many(
+        [enc.encode_batch_sparse_async(texts, l_max=128) for _ in range(2)],
+        [256] * 2,
+    )
     # pipelined dispatch, as eval/beir.py::ingest drives it: all batches in
     # flight before the first resolve, so per-call sync latency is hidden
     # behind device compute instead of serializing with it

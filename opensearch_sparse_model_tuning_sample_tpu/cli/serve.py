@@ -194,6 +194,17 @@ class MicroBatcher:
                 reps = state.encoder.encode_batch_device(
                     texts, inf_free=inf_free
                 )
+                if not inf_free and Bp > B:
+                    # "" pads encode to NONZERO full-forward reps (CLS/SEP
+                    # still produce MLM logits), which defeat the engine's
+                    # all-zero phantom-row guard: on an exact_escalate
+                    # inverted index every pad row would re-run the
+                    # corpus-linear exact scan for a result that is sliced
+                    # off. Hand the engine only the real rows — it re-pads
+                    # with true zero rows on its own query_batch grid.
+                    # (inf-free "" rows tokenize to nothing and are already
+                    # zero-mass.)
+                    reps = reps[:B]
                 # full_forward: True for full-forward queries; None for
                 # inf-free so the engine still checks the active-term count
                 # (a long inf-free query can exceed the inverted engine's
@@ -203,8 +214,11 @@ class MicroBatcher:
                     two_phase=r0.two_phase,
                     full_forward=True if not inf_free else None,
                 )
-        cert = getattr(index, "last_certified", None)
-        esc = getattr(index, "last_escalated", None)
+            # read the per-query flags while still holding the device lock:
+            # they are mutable index attributes, and another thread touching
+            # the same index could overwrite them between search and read
+            cert = getattr(index, "last_certified", None)
+            esc = getattr(index, "last_escalated", None)
         for b, (r, h) in enumerate(zip(reqs, hits[:B])):
             r.result = h
             if cert is not None:

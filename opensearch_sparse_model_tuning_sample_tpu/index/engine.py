@@ -83,6 +83,17 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _load_weights(blob) -> np.ndarray:
+    """Weight array from a saved index blob, as float32.
+
+    bfloat16 indexes store their raw bit pattern under "weights_bf16"
+    (lossless; fp16 would overflow values > 65504); everything else — and
+    every legacy index — stores a float array under "weights"."""
+    if "weights_bf16" in blob:
+        return blob["weights_bf16"].view(np.dtype(jnp.bfloat16)).astype(np.float32)
+    return blob["weights"].astype(np.float32)
+
+
 @dataclass
 class IndexConfig:
     # "sparse": doc-major scan (cost ~ corpus size; exact for any distribution)
@@ -1041,14 +1052,17 @@ class SparseIndex:
     def save(self, path: str):
         assert self._finalized
         os.makedirs(path, exist_ok=True)
-        # 16-bit engines store fp16 (bit-exact round trip for bf16's 8-bit
-        # mantissa within fp16's normal range); a float32 index must NOT be
-        # silently truncated — its whole point is exactness
-        wdt = np.float32 if self.cfg.weight_dtype == "float32" else np.float16
-        arrs = {
-            "count_tensor": self.count_tensor,
-            "weights": np.asarray(self._docs_dev, dtype=wdt),
-        }
+        # store weights losslessly for every dtype: float32 as fp32 (an
+        # exactness-mode index must not be truncated), bfloat16 as its raw
+        # bit pattern (fp16 would overflow bf16 values > 65504 to inf and
+        # lose low-exponent bits), float16 as fp16
+        arrs = {"count_tensor": self.count_tensor}
+        w_np = np.asarray(self._docs_dev)
+        if w_np.dtype == np.dtype(jnp.bfloat16):
+            arrs["weights_bf16"] = w_np.view(np.uint16)
+        else:
+            arrs["weights"] = w_np
+        del w_np
         if self._tok_dev is not None:
             arrs["tokens"] = np.asarray(self._tok_dev)
         np.savez_compressed(os.path.join(path, "index.npz"), **arrs)
@@ -1109,7 +1123,7 @@ class SparseIndex:
             idx.doc_ids.extend(ids)
             idx.count_tensor += blob["count_tensor"]
             toks = blob["tokens"][:n].astype(np.int32)
-            ws = blob["weights"][:n].astype(np.float32)
+            ws = _load_weights(blob)[:n]
             L = cfg.l_max
             if toks.shape[1] != L:  # re-cap shards built with a different l_max
                 if toks.shape[1] > L:
@@ -1160,7 +1174,7 @@ class SparseIndex:
         # load(mesh=...) + inverted with unsharded global-index postings
         # that the sharded search path cannot use
         n = len(idx.doc_ids)
-        w = blob["weights"].astype(np.float32)[:n]
+        w = _load_weights(blob)[:n]
         if "tokens" in blob:
             idx._tok_chunks = [blob["tokens"][:n].astype(np.int32)]
             idx._w_chunks = [w]

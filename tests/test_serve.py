@@ -422,3 +422,65 @@ def test_exactness_flags_in_search_response(tiny_model):
         assert "ext" not in res
     finally:
         httpd.shutdown()
+
+
+def test_fullforward_padding_rows_do_not_escalate(tiny_model):
+    """Text padding ("") rows in a full-forward micro-batch encode to
+    NONZERO reps; the dispatcher must hand the engine only the real rows,
+    or each pad row re-runs the corpus-linear exact scan on an
+    exact_escalate inverted index (phantom escalations)."""
+    from opensearch_sparse_model_tuning_sample_tpu.cli.serve import (
+        MicroBatcher, _SearchRequest,
+    )
+
+    V = tiny_model.vocab_size
+    rng = np.random.default_rng(5)
+    reps = np.zeros((64, V), np.float32)
+    for i in range(64):
+        reps[i, rng.choice(V, 5, replace=False)] = rng.uniform(0.5, 2.0, 5)
+    idx = SparseIndex(V, IndexConfig(
+        engine="inverted", l_max=16, block_docs=32, query_batch=4,
+        postings_cap=8, query_terms=8, exact_escalate=True,
+    ))
+    idx.add([str(i) for i in range(64)], reps)
+    idx.finalize()
+    state = ServingState(tiny_model, {"p": idx}, max_length=32)
+
+    # 3 full-forward text queries -> pow2 pad would add one "" row
+    reqs = [
+        _SearchRequest(index_name="p", kind="text",
+                       payload=(f"some document text {j}", False),
+                       k=5, prune=0.0, two_phase=False)
+        for j in range(3)
+    ]
+    state.batcher._execute(reqs)
+    for r in reqs:
+        assert r.result is not None
+        assert r.certified is True  # escalation on => exact for real rows
+    # the engine only ever saw the 3 real rows: no phantom flags
+    assert idx.last_certified is not None
+    assert len(idx.last_certified) == 3
+    assert len(idx.last_escalated) == 3
+
+
+def test_bf16_index_save_load_is_lossless(tmp_path):
+    """bfloat16 weights persist as raw bit patterns: values beyond fp16
+    range (> 65504) and tiny values below fp16's normal floor round-trip
+    bit-exactly instead of becoming inf/0."""
+    V = 64
+    reps = np.zeros((8, V), np.float32)
+    reps[0, 3] = 1.0e6       # fp16 would store inf
+    reps[1, 5] = 3.0e-6      # fp16 subnormal floor
+    reps[2, 7] = 2.5
+    idx = SparseIndex(V, IndexConfig(engine="sparse", l_max=4, block_docs=8,
+                                     query_batch=4, weight_dtype="bfloat16"))
+    idx.add([str(i) for i in range(8)], reps)
+    idx.finalize()
+    idx.save(str(tmp_path / "bf"))
+    blob = np.load(str(tmp_path / "bf" / "index.npz"))
+    assert "weights_bf16" in blob and "weights" not in blob
+    idx2 = SparseIndex.load(str(tmp_path / "bf"))
+    a = np.asarray(idx._docs_dev, dtype=np.float32)
+    b = np.asarray(idx2._docs_dev, dtype=np.float32)
+    np.testing.assert_array_equal(a, b)
+    assert np.isfinite(b).all()
