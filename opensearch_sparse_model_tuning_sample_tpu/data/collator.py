@@ -106,17 +106,32 @@ class _CollatorBase:
         tok = tokenizer or self.tokenizer
         return tok.encode_bucketed(texts, self.cap, self.buckets)
 
-    def _teacher_features(self, queries, docs, Lq, Ld, q_ids=None, d_ids=None):
+    def _bucket_for(self, longest: int) -> int:
+        for b in self.buckets:
+            if longest <= b:
+                return b
+        return self.cap
+
+    @staticmethod
+    def _pad_feat(f: Dict[str, np.ndarray], L: int, pad_id: int):
+        ids, am = f["input_ids"], f["attention_mask"]
+        if ids.shape[1] < L:
+            w = L - ids.shape[1]
+            ids = np.pad(ids, ((0, 0), (0, w)), constant_values=pad_id)
+            am = np.pad(am, ((0, 0), (0, w)))
+        return {"input_ids": ids, "attention_mask": am}
+
+    def _teacher_features(
+        self, queries, docs, native_feats, q_ids=None, d_ids=None
+    ):
         """Per-teacher parallel features; remote teachers get a pending
         placeholder resolved by `resolve_pending` after the prefetch lands.
-
-        Non-remote teachers pad to the STUDENT's chosen buckets (Lq/Ld): if
-        every tokenizer picked its own bucket, the jitted train step's input
-        signature would be the cross product of all tokenizers' bucket
-        choices — up to buckets^(2+2T) distinct compiles — instead of the
-        one-compile-per-bucket invariant (CLAUDE.md)."""
+        `native_feats` carries the already-tokenized-and-bucket-padded
+        (q, d) features for native teachers (aligned with self.teachers,
+        None rows for remote/host) — built in `_assemble` so the shared
+        bucket accounts for every tokenizer's length."""
         teacher_q, teacher_d = [], []
-        for t in self.teachers:
+        for t, nf in zip(self.teachers, native_feats):
             if t["remote"]:
                 assert q_ids is not None and d_ids is not None, (
                     "remote teachers need kd-ids rows (q_id/d_ids)"
@@ -134,9 +149,8 @@ class _CollatorBase:
                 teacher_q.append({"texts": tuple(queries)})
                 teacher_d.append({"texts": tuple(docs)})
             else:
-                tok = t["tokenizer"]
-                teacher_q.append(tok(queries, max_length=Lq, pad_to=Lq))
-                teacher_d.append(tok(docs, max_length=Ld, pad_to=Ld))
+                teacher_q.append(nf[0])
+                teacher_d.append(nf[1])
         return teacher_q, teacher_d
 
     def resolve_pending(self, batch: Dict) -> Dict:
@@ -162,8 +176,41 @@ class _CollatorBase:
 
     # ------------------------------------------------------------------
     def _assemble(self, queries, docs, scores=None, q_ids=None, d_ids=None):
-        qf = self._encode(queries)
-        df = self._encode(docs)
+        natives = [
+            t for t in self.teachers if not t["remote"] and not t.get("host")
+        ]
+        if not natives:
+            qf = self._encode(queries)
+            df = self._encode(docs)
+        else:
+            # SHARED bucket across all tokenizers: every tokenizer (student
+            # and native teachers) tokenizes once at the cap, padded to its
+            # longest; the batch bucket then fits the max over ALL of them.
+            # Padding the teachers to the student's own bucket would
+            # TRUNCATE a teacher whose tokenizer needs more tokens for the
+            # same text (the reference pads teachers to their full length,
+            # collator.py:32-52); one shared bucket also keeps the jitted
+            # step at one compile per bucket instead of the cross product
+            # of per-tokenizer choices (CLAUDE.md invariant).
+            qf = self.tokenizer(queries, max_length=self.cap)
+            df = self.tokenizer(docs, max_length=self.cap)
+            raw = [
+                (tok(queries, max_length=self.cap), tok(docs, max_length=self.cap))
+                for tok in (t["tokenizer"] for t in natives)
+            ]
+            Lq = self._bucket_for(
+                max([qf["input_ids"].shape[1]] + [r[0]["input_ids"].shape[1] for r in raw])
+            )
+            Ld = self._bucket_for(
+                max([df["input_ids"].shape[1]] + [r[1]["input_ids"].shape[1] for r in raw])
+            )
+            qf = self._pad_feat(qf, Lq, self.tokenizer.pad_id)
+            df = self._pad_feat(df, Ld, self.tokenizer.pad_id)
+            raw = [
+                (self._pad_feat(rq, Lq, t["tokenizer"].pad_id),
+                 self._pad_feat(rd, Ld, t["tokenizer"].pad_id))
+                for (rq, rd), t in zip(raw, natives)
+            ]
         batch = {
             "q_input_ids": qf["input_ids"],
             "q_attention_mask": qf["attention_mask"],
@@ -175,10 +222,13 @@ class _CollatorBase:
         ):
             batch["scores"] = np.asarray(scores, dtype=np.float32)
         if self.teachers:
+            it = iter(raw) if natives else iter(())
+            native_feats = [
+                None if (t["remote"] or t.get("host")) else next(it)
+                for t in self.teachers
+            ]
             tq, td = self._teacher_features(
-                queries, docs,
-                qf["input_ids"].shape[1], df["input_ids"].shape[1],
-                q_ids, d_ids,
+                queries, docs, native_feats, q_ids, d_ids
             )
             batch["teacher_q"] = tq
             batch["teacher_d"] = td

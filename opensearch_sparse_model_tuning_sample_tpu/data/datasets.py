@@ -120,9 +120,12 @@ class KnowledgeDistillDataset:
         return row["query"], docs, scores
 
 
-class KnowledgeDistillIdsDataset:
+class KnowledgeDistillIdsDataset(KnowledgeDistillDataset):
     """KD rows that also carry q_id/d_ids for precomputed ("remote")
-    teachers (reference dataset.py:220-284). Same strided grouping."""
+    teachers (reference dataset.py:220-284). Shares the parent's
+    first_rank filter and strided grouping (a fix to one must not have to
+    be applied twice); the reference ids variant applies no score_scale,
+    so it is pinned to 1."""
 
     def __init__(
         self,
@@ -132,32 +135,13 @@ class KnowledgeDistillIdsDataset:
         first_rank_thresh: int = 10000,
         **_,
     ):
-        assert sample_num >= 2
-        cols = _column_names(all_data)
-        if "first_rank" in cols:
-            if hasattr(all_data, "filter"):
-                all_data = all_data.filter(
-                    lambda r: _first_rank_keep(r, first_rank_thresh)
-                )
-            else:
-                all_data = [r for r in all_data if _first_rank_keep(r, first_rank_thresh)]
-
-        self.all_data = all_data
-        self.has_scores = "scores" in _column_names(all_data)
-        self.groups: List[Tuple[int, List[int]]] = []
-        for row_idx in range(len(all_data)):
-            n = len(all_data[row_idx]["docs"])
-            order = list(range(n))
-            if swap_times:
-                order = partial_shuffle(order, swap_times)
-            step = n // sample_num
-            for i in range(step):
-                self.groups.append(
-                    (row_idx, [order[k * step + i] for k in range(sample_num)])
-                )
-
-    def __len__(self):
-        return len(self.groups)
+        super().__init__(
+            all_data,
+            sample_num=sample_num,
+            swap_times=swap_times,
+            first_rank_thresh=first_rank_thresh,
+            score_scale=1.0,
+        )
 
     def __getitem__(self, idx: int):
         row_idx, picks = self.groups[idx]

@@ -411,7 +411,12 @@ def load_checkpoint(
 
         try:
             tok = load_tokenizer(ckpt_dir)
-        except FileNotFoundError:
+        except (FileNotFoundError, ValueError) as e:
+            # the idf vector is an optional side-load: a checkpoint whose
+            # tokenizer layout we can't parse (e.g. a Unigram
+            # tokenizer.json) must not abort the whole load — the caller
+            # may supply a working tokenizer separately (tokenizer_name)
+            logger.info("idf side-load skipped (%s)", e)
             tok = None
         if tok is not None:
             idf = load_idf_weights(idf_path, tok)

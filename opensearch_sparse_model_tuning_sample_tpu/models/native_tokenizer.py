@@ -12,12 +12,20 @@ from __future__ import annotations
 import ctypes
 import logging
 import os
+import re
 import subprocess
 from typing import List, Optional
 
 import numpy as np
 
 logger = logging.getLogger(__name__)
+
+# texts that must take the Python path even when pure ASCII: '[' can open a
+# never-split special token ("[SEP]" stays one token in Python but splits to
+# punctuation in C++), and ASCII control chars (other than \t\n\r whitespace)
+# are REMOVED mid-word by the Python cleaner while wordpiece.cpp flushes the
+# word at them
+_NEEDS_PY = re.compile(r"[\[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]")
 
 _REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _LIB_PATH = os.path.join(_REPO, "native", "build", "libwordpiece.so")
@@ -78,6 +86,10 @@ class NativeWordPiece:
         raw: List[Optional[bytes]] = []
         fallback_idx: List[int] = []
         for i, t in enumerate(texts):
+            if _NEEDS_PY.search(t):
+                raw.append(None)
+                fallback_idx.append(i)
+                continue
             try:
                 raw.append(t.encode("ascii"))
             except UnicodeEncodeError:
@@ -111,6 +123,14 @@ class NativeWordPiece:
 def attach_native(py_tokenizer) -> bool:
     """Try to attach the native fast path to a WordPieceTokenizer; returns
     whether it succeeded."""
+    if not getattr(py_tokenizer, "do_lower_case", True):
+        # wordpiece.cpp lowercases unconditionally; attaching it to a cased
+        # tokenizer would encode ASCII texts in the wrong id space while
+        # non-ASCII texts take the (correct) Python path — a silent mixed
+        # tokenization within one batch
+        logger.info("native tokenizer not attached: cased tokenizer "
+                    "(do_lower_case=False); using the Python path")
+        return False
     try:
         py_tokenizer._native = NativeWordPiece(py_tokenizer)
         return True

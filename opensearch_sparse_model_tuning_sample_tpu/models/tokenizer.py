@@ -211,6 +211,18 @@ class WordPieceTokenizer(_TokenizerBase):
             if os.path.isdir(path_or_name):
                 vf = os.path.join(path_or_name, "vocab.txt")
                 if os.path.exists(vf):
+                    # honor the checkpoint's casing: save_pretrained writes
+                    # do_lower_case into tokenizer_config.json, and a cased
+                    # vocab loaded as lowercasing would encode every id
+                    # wrong with no error (breaks our own round trip)
+                    tc = os.path.join(path_or_name, "tokenizer_config.json")
+                    if "do_lower_case" not in kw and os.path.exists(tc):
+                        try:
+                            tcfg = json.load(open(tc))
+                        except (json.JSONDecodeError, OSError):
+                            tcfg = {}
+                        if isinstance(tcfg.get("do_lower_case"), bool):
+                            kw["do_lower_case"] = tcfg["do_lower_case"]
                     return cls.from_vocab_file(vf, **kw)
                 # an explicit dir without vocab.txt must not silently fall
                 # back to the bundled bert-base vocab: a different vocab

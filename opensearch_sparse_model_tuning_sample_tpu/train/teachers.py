@@ -28,7 +28,7 @@ import numpy as np
 from ..models import bert
 from ..models.bert import BertConfig
 from ..models.tokenizer import WordPieceTokenizer, load_tokenizer
-from ..ops.activations import sparse_activation
+from ..ops.activations import pooled_activation
 
 
 @dataclass
@@ -48,9 +48,19 @@ class Teacher:
 
 
 def sparse_teacher_rep(params, cfg: BertConfig, special_mask, input_ids, attention_mask):
-    """MLM logits -> masked max-pool -> log1p(relu), special tokens zeroed."""
-    logits = bert.apply(params, cfg, input_ids, attention_mask, deterministic=True)
-    rep = sparse_activation(logits, attention_mask)[:, : cfg.vocab_size]
+    """MLM masked max-pool -> log1p(relu), special tokens zeroed.
+
+    Uses the chunked head (bert.mlm_maxpool) like the student path: the
+    naive bert.apply would materialize [B, L, V] fp32 logits inside the
+    train step (~1 GB per base-size teacher forward at B*G=32, L=256) for
+    a tensor that is immediately max-reduced; the scan keeps peak HBM at
+    [B, chunk, V]. Math is identical (masked x0 max-pool) and the teacher
+    is stop_gradient'd, so no backward residuals differ."""
+    hidden = bert.encode_hidden(
+        params, cfg, input_ids, attention_mask, deterministic=True
+    )
+    pooled = bert.mlm_maxpool(params, cfg, hidden, attention_mask, chunk=256)
+    rep = pooled_activation(pooled)[:, : cfg.vocab_size]
     return jnp.where(special_mask[None, :], 0.0, rep)
 
 

@@ -383,3 +383,31 @@ def test_loader_prefetch_abandoned_iterator_reclaims_worker():
     while threading.active_count() > before and _t.time() < deadline:
         _t.sleep(0.1)
     assert threading.active_count() <= before
+
+
+def test_teacher_features_not_truncated_to_student_bucket(tok):
+    """A teacher tokenizer needing MORE tokens than the student for the same
+    text must not be truncated at the student's bucket: the shared batch
+    bucket fits the max over all tokenizers (reference pads teachers to
+    their own full length, collator.py:32-52)."""
+    coll = build_collator("kd", tok, max_length=64, seq_buckets=[8, 16, 32])
+    specials = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"]
+    chars = list("abcdefghijklmnopqrstuvwxyz")
+    vocab = {t: i for i, t in enumerate(
+        specials + chars + ["##" + c for c in chars])}
+    ttok = WordPieceTokenizer(vocab)  # char-level: ~5x the student's length
+    coll.teachers = [{"remote": False, "tokenizer": ttok}]
+
+    rows = [("hello world", ["document text here", "another doc"], [1.0, 0.5])]
+    batch = coll(rows)
+    got = batch["teacher_d"][0]
+    want = ttok(["document text here", "another doc"], max_length=64)
+    # untruncated: the teacher's active lengths survive bucket padding
+    np.testing.assert_array_equal(
+        got["attention_mask"].sum(axis=1), want["attention_mask"].sum(axis=1)
+    )
+    # one shared bucket across student and teacher features
+    assert got["input_ids"].shape[1] == batch["d_input_ids"].shape[1]
+    assert batch["d_input_ids"].shape[1] in (8, 16, 32)
+    # teacher padding uses the teacher's own pad id
+    assert got["input_ids"][0, -1] == ttok.pad_id

@@ -58,3 +58,27 @@ def test_bucketed_encode_uses_native(tok_native, tok_py):
 def test_truncation_parity(tok_native, tok_py):
     long = " ".join(["retrieval"] * 300)
     assert tok_native._native.encode_batch([long], 16)[0] == tok_py.encode_ids(long, 16)
+
+
+def test_special_token_literal_parity(tok_native, tok_py):
+    """Whitespace-delimited literal specials ("[SEP]") are never-split in
+    the Python path; texts containing '[' or ASCII control chars must take
+    the Python path so both agree (wordpiece.cpp would split them)."""
+    cases = [
+        "first segment [SEP] second segment",
+        "[CLS] already marked [SEP]",
+        "control\x01char mid\x02word",
+    ]
+    for t in cases:
+        got = tok_native._native.encode_batch([t], 32)[0]
+        assert got == tok_py.encode_ids(t, 32), t
+    assert tok_py.sep_id in tok_native._native.encode_batch(
+        ["a [SEP] b"], 32)[0]
+
+
+def test_cased_tokenizer_refuses_native():
+    """wordpiece.cpp lowercases unconditionally — attaching it to a cased
+    tokenizer would silently encode ASCII texts in the wrong id space."""
+    cased = WordPieceTokenizer.from_pretrained(None, do_lower_case=False)
+    assert cased.try_attach_native() is False
+    assert cased._native is None

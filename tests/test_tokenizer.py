@@ -125,3 +125,22 @@ def test_tokenizer_json_unsupported_type_raises(tmp_path):
     (d / "tokenizer.json").write_text(json.dumps({"model": {"type": "Unigram"}}))
     with pytest.raises(ValueError, match="Unigram"):
         load_tokenizer(str(d))
+
+
+def test_save_load_roundtrip_preserves_casing(tmp_path):
+    """save_pretrained writes do_lower_case to tokenizer_config.json;
+    from_pretrained must read it back — a cased vocab loaded as
+    lowercasing encodes every id wrong with no error."""
+    from opensearch_sparse_model_tuning_sample_tpu.models.tokenizer import (
+        WordPieceTokenizer,
+    )
+
+    base = WordPieceTokenizer.from_pretrained(None, do_lower_case=False)
+    out = str(tmp_path / "cased")
+    base.save_pretrained(out)
+    loaded = WordPieceTokenizer.from_pretrained(out)
+    assert loaded.do_lower_case is False
+    assert loaded.encode_ids("Apple Pie", 16) == base.encode_ids("Apple Pie", 16)
+    # explicit kwarg still wins over the config file
+    forced = WordPieceTokenizer.from_pretrained(out, do_lower_case=True)
+    assert forced.do_lower_case is True
