@@ -137,6 +137,20 @@ void wp_encode_batch(void* handle, const char** texts, const int64_t* lens,
                      int32_t n, int32_t max_len, int32_t* out_ids,
                      int32_t* out_lens) {
   const Tokenizer& tk = *(const Tokenizer*)handle;
+  // every row normally holds [CLS] and [SEP]: max_len < 2 would write past
+  // the caller-allocated [n, max_len] buffer. Degenerate lengths emit the
+  // same ([CLS] + body + [SEP])[:max_len] prefix as the Python path.
+  if (max_len < 2) {
+    for (int32_t i = 0; i < n; ++i) {
+      if (max_len == 1) {
+        out_ids[(int64_t)i] = tk.cls_id;
+        out_lens[i] = 1;
+      } else {
+        out_lens[i] = 0;
+      }
+    }
+    return;
+  }
   std::vector<int32_t> ids;
   for (int32_t i = 0; i < n; ++i) {
     ids.clear();

@@ -105,6 +105,14 @@ def main(config_source=None):
                 training_args.output_dir, file
             )
             model_args.tokenizer_name = model_args.model_name_or_path
+            if model_args.idf_requires_grad:
+                # each checkpoint carries ITS OWN learned idf vector
+                # (reference evaluate_beir.py:371-374); without this every
+                # sweep point would score with the final checkpoint's idf
+                # and the per-step inf-free curve would be flat-out wrong
+                idf = os.path.join(model_args.model_name_or_path, "idf.json")
+                if os.path.exists(idf):
+                    model_args.idf_path = idf
             ckpt_model = se.from_model_args(model_args, seed=training_args.seed)
             nano_dir = os.path.join(
                 training_args.output_dir, f"nano_beir_eval{suffix}"

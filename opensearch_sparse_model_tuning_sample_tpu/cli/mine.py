@@ -30,8 +30,11 @@ def main(config_source=None):
     # `source` points the mining encoder at a specific checkpoint.
     if mining_args.source:
         model_args.model_name_or_path = mining_args.source
-        if model_args.tokenizer_name is None:
-            model_args.tokenizer_name = mining_args.source
+        # unconditional, like evaluate_beir.prepare_model_args: __post_init__
+        # already defaulted tokenizer_name to the YAML's model path, so an
+        # is-None guard would leave mining encoding with the OLD
+        # checkpoint's vocab while using the source checkpoint's weights
+        model_args.tokenizer_name = mining_args.source
     datasets = (mining_args.mine_datasets or data_args.beir_datasets).split(",")
     if len(datasets) != 1:
         raise ValueError("can only accept one beir dataset")

@@ -296,9 +296,14 @@ class ServingState:
                                     "status": 201, "result": "created"}})
         vocab = self.model.tokenizer.vocab
         with self.lock:
+            # validate the WHOLE request before mutating any index: failing
+            # mid-loop would leave earlier indexes' docs ingested behind a
+            # 400, and a client retry would double-ingest them (add_topk
+            # appends; there is no overwrite-by-_id like OpenSearch bulk)
+            missing = [n for n in per_index if n not in self.indexes]
+            if missing:
+                raise KeyError(f"no index {missing[0]}")
             for idx_name, docs in per_index.items():
-                if idx_name not in self.indexes:
-                    raise KeyError(f"no index {idx_name}")
                 index = self.indexes[idx_name]
                 index.reopen()
                 # a batch may mix pre-encoded text_sparse docs and raw text
@@ -444,7 +449,18 @@ def make_handler(state: ServingState):
                     if parts[0] not in state.indexes:
                         self._send(404, {"error": f"no index {parts[0]}"})
                         return
-                    two_phase = "search_pipeline" in params
+                    two_phase = False
+                    if "search_pipeline" in params:
+                        # OpenSearch 400s on an unknown pipeline name; a
+                        # typo must not silently change search semantics
+                        pname = params["search_pipeline"][0]
+                        if pname not in state.pipelines:
+                            self._send(
+                                400,
+                                {"error": f"no search pipeline {pname}"},
+                            )
+                            return
+                        two_phase = True
                     self._send(
                         200,
                         state.search(parts[0], self._body(),

@@ -30,7 +30,11 @@ def main(config_source=None):
     model_args, data_args, training_args = parse_config(config_source)
     set_logging(training_args.output_dir, "train.log", training_args.log_level)
     # config snapshot for reproducibility (reference train_ir.py:33-44)
-    if isinstance(config_source, str) or (config_source is None and len(sys.argv) == 2):
+    argv_yaml = (
+        config_source is None and len(sys.argv) == 2
+        and sys.argv[1].endswith((".yaml", ".yml"))  # not a bare --flag
+    )
+    if isinstance(config_source, str) or argv_yaml:
         src = config_source or sys.argv[1]
         shutil.copy(src, os.path.join(training_args.output_dir, "train_config.yaml"))
     else:

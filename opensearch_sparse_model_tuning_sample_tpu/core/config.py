@@ -196,7 +196,6 @@ _IGNORED_KEYS = {
 
 
 def _split_fields(raw: Dict[str, Any]):
-    groups = {}
     leftovers = {}
     cls_fields = {
         "model": {f.name for f in dataclasses.fields(ModelArguments)},
@@ -214,7 +213,6 @@ def _split_fields(raw: Dict[str, Any]):
                 break
         if not placed and k not in _IGNORED_KEYS:
             leftovers[k] = v
-    groups.update(buckets)
     return buckets, leftovers
 
 
@@ -243,6 +241,43 @@ def _parse_flag_args(argv: List[str]) -> Dict[str, Any]:
         except yaml.YAMLError:
             raw[key.replace("-", "_")] = val
     return raw
+
+
+def _coerce_scalar_fields(bucket: Dict[str, Any], cls) -> None:
+    """Cast string values into declared float/int/bool field types.
+
+    YAML 1.1 (PyYAML) parses `2e-5` — scientific notation without a decimal
+    point — as a STRING, and the reference relies on HfArgumentParser's
+    field-type coercion to fix it up (args.py:81-96). Without this, a
+    reference YAML's `learning_rate: 2e-5` reaches the optimizer as '2e-5'
+    and crashes at trace time with an unrelated-looking TypeError."""
+    for f in dataclasses.fields(cls):
+        v = bucket.get(f.name)
+        if not isinstance(v, str):
+            continue
+        t = str(f.type)
+        if "List" in t or "Dict" in t or "str" in t:
+            continue
+        s = v.strip()
+        if s.lower() in ("null", "none", ""):
+            # "null" on an Optional numeric/bool knob means None (the
+            # reference normalizes this per-field, args.py:65-72; doing it
+            # by type covers every Optional knob)
+            if "Optional" in t:
+                bucket[f.name] = None
+            continue
+        try:
+            if "bool" in t:
+                if s.lower() in ("true", "yes", "1"):
+                    bucket[f.name] = True
+                elif s.lower() in ("false", "no", "0"):
+                    bucket[f.name] = False
+            elif "int" in t:
+                bucket[f.name] = int(float(s))
+            elif "float" in t:
+                bucket[f.name] = float(s)
+        except ValueError:
+            pass  # leave it; the consumer raises with the field name
 
 
 def _coerce_list_fields(bucket: Dict[str, Any], cls) -> None:
@@ -295,9 +330,10 @@ def parse_config(
 
         logging.getLogger(__name__).warning("unknown config keys ignored: %s", leftovers)
 
-    _coerce_list_fields(buckets["model"], ModelArguments)
-    _coerce_list_fields(buckets["data"], DataArguments)
-    _coerce_list_fields(buckets["train"], TrainingArguments)
+    for name, cls in (("model", ModelArguments), ("data", DataArguments),
+                      ("train", TrainingArguments), ("mine", MiningArguments)):
+        _coerce_list_fields(buckets[name], cls)
+        _coerce_scalar_fields(buckets[name], cls)
     model_args = ModelArguments(**buckets["model"])
     data_args = DataArguments(**buckets["data"])
     training_args = TrainingArguments(**buckets["train"])

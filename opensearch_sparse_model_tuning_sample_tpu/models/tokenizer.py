@@ -319,8 +319,12 @@ class WordPieceTokenizer(_TokenizerBase):
         return toks
 
     def encode_ids(self, text: str, max_length: int) -> List[int]:
-        """[CLS] tokens[:max_length-2] [SEP] — HF truncation semantics."""
+        """[CLS] tokens[:max_length-2] [SEP] — HF truncation semantics.
+        max_length < 2 degenerates to a prefix (a negative slice here would
+        silently return nearly the WHOLE sequence)."""
         ids = self.convert_tokens_to_ids(self.tokenize(text))
+        if max_length < 2:
+            return ([self.cls_id] + ids + [self.sep_id])[:max(max_length, 0)]
         ids = ids[: max_length - 2]
         return [self.cls_id] + ids + [self.sep_id]
 
@@ -446,8 +450,12 @@ class ByteLevelBPETokenizer(_TokenizerBase):
         return out
 
     def encode_ids(self, text: str, max_length: int) -> List[int]:
-        """<s> tokens[:max_length-2] </s> — HF truncation semantics."""
+        """<s> tokens[:max_length-2] </s> — HF truncation semantics.
+        max_length < 2 degenerates to a prefix (a negative slice here would
+        silently return nearly the WHOLE sequence)."""
         ids = self.convert_tokens_to_ids(self.tokenize(text))
+        if max_length < 2:
+            return ([self.bos_id] + ids + [self.eos_id])[:max(max_length, 0)]
         ids = ids[: max_length - 2]
         return [self.bos_id] + ids + [self.eos_id]
 

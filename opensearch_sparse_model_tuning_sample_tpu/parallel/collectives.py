@@ -15,7 +15,8 @@ gradient semantics.
 
 from __future__ import annotations
 
-from typing import Tuple
+import inspect
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -54,10 +55,26 @@ def merged_topk(
     return s, i
 
 
-def global_batch_fn(fn, mesh: Mesh, *, replicated_out: bool = True):
+def global_batch_fn(
+    fn, mesh: Mesh, *, replicated_out: bool = True, n_args: Optional[int] = None
+):
     """Wrap `fn(global_arrays...) -> out` so each shard-mapped instance sees
     the gathered global batch (explicit-collective alternative to jitting
-    over sharded inputs)."""
+    over sharded inputs). Pass `n_args` for callables whose positional arity
+    `inspect.signature` cannot see (some builtins/C extensions)."""
+    if n_args is None:
+        # __code__.co_argcount breaks for functools.partial / jitted
+        # callables and over-counts defaulted args; signature() handles all
+        # Python callables
+        params = inspect.signature(fn).parameters.values()
+        if any(p.kind == p.VAR_POSITIONAL for p in params):
+            raise TypeError(
+                "global_batch_fn needs an explicit n_args for *args callables"
+            )
+        n_args = sum(
+            p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+            for p in params
+        )
 
     def inner(*shards):
         gathered = tuple(all_gather_batch(s) for s in shards)
@@ -66,7 +83,7 @@ def global_batch_fn(fn, mesh: Mesh, *, replicated_out: bool = True):
     return shard_map(
         inner,
         mesh=mesh,
-        in_specs=tuple(P(DATA_AXIS) for _ in range(fn.__code__.co_argcount)),
+        in_specs=tuple(P(DATA_AXIS) for _ in range(n_args)),
         out_specs=P() if replicated_out else P(DATA_AXIS),
         check_vma=False,
     )

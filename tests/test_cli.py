@@ -305,3 +305,30 @@ def test_eval_model_resolution(tmp_path):
     ma, _, ta = parse_config(dict(base, max_steps=99))
     resolve_eval_model(ma, ta, "cfg.yaml", [])
     assert ma.model_name_or_path == "some/starting_backbone"
+
+
+def test_parse_config_coerces_yaml11_scalars(tmp_path):
+    """PyYAML (YAML 1.1) parses `2e-5` — scientific notation with no decimal
+    point — as a STRING; field-type coercion must fix it like the
+    reference's HfArgumentParser does, or reference YAMLs crash at trace
+    time (`learning_rate: 2e-5` is in real configs)."""
+    from opensearch_sparse_model_tuning_sample_tpu.core.config import parse_config
+
+    out = str(tmp_path / "o")
+    cfg = tmp_path / "c.yaml"
+    cfg.write_text(
+        f"learning_rate: 2e-5\nflops_d_lambda: 1e-3\nidf_lr: 5e-3\n"
+        f"max_steps: '7'\nuse_l0: 'true'\noutput_dir: {out}\n"
+    )
+    ma, da, ta = parse_config(str(cfg))
+    assert ta.learning_rate == 2e-5 and isinstance(ta.learning_rate, float)
+    assert da.flops_d_lambda == 1e-3
+    assert da.idf_lr == 5e-3
+    assert ta.max_steps == 7 and isinstance(ta.max_steps, int)
+    assert ma.use_l0 is True
+    # strings stay strings; "null" normalization still works
+    ma2, _, _ = parse_config(
+        {"model_name_or_path": "x/y", "prune_ratio": "null", "output_dir": out}
+    )
+    assert ma2.model_name_or_path == "x/y"
+    assert ma2.prune_ratio is None

@@ -82,3 +82,16 @@ def test_cased_tokenizer_refuses_native():
     cased = WordPieceTokenizer.from_pretrained(None, do_lower_case=False)
     assert cased.try_attach_native() is False
     assert cased._native is None
+
+
+@pytest.mark.parametrize("max_len", [1, 2, 3])
+def test_degenerate_max_length_parity(tok_native, tok_py, max_len):
+    """max_length < 2 must not negative-slice (Python) or overflow the
+    caller's row buffer (C++); both emit ([CLS]+body+[SEP])[:max_length]."""
+    text = "hello brave new world"
+    native = tok_native._native.encode_batch([text], max_len)[0]
+    python = tok_py.encode_ids(text, max_len)
+    assert native == python
+    assert len(python) <= max_len
+    # max_length=0: python yields [], and the guard keeps it bounded
+    assert tok_py.encode_ids(text, 0) == []

@@ -484,3 +484,59 @@ def test_bf16_index_save_load_is_lossless(tmp_path):
     b = np.asarray(idx2._docs_dev, dtype=np.float32)
     np.testing.assert_array_equal(a, b)
     assert np.isfinite(b).all()
+
+
+def test_bulk_validates_all_indexes_before_ingesting(tiny_model):
+    """A bulk naming a missing index must not half-ingest: earlier indexes'
+    docs behind a 400 would double-ingest on the client's retry (add_topk
+    appends; there is no overwrite-by-_id)."""
+    V = tiny_model.vocab_size
+    idx = SparseIndex(V, IndexConfig(engine="sparse", l_max=8, block_docs=32,
+                                     query_batch=4))
+    state = ServingState(tiny_model, {"a": idx}, max_length=32)
+    word = next(iter(tiny_model.tokenizer.vocab))
+    lines = [
+        {"index": {"_index": "a", "_id": "d1"}},
+        {"text_sparse": {word: 1.0}},
+        {"index": {"_index": "missing", "_id": "d2"}},
+        {"text_sparse": {word: 1.0}},
+    ]
+    body = "\n".join(json.dumps(l) for l in lines).encode()
+    with pytest.raises(KeyError):
+        state.bulk(body)
+    assert len(idx.doc_ids) == 0  # nothing ingested
+
+
+def test_unknown_search_pipeline_is_rejected(tiny_model):
+    """?search_pipeline= with a name that was never installed returns 400
+    (OpenSearch semantics) instead of silently enabling two-phase."""
+    V = tiny_model.vocab_size
+    idx = SparseIndex(V, IndexConfig(engine="sparse", l_max=8, block_docs=32,
+                                     query_batch=4))
+    reps = np.zeros((4, V), np.float32)
+    reps[:, 5] = 1.0
+    idx.add([str(i) for i in range(4)], reps)
+    idx.finalize()
+    state = ServingState(tiny_model, {"ix": idx}, max_length=32)
+    httpd = serve(state, host="127.0.0.1", port=0)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    url = f"http://127.0.0.1:{httpd.server_address[1]}"
+    word = next(w for w in ("the", "a") if w in tiny_model.tokenizer.vocab)
+    body = {"query": {"neural_sparse": {"text_sparse": {
+        "query_tokens": {word: 1.0}}}}, "size": 2}
+    try:
+        import urllib.error
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(f"{url}/ix/_search?search_pipeline=nope", body)
+        assert ei.value.code == 400
+        # installing it makes the same request work
+        _request(
+            f"{url}/_search/pipeline/nope",
+            json.dumps({"request_processors": [
+                {"neural_sparse_two_phase_processor": {}}]}).encode(),
+            "PUT",
+        )
+        res = _post(f"{url}/ix/_search?search_pipeline=nope", body)
+        assert "hits" in res
+    finally:
+        httpd.shutdown()
