@@ -119,6 +119,11 @@ class DataArguments:
     index_l_max: int = 256
     index_postings_cap: int = 2048
     index_query_batch: int = 64
+    index_query_terms: int = 16
+    # inverted engines: re-run uncertified queries on the exact scan so
+    # every result is provably exact (IndexConfig.exact_escalate); eval
+    # reports certified_frac/escalated_frac alongside NDCG
+    index_exact_escalate: bool = False
     # "docs" = corpus stripes per device; "queries" = replicated index,
     # query batch sharded (zero-collective hot path when the corpus fits
     # one device) — see IndexConfig.shard_by

@@ -698,6 +698,8 @@ def index_cfg_from_args(data_args) -> IndexConfig:
         l_max=getattr(data_args, "index_l_max", 256),
         postings_cap=getattr(data_args, "index_postings_cap", 2048),
         query_batch=getattr(data_args, "index_query_batch", 64),
+        query_terms=getattr(data_args, "index_query_terms", 16),
+        exact_escalate=getattr(data_args, "index_exact_escalate", False),
         shard_by=getattr(data_args, "index_shard_by", "docs"),
     )
 
@@ -758,6 +760,8 @@ def evaluate_datasets(
         "dataset": [], "flops": [], "NDCG@10": [],
         **{c: [] for c in extra_cols},
         "q_length": [], "d_length": [],
+        # exactness-certificate tally (inverted engines; None elsewhere)
+        "certified_frac": [], "escalated_frac": [],
     }
     for name in datasets:
         corpus, queries, qrels = load_fn(name)
@@ -840,6 +844,8 @@ def evaluate_datasets(
         result["flops"].append(res["flops"])
         result["q_length"].append(res["q_length"])
         result["d_length"].append(res["d_length"])
+        result["certified_frac"].append(res.get("certified_frac"))
+        result["escalated_frac"].append(res.get("escalated_frac"))
 
     if not data_args.do_search or not result["dataset"]:
         return {}
@@ -848,8 +854,14 @@ def evaluate_datasets(
         key: sum(result[key]) / len(result[key])
         for key in ["flops", "q_length", "d_length", "NDCG@10", *extra_cols]
     }
+    cert_vals = [v for v in result["certified_frac"] if v is not None]
+    if cert_vals:  # only inverted-engine runs produce the certificate
+        avg_res["certified_frac"] = sum(cert_vals) / len(cert_vals)
+        esc_vals = [v for v in result["escalated_frac"] if v is not None]
+        avg_res["escalated_frac"] = sum(esc_vals) / len(esc_vals)
     tag = f"_step{step}" if step is not None else ""
-    cols = ["dataset", "flops", "NDCG@10", *extra_cols, "q_length", "d_length"]
+    cols = ["dataset", "flops", "NDCG@10", *extra_cols, "q_length", "d_length",
+            "certified_frac", "escalated_frac"]
     with open(os.path.join(eval_dir, f"beir_statistics{tag}.csv"), "w", newline="") as f:
         w = csv.writer(f)
         w.writerow(cols)

@@ -1062,11 +1062,15 @@ class SparseIndex:
             arrs["weights_bf16"] = w_np.view(np.uint16)
         else:
             arrs["weights"] = w_np
-        del w_np
         if self._tok_dev is not None:
             arrs["tokens"] = np.asarray(self._tok_dev)
         np.savez_compressed(os.path.join(path, "index.npz"), **arrs)
         meta = {
+            # format 2: bfloat16 weights stored as raw bits ("weights_bf16");
+            # readers older than this field expect a "weights" float array
+            # and fail with a KeyError on bf16 indexes (fp32/fp16 indexes
+            # remain readable by them)
+            "format": 2,
             "vocab_size": self.vocab_size,
             "n_docs": self.n_docs,
             "engine": self._engine,

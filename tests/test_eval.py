@@ -439,3 +439,34 @@ def test_search_reports_certificate_stats(tiny_model, synth, tmp_path):
     res2 = search(queries, tiny_model, scan, out, "certscan", max_length=64,
                   batch_size=32, inf_free=True)
     assert "certified_frac" not in res2
+
+
+def test_harness_surfaces_certificate_stats(tiny_model, synth, tmp_path, monkeypatch):
+    """The certificate tally must land where eval results land: YAML knobs
+    (index_engine/index_exact_escalate) select the inverted engine, and
+    certified_frac/escalated_frac come out in avg_res and the CSV."""
+    import csv as _csv
+
+    from opensearch_sparse_model_tuning_sample_tpu.core.config import parse_config
+    from opensearch_sparse_model_tuning_sample_tpu.eval.beir import evaluate_datasets
+
+    corpus, queries, qrels = synth
+
+    def loader(name):
+        return corpus, queries, qrels
+
+    monkeypatch.setenv("METRICS_DIR", str(tmp_path / "metrics"))
+    ma, da, ta = parse_config({
+        "output_dir": str(tmp_path), "beir_datasets": "synthetic",
+        "max_steps": 1, "arch": "tiny", "eval_max_seq_length": 64,
+        "per_device_eval_batch_size": 32, "index_engine": "inverted",
+        "index_l_max": 32, "index_postings_cap": 128, "index_query_terms": 8,
+        "index_exact_escalate": True,
+    })
+    eval_dir = str(tmp_path / "beir_eval")
+    avg = evaluate_datasets(["synthetic"], loader, tiny_model, ma, da, ta, eval_dir)
+    assert avg["certified_frac"] == 1.0  # escalation on => all exact
+    assert 0.0 <= avg["escalated_frac"] <= 1.0
+    with open(os.path.join(eval_dir, "beir_statistics.csv")) as f:
+        header = next(_csv.reader(f))
+    assert "certified_frac" in header and "escalated_frac" in header
