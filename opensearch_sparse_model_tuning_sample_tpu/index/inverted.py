@@ -27,6 +27,7 @@ list the result is exact.
 from __future__ import annotations
 
 import logging
+import threading
 from functools import partial
 from typing import Optional, Tuple
 
@@ -40,41 +41,61 @@ _PAD_ID = np.iinfo(np.int32).max
 
 
 _native_lib = None
+_native_lock = threading.Lock()
 
 
 def _load_native():
     """native/postings.cpp: parallel counting-bucket build (~10x the numpy
-    packed-key argsort at 1e9 nnz). Auto-built by native/build.sh."""
+    packed-key argsort at 1e9 nnz). Auto-built by native/build.sh.
+
+    Lock-guarded: the ingest background thread (IncrementalPostingsBuilder)
+    and the main thread can race the lazy first load; without the lock one
+    of them could CDLL a half-written .so during an auto-build and pin this
+    process to the 10x-slower numpy path for its whole lifetime. A stale
+    pre-round-2 .so (no merge_postings symbol) triggers one rebuild."""
     global _native_lib
     if _native_lib is not None:
         return _native_lib
+    with _native_lock:
+        if _native_lib is not None:
+            return _native_lib
+        _native_lib = _load_native_locked()
+    return _native_lib
+
+
+def _load_native_locked():
     import ctypes
     import os
     import subprocess
 
     if os.environ.get("OSSMT_NO_NATIVE"):
-        _native_lib = False
         return False
     repo = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
     lib_path = os.path.join(repo, "native", "build", "libpostings.so")
-    if not os.path.exists(lib_path):
-        script = os.path.join(repo, "native", "build.sh")
+    script = os.path.join(repo, "native", "build.sh")
+
+    def rebuild() -> bool:
         try:
             subprocess.run(["bash", script], check=True, capture_output=True,
                            timeout=120)
+            return os.path.exists(lib_path)
         except Exception:
-            _native_lib = False
             return False
-    try:
-        lib = ctypes.CDLL(lib_path)
-        lib.build_postings.restype = ctypes.c_int
-        lib.build_postings.argtypes = [
-            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
-            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
-            ctypes.c_int32,
-        ]
-        try:  # added after round 2 — absent from older cached .so builds
+
+    if not os.path.exists(lib_path) and not rebuild():
+        return False
+    for attempt in (0, 1):
+        try:
+            lib = ctypes.CDLL(lib_path)
+            lib.build_postings.restype = ctypes.c_int
+            lib.build_postings.argtypes = [
+                ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
+                ctypes.c_int32,
+            ]
+            # merge_postings was added after round 2: a cached older .so
+            # lacks it — rebuild once rather than silently degrading
             lib.merge_postings.restype = ctypes.c_int
             lib.merge_postings.argtypes = [
                 ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
@@ -83,12 +104,13 @@ def _load_native():
                 ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_float),
                 ctypes.c_int32,
             ]
-        except AttributeError:
-            pass
-        _native_lib = lib
-    except Exception:
-        _native_lib = False
-    return _native_lib
+            return lib
+        except (OSError, AttributeError) as e:
+            if attempt == 0 and rebuild():
+                continue
+            logger.info("native postings unavailable (%s); numpy path", e)
+            return False
+    return False
 
 
 def build_postings(
@@ -108,6 +130,16 @@ def build_postings(
         N, L = toks.shape
         t = np.ascontiguousarray(toks, dtype=np.int32)
         w = np.ascontiguousarray(ws, dtype=np.float32)
+        # the C++ builder indexes counts[tok] with no bounds check — an
+        # out-of-range id would be silent heap corruption in a background
+        # thread, where the numpy path raises cleanly. Keep both failure
+        # modes identical. (~ms per 1e8 nnz, noise next to the build.)
+        tmin, tmax = int(t.min()), int(t.max())
+        if tmin < 0 or tmax >= vocab_size:
+            raise ValueError(
+                f"token ids out of range [0, {vocab_size}): min={tmin} "
+                f"max={tmax}"
+            )
         post_docs = np.empty((vocab_size, postings_cap), dtype=np.int32)
         post_w = np.empty((vocab_size, postings_cap), dtype=np.float32)
         rc = lib.build_postings(
@@ -181,7 +213,11 @@ def merge_postings(
 
     Any global top-C posting for a token is in its source set's top-C, so
     merging per-chunk partials this way reproduces the one-shot build's
-    posting SET exactly (tie order between equal weights may differ).
+    posting SET exactly — EXCEPT when equal weights tie across the cap
+    boundary: each chunk's top-C drops an arbitrary subset of the tied
+    docs before the merge sees them, so the merged set can swap tied docs
+    vs the one-shot build (scores and the w_tail certificate bound are
+    identical either way; only set-identity comparisons notice).
     C++ row-merge when available; numpy fallback processes vocab
     row-chunks to bound the transient to row_chunk x 2C."""
     lib = _load_native()
@@ -295,6 +331,11 @@ class IncrementalPostingsBuilder:
                 self._err = e
 
     def feed(self, toks: np.ndarray, ws: np.ndarray, doc_offset: int):
+        """Enqueue a chunk. CONTRACT: the caller must not mutate/reuse the
+        passed arrays afterwards — ascontiguousarray aliases an
+        already-contiguous buffer, and the builder thread reads it
+        asynchronously (queue depth 4). engine._slice_rows always passes
+        fresh np.concatenate outputs."""
         if self._err is not None:
             raise RuntimeError("postings builder thread failed") from self._err
         n = toks.shape[0]
@@ -404,6 +445,16 @@ def make_search_fn(
             "requires rescore=True — without rescore the returned scores "
             "would be truncated"
         )
+    if Cq < 1:
+        raise ValueError(f"postings_cols={postings_cols} must be >= 1")
+    if rescore and rescore_expand < 1:
+        raise ValueError(f"rescore_expand={rescore_expand} must be >= 1")
+    if TC < k:
+        raise ValueError(
+            f"k={k} exceeds the candidate pool query_terms*postings_cols="
+            f"{query_terms}*{Cq}={TC} — raise query_terms/postings_cap or "
+            "lower k (otherwise top_k fails inside jit with an opaque error)"
+        )
 
     def search(q: jax.Array, post_docs, post_w, doc_toks, doc_ws):
         B = q.shape[0]
@@ -486,8 +537,17 @@ def make_search_fn(
             if with_bound:
                 # postings-visible sums are the TRUE scores only when no
                 # row was truncated at the read width — certified (-inf)
-                # exactly then, never otherwise (+inf)
-                bound = jnp.where(miss > 0, jnp.inf, -jnp.inf)
+                # exactly then, never otherwise (+inf). `miss` compares the
+                # same products summed in two f32 orders (a [B,V] matvec vs
+                # a masked [B,T] sum), so an exact query can read a few
+                # ulps positive: compare against a relative margin (same
+                # 1e-4 the rescore consumer uses) instead of exact zero,
+                # or every exact query would be left uncertified — and
+                # with exact_escalate, re-run the corpus-linear scan
+                bound = jnp.where(
+                    miss > 1e-4 * jnp.maximum(total_ub, 1e-30),
+                    jnp.inf, -jnp.inf,
+                )
                 return s, i, bound
             return s, i
 

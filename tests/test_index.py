@@ -957,3 +957,55 @@ def test_escalation_skips_padding_rows_and_flags_read_exact():
     scan_rows = sum(n for n, e in calls if e == "sparse")
     # only genuinely-uncertified REAL queries may hit the exact scan
     assert scan_rows == int(esc.sum())
+
+
+def test_make_search_fn_validates_pool_vs_k():
+    """k beyond the candidate pool (query_terms*postings_cols) raises a
+    named ValueError instead of an opaque top_k trace error."""
+    from opensearch_sparse_model_tuning_sample_tpu.index import inverted
+
+    pd = np.full((16, 2), -1, np.int32)
+    pw = np.zeros((16, 2), np.float32)
+    with pytest.raises(ValueError, match="candidate pool"):
+        inverted.make_search_fn(pd, pw, np.zeros((4, 2), np.int32),
+                                np.zeros((4, 2), np.float32),
+                                query_terms=2, k=10)
+
+
+def test_build_postings_rejects_out_of_range_ids():
+    """Out-of-range token ids raise cleanly on BOTH the native and numpy
+    paths (the C++ builder would otherwise corrupt the heap silently)."""
+    from opensearch_sparse_model_tuning_sample_tpu.index import inverted
+
+    toks = np.array([[1, 99]], np.int32)  # 99 >= vocab_size=16
+    ws = np.array([[1.0, 2.0]], np.float32)
+    with pytest.raises((ValueError, IndexError)):
+        inverted.build_postings(toks, ws, 16, 4)
+
+
+def test_nonrescore_certificate_tolerates_fp_noise():
+    """With rescore off and nothing truncated, the certificate must read
+    certified even though total_ub and sel_max sum the same products in
+    different f32 orders (a zero-tolerance test left every exact query
+    uncertified and, under exact_escalate, re-running the full scan)."""
+    rng = np.random.default_rng(3)
+    V = 256
+    reps = np.zeros((64, V), np.float32)
+    for i in range(64):
+        # many active terms so the [B,V] matvec vs masked [B,T] sum
+        # reduction orders actually differ
+        sel = rng.choice(V, 24, replace=False)
+        reps[i, sel] = rng.uniform(0.1, 3.0, 24)
+    cfg = IndexConfig(engine="inverted", l_max=32, block_docs=32,
+                      query_batch=4, postings_cap=64, query_terms=32,
+                      inverted_rescore=False)
+    idx = SparseIndex(V, cfg)
+    idx.add([str(i) for i in range(64)], reps)
+    idx.finalize()
+    q = np.zeros((4, V), np.float32)
+    for i in range(4):
+        sel = rng.choice(V, 16, replace=False)
+        q[i, sel] = rng.uniform(0.5, 2.0, 16)
+    idx.search(q, k=5)
+    # cap=64 >= n_docs and T=32 >= active terms: nothing truncated anywhere
+    assert bool(np.all(idx.last_certified)), idx.last_certified
