@@ -66,10 +66,21 @@ def load_beir_dir(path: str, split: str = "test") -> Tuple[Corpus, Queries, Qrel
     qrels: Qrels = {}
     with open(os.path.join(path, "qrels", f"{split}.tsv"), encoding="utf-8") as f:
         reader = csv.reader(f, delimiter="\t")
-        header = next(reader)
-        for row in reader:
+        def add(row):
             qid, did, score = str(row[0]), str(row[1]), int(row[2])
             qrels.setdefault(qid, {})[did] = score
+
+        first = next(reader, None)  # empty qrels -> no judgments, not a crash
+        if first is not None:
+            # sniff the header: some BEIR-format exports omit it — blindly
+            # consuming a headerless file's first row would silently drop
+            # one judgment
+            try:
+                add(first)
+            except (ValueError, IndexError):
+                pass  # a real header row
+        for row in reader:
+            add(row)
     queries = {q: t for q, t in queries.items() if q in qrels}
     return corpus, queries, qrels
 
@@ -258,6 +269,12 @@ def load_synthetic(name: str, split: str = "test"):
             # with broad corpus coverage (the reference fine-tunes a
             # PRETRAINED model from ~300 scifact rows; random init cannot)
             n_queries = max(n_queries, min(n_docs // 5, 4000))
+        if n_queries > n_docs:
+            # each query is sourced from a distinct doc (replace=False)
+            raise ValueError(
+                f"{name!r}: n_queries={n_queries} cannot exceed "
+                f"n_docs={n_docs} (queries are sampled from distinct docs)"
+            )
         return synthetic_beir_rich(
             n_docs=n_docs, n_queries=n_queries, query_seed=qseed
         )
@@ -387,13 +404,9 @@ def _reduce_counts(
     deadline = time.time() + timeout
     for r in range(world_size):
         p = _count_part_path(out_dir, index_name, r, world_size)
-        while not os.path.exists(p):
-            if time.time() > deadline:
-                raise TimeoutError(f"ingest barrier: rank {r} never wrote {p}")
-            if liveness is not None:
-                liveness.beat()
-                liveness.check(r)
-            time.sleep(0.2)
+        _await(lambda: os.path.exists(p),
+               f"ingest: rank {r} never wrote {p}",
+               deadline - time.time(), liveness, r)
         blob = np.load(p)
         total += blob["count"]
         total_docs += int(blob["n_docs"])
@@ -406,19 +419,32 @@ def _reduce_counts(
     return total, total_docs, t_written
 
 
+def _await(pred, what: str, timeout: float,
+           liveness: Optional["_Liveness"] = None,
+           writer_rank: int = 0) -> None:
+    """Poll `pred()` with the shared barrier discipline: heartbeat + peer
+    liveness check every 0.2 s, TimeoutError naming `what` at the deadline.
+    All filesystem-barrier waits go through here so the liveness semantics
+    live in ONE place."""
+    deadline = time.time() + timeout
+    while not pred():
+        if time.time() > deadline:
+            raise TimeoutError(f"barrier: {what}")
+        if liveness is not None:
+            liveness.beat()
+            liveness.check(writer_rank)
+        time.sleep(0.2)
+
+
 def _await_fresh(path: str, t_after: float, timeout: float,
                  liveness: Optional["_Liveness"] = None,
                  writer_rank: int = 0) -> None:
     """Poll until `path` exists with mtime >= t_after (same filesystem
     clock as the writer — the shared out_dir)."""
-    deadline = time.time() + timeout
-    while not (os.path.exists(path) and os.path.getmtime(path) >= t_after):
-        if time.time() > deadline:
-            raise TimeoutError(f"barrier: no fresh {path}")
-        if liveness is not None:
-            liveness.beat()
-            liveness.check(writer_rank)
-        time.sleep(0.2)
+    _await(
+        lambda: os.path.exists(path) and os.path.getmtime(path) >= t_after,
+        f"no fresh {path}", timeout, liveness, writer_rank,
+    )
 
 
 def ingest(
@@ -547,12 +573,9 @@ def ingest(
             deadline = time.time() + barrier_timeout
             for r in range(world_size):
                 m = _count_part_path(out_dir, index_name, r, world_size) + ".seen"
-                while not os.path.exists(m):
-                    if time.time() > deadline:
-                        raise TimeoutError(f"ingest barrier: rank {r} never confirmed {m}")
-                    liveness.beat()
-                    liveness.check(r)
-                    time.sleep(0.2)
+                _await(lambda: os.path.exists(m),
+                       f"ingest: rank {r} never confirmed {m}",
+                       deadline - time.time(), liveness, r)
             for r in range(world_size):
                 base = _count_part_path(out_dir, index_name, r, world_size)
                 for f in (base, base + ".seen"):
@@ -807,12 +830,10 @@ def evaluate_datasets(
                 ]
                 deadline = time.time() + 3600.0
                 for r, p in enumerate(shards):
-                    while not os.path.exists(os.path.join(p, ".done")):
-                        if time.time() > deadline:
-                            raise TimeoutError(f"eval shard barrier: {p}")
-                        liveness.beat()
-                        liveness.check(r)
-                        time.sleep(0.2)
+                    done = os.path.join(p, ".done")
+                    _await(lambda: os.path.exists(done),
+                           f"eval shard never finished: {p}",
+                           deadline - time.time(), liveness, r)
                 liveness.clear_own()
                 index = SparseIndex.merge_saved(shards, mesh=mesh)
             # persist like the reference's OpenSearch node does implicitly:

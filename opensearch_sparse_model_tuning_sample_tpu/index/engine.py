@@ -209,12 +209,16 @@ class SparseIndex:
         self._q_builder = None
         self._warned_fallback = False
         self._shard_queries = False  # resolved at finalize()
+        self._query_batch = self.cfg.query_batch  # ditto
         self._inc = None  # async device postings builder (inverted engines)
         self._inc_fed = 0
         # per-query exactness flags from the LAST inverted search (None for
-        # scan/dense searches, which are exact by construction). After an
-        # exact_escalate pass the escalated rows read certified=True (their
-        # results came from the exact scan); `last_escalated` marks which.
+        # scan/dense searches, which are exact by construction — EXCEPT with
+        # two_phase=True, whose phase-1 candidate pool is approximate with
+        # no bound; None there means "no certificate", not "exact").
+        # After an exact_escalate pass the escalated rows read
+        # certified=True (their results came from the exact scan);
+        # `last_escalated` marks which.
         self.last_certified: Optional[np.ndarray] = None
         self.last_escalated: Optional[np.ndarray] = None
 
@@ -367,15 +371,17 @@ class SparseIndex:
         # query sharding replicates the index: every device holds the full
         # corpus and answers its slice of the query batch (cfg.shard_by docs)
         self._shard_queries = n_shards > 1 and self.cfg.shard_by == "queries"
+        # resolved batch width lives on the INDEX: writing the rounded value
+        # back into cfg would mutate the caller's dataclass (shared across
+        # indexes, persisted by asdict) as a side effect of finalize()
+        self._query_batch = self.cfg.query_batch
         if self._shard_queries:
-            if self.cfg.query_batch % n_shards:
-                self.cfg.query_batch = _round_up(
-                    self.cfg.query_batch, n_shards
-                )
+            if self._query_batch % n_shards:
+                self._query_batch = _round_up(self._query_batch, n_shards)
                 logger.info(
                     "shard_by=queries: query_batch rounded up to %d "
                     "(multiple of %d devices)",
-                    self.cfg.query_batch, n_shards,
+                    self._query_batch, n_shards,
                 )
             n_shards = 1  # doc layout below is the single-device one
         blk = self.cfg.block_docs
@@ -830,7 +836,7 @@ class SparseIndex:
         """Dispatch a [n_q, V] device query matrix through the chosen engine
         and fetch (scores, ids, bounds-or-None) as numpy. Inverted engines
         return per-query missed-score bounds; scan/dense return None."""
-        Bq = self.cfg.query_batch
+        Bq = self._query_batch
         n_q = q.shape[0]
         fn, multi_fn = self._get_search_fn(k_eff, two_phase, engine)
         toks_arg = (
@@ -914,6 +920,12 @@ class SparseIndex:
         assert self._finalized, "call finalize() first"
         if self.n_docs == 0:
             return [dict() for _ in range(q_reps.shape[0])]
+        if q_reps.shape[0] == 0:
+            # a query set that filtered to nothing: the batch driver and the
+            # inverted width check both assume >= 1 row
+            self.last_certified = None
+            self.last_escalated = None
+            return []
         # stay on device when the caller hands us a device array (no D2H/H2D
         # round-trip between encoder and index)
         q = q_reps if isinstance(q_reps, jax.Array) else jnp.asarray(
@@ -925,10 +937,14 @@ class SparseIndex:
             q = jnp.where(q > thresh, q, 0.0)
 
         engine = None
+        active_counts = None  # per-row active-term counts, fetched at most once
         if self._engine == "inverted":
             if full_forward is None:
-                n_active = int(jnp.max(jnp.sum(q > 0, axis=1)))
-                full_forward = n_active > self.cfg.query_terms
+                # one [n_q] fetch serves BOTH the width check here and the
+                # escalation branch's has_mass below (each scalar sync costs
+                # ~30 ms on the tunnelled runtime)
+                active_counts = np.asarray(jnp.sum(q > 0, axis=1))
+                full_forward = int(active_counts.max()) > self.cfg.query_terms
             if full_forward:
                 if self.cfg.full_fallback_scan:
                     engine = "sparse"  # exact doc-major scan, corpus-linear
@@ -972,8 +988,9 @@ class SparseIndex:
                 # would never certify — but their true top-k is empty, so
                 # they are trivially exact. Escalating them would re-run a
                 # corpus-linear scan per padded batch for phantom queries.
-                has_mass = np.asarray(jnp.any(q > 0, axis=1))
-                cert = cert | ~has_mass
+                if active_counts is None:
+                    active_counts = np.asarray(jnp.sum(q > 0, axis=1))
+                cert = cert | (active_counts == 0)
                 idx = np.flatnonzero(~cert)
                 if idx.size:
                     qs = jnp.take(q, jnp.asarray(idx, dtype=jnp.int32), axis=0)

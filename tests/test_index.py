@@ -582,7 +582,9 @@ def test_query_sharded_matches_single_device(mesh8, engine):
     single = build(engine, **kw)
     qsharded = build(engine, mesh=mesh8, shard_by="queries", **kw)
     assert qsharded._shard_queries
-    assert qsharded.cfg.query_batch % 8 == 0
+    # the rounded width lives on the index; the caller's cfg stays untouched
+    assert qsharded._query_batch % 8 == 0
+    assert qsharded.cfg.query_batch == 4
     a = single.search(QS, k=10)
     b = qsharded.search(QS, k=10)
     for x, y in zip(a, b):
@@ -1009,3 +1011,27 @@ def test_nonrescore_certificate_tolerates_fp_noise():
     idx.search(q, k=5)
     # cap=64 >= n_docs and T=32 >= active terms: nothing truncated anywhere
     assert bool(np.all(idx.last_certified)), idx.last_certified
+
+
+def test_empty_query_batch_returns_empty_list():
+    """A query set that filtered to nothing must not crash the batch
+    driver (scan/dense) or the inverted width check."""
+    for engine in ("sparse", "inverted"):
+        idx = build(engine, postings_cap=32, query_terms=8)
+        assert idx.search(np.zeros((0, V), np.float32), k=5) == []
+        assert idx.last_certified is None
+
+
+def test_finalize_does_not_mutate_callers_config(mesh8):
+    """shard_by=queries rounds the batch width up internally; the caller's
+    IndexConfig object must stay untouched (it may be shared across
+    indexes and is what persistence snapshots)."""
+    cfg = IndexConfig(engine="sparse", l_max=8, block_docs=32,
+                      query_batch=3, shard_by="queries")
+    idx = SparseIndex(V, cfg, mesh8)
+    idx.add([str(i) for i in range(N_DOCS)], DOCS)
+    idx.finalize()
+    assert cfg.query_batch == 3  # caller's object untouched
+    assert idx._query_batch % 8 == 0  # resolved width on the index
+    got = idx.search(QS, k=5)
+    assert len(got) == N_Q
