@@ -1035,3 +1035,64 @@ def test_finalize_does_not_mutate_callers_config(mesh8):
     assert idx._query_batch % 8 == 0  # resolved width on the index
     got = idx.search(QS, k=5)
     assert len(got) == N_Q
+
+
+@pytest.mark.parametrize("trial", range(6))
+def test_fuzz_cross_engine_parity(trial):
+    """Randomized configs/shapes: the scan engine must match numpy brute
+    force, and the inverted engine with exact_escalate must match the scan
+    exactly — across cap/term/block/l_max corners a fixed-shape test never
+    visits."""
+    r = np.random.default_rng(1000 + trial)
+    vocab = int(r.integers(64, 512))
+    n_docs = int(r.integers(3, 200))
+    nnz = int(r.integers(1, min(24, vocab)))
+    l_max = int(r.integers(max(2, nnz // 2), 33))
+    k = int(r.integers(1, 12))
+    docs = np.zeros((n_docs, vocab), np.float32)
+    for i in range(n_docs):
+        sel = r.choice(vocab, size=nnz, replace=False)
+        docs[i, sel] = r.uniform(0.05, 4.0, nnz)
+    n_q = int(r.integers(1, 9))
+    qs = np.zeros((n_q, vocab), np.float32)
+    for i in range(n_q):
+        sel = r.choice(vocab, size=int(r.integers(1, 9)), replace=False)
+        qs[i, sel] = r.uniform(0.2, 2.0, len(sel))
+
+    # truncate brute force the same way l_max does (top-l_max per doc)
+    kept = np.zeros_like(docs)
+    top = np.argsort(-docs, axis=1)[:, :l_max]
+    np.put_along_axis(kept, top, np.take_along_axis(docs, top, axis=1), axis=1)
+    brute = qs @ kept.T
+
+    scan = SparseIndex(vocab, IndexConfig(
+        engine="sparse", l_max=l_max, block_docs=int(r.integers(8, 65)),
+        query_batch=int(r.integers(1, 9)), weight_dtype="float32"))
+    scan.add([str(i) for i in range(n_docs)], docs)
+    scan.finalize()
+    got = scan.search(qs, k=k)
+    for qi, hits in enumerate(got):
+        want = {str(i): brute[qi, i] for i in np.argsort(-brute[qi])[:k]
+                if brute[qi, i] > 0}
+        assert set(hits.keys()) == set(want.keys()), (trial, qi)
+        for d in hits:
+            assert hits[d] == pytest.approx(want[d], rel=1e-4), (trial, qi, d)
+
+    qt = int(r.integers(1, 17))
+    cap = int(r.integers(1, n_docs + 8))
+    if qt * max(cap, 1) < k:
+        cap = k  # satisfy the candidate-pool validation by construction
+    inv = SparseIndex(vocab, IndexConfig(
+        engine="inverted", l_max=l_max, block_docs=int(r.integers(8, 65)),
+        query_batch=int(r.integers(1, 9)), postings_cap=cap, query_terms=qt,
+        weight_dtype="float32", exact_escalate=True))
+    inv.add([str(i) for i in range(n_docs)], docs)
+    inv.finalize()
+    got_i = inv.search(qs, k=k)
+    for a, b in zip(got_i, got):
+        # exact escalation: same doc set and scores as the exact scan
+        # (ties at the k-th score may swap members — compare score sets)
+        sa = sorted(a.values(), reverse=True)
+        sb = sorted(b.values(), reverse=True)
+        assert sa == pytest.approx(sb, rel=1e-3), trial
+    assert bool(np.all(inv.last_certified))
