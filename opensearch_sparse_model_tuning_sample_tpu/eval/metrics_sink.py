@@ -63,11 +63,3 @@ def read_metrics(index_name: str):
         return [json.loads(line) for line in f]
 
 
-def import_file(path: str, index_name: str, doc_id: str):
-    """Backfill a historical avg_res.json / statistics file into the ledger
-    (reference scripts/import_metrics.py)."""
-    with open(path) as f:
-        metrics = json.load(f)
-    ts = os.path.getmtime(path)
-    metrics.setdefault("timestamp", ts)
-    emit_metrics(metrics, index_name, doc_id)

@@ -21,7 +21,12 @@ Run = Dict[str, Dict[str, float]]
 
 
 def _ranked(doc_scores: Dict[str, float]) -> List[str]:
-    return [d for d, _ in sorted(doc_scores.items(), key=lambda kv: (-kv[1], kv[0]))]
+    # trec_eval/pytrec_eval break score ties by DESCENDING doc id; ascending
+    # would diverge from the reference numbers exactly when scores tie
+    # (common once weights round-trip through bf16)
+    docs = sorted(doc_scores, reverse=True)  # doc id desc
+    docs.sort(key=doc_scores.__getitem__, reverse=True)  # stable: score desc
+    return docs
 
 
 def ndcg_at_k(qrels_q: Dict[str, int], ranked: List[str], k: int) -> float:
@@ -66,14 +71,18 @@ def precision_at_k(qrels_q: Dict[str, int], ranked: List[str], k: int) -> float:
 def evaluate(
     qrels: Qrels, run: Run, k_values: Sequence[int] = (1, 10)
 ) -> Tuple[Dict[str, float], Dict[str, float], Dict[str, float], Dict[str, float]]:
-    """BEIR EvaluateRetrieval.evaluate-compatible: averages over queries that
-    appear in qrels."""
+    """BEIR EvaluateRetrieval.evaluate-compatible: averages over queries
+    that appear in BOTH qrels (with a positive judgment) and the run —
+    pytrec_eval scores only run-present queries and BEIR divides by that
+    count, so a run covering 90 of 100 judged queries must not be dragged
+    down by 10 implicit zeros here when the reference pipeline would not."""
     ndcg = {f"NDCG@{k}": 0.0 for k in k_values}
     _map = {f"MAP@{k}": 0.0 for k in k_values}
     recall = {f"Recall@{k}": 0.0 for k in k_values}
     precision = {f"P@{k}": 0.0 for k in k_values}
 
-    qids = [q for q in qrels if any(r > 0 for r in qrels[q].values())]
+    qids = [q for q in qrels
+            if q in run and any(r > 0 for r in qrels[q].values())]
     n = len(qids)
     if n == 0:
         return ndcg, _map, recall, precision

@@ -48,11 +48,15 @@ def test_perfect_ranking_is_one():
     assert p["P@3"] == 1.0
 
 
-def test_missing_query_in_run_counts_zero():
+def test_missing_query_in_run_is_excluded():
+    """pytrec_eval scores only run-present queries and BEIR divides by that
+    count — a judged query absent from the run must not drag the average
+    down as an implicit zero (it would diverge from the reference numbers
+    for the identical run)."""
     qrels = {"q1": {"a": 1}, "q2": {"b": 1}}
     run = {"q1": {"a": 1.0}}
     ndcg, _, _, _ = trec_eval.evaluate(qrels, run, [1])
-    assert ndcg["NDCG@1"] == 0.5  # averaged over both qrels queries
+    assert ndcg["NDCG@1"] == 1.0
 
 
 def test_recall_and_precision():
@@ -470,3 +474,25 @@ def test_harness_surfaces_certificate_stats(tiny_model, synth, tmp_path, monkeyp
     with open(os.path.join(eval_dir, "beir_statistics.csv")) as f:
         header = next(_csv.reader(f))
     assert "certified_frac" in header and "escalated_frac" in header
+
+
+def test_trec_eval_tie_break_and_run_coverage():
+    """trec_eval conventions: score ties break by DESCENDING doc id, and
+    metrics average only over queries present in the run (pytrec_eval /
+    BEIR divide by the run-covered count, not the qrels count)."""
+    from opensearch_sparse_model_tuning_sample_tpu.eval import trec_eval
+
+    # tie: d1 and d9 share the score; only d9 is relevant. Descending-docid
+    # tie-break ranks d9 first -> NDCG@1 = 1.0 (ascending would give 0).
+    qrels = {"q1": {"d9": 1}}
+    run = {"q1": {"d1": 3.25, "d9": 3.25}}
+    ndcg, _, _, _ = trec_eval.evaluate(qrels, run, [1])
+    assert ndcg["NDCG@1"] == 1.0
+
+    # coverage: q2 is judged but absent from the run -> excluded from the
+    # average, not scored as zero
+    qrels = {"q1": {"d1": 1}, "q2": {"d2": 1}}
+    run = {"q1": {"d1": 1.0}}
+    ndcg, _, recall, _ = trec_eval.evaluate(qrels, run, [1])
+    assert ndcg["NDCG@1"] == 1.0
+    assert recall["Recall@1"] == 1.0

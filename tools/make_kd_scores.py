@@ -69,8 +69,20 @@ def main(argv=None):
     for r in src:
         n_hard = args.docs_per_query - 1 - args.random_negs
         docs = [r["pos"]] + list(r["negs"])[: max(n_hard, 0)]
-        for j in rng.integers(0, len(pool), size=args.random_negs) if pool else []:
-            docs.append(pool[j])
+        if pool:
+            # draw from OTHER queries' docs (the help text's contract): a
+            # draw colliding with this row's own pos/negs would duplicate
+            # the positive into the negative slots with an identical score
+            own = set(docs)
+            need, attempts = args.random_negs, 0
+            while need and attempts < 50 * args.random_negs:
+                attempts += 1
+                cand = pool[int(rng.integers(0, len(pool)))]
+                if cand in own:
+                    continue  # tiny corpora may exhaust; bounded attempts
+                docs.append(cand)
+                own.add(cand)
+                need -= 1
         if len(docs) < 2:
             continue
         spans.append((len(flat_docs), len(docs)))

@@ -5,8 +5,14 @@ The environment's sitecustomize registers axon with claim_timeout_s unset
 yet (common right after another TPU process exits), the claim parks the
 process on a futex indefinitely — the "claim deadlock" of CLAUDE.md. This
 bootstrap replicates sitecustomize's registration but passes a finite
-claim_timeout_s, so a contended claim raises quickly and the caller
-(tools/tpu_run.sh) can retry cheaply.
+claim_timeout_s.
+
+CAVEAT (measured, round 3): claim_timeout_s is NOT honored by this
+machine's axon relay — a contended claim still parks past the timeout, so
+this bootstrap does not deliver the raise-quickly behavior it was written
+for. Kept as the registration template (and in case a future relay honors
+it); the working discipline is tools/tpu_worker.py's claim-once job spool,
+with tools/tpu_run.sh's single long deadline as the backstop.
 
 Usage (instead of a plain `python -m pkg.cli.foo cfg.yaml`):
 

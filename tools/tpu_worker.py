@@ -28,6 +28,14 @@ import traceback
 JOB_DIR = os.environ.get("TPU_JOB_DIR", "/tmp/tpu_jobs")
 os.makedirs(JOB_DIR, exist_ok=True)
 
+# a stale STOP from the previous worker would make this one pay the full
+# (minutes-long) TPU claim below and then immediately exit — clear it BEFORE
+# claiming: launching the worker is an explicit "run jobs" intent
+try:
+    os.remove(os.path.join(JOB_DIR, "STOP"))
+except FileNotFoundError:
+    pass
+
 # claim at boot so the submitter can verify the worker is live
 import jax  # noqa: E402
 import numpy as np  # noqa: E402
@@ -63,6 +71,15 @@ while True:
         continue
     name = jobs[0]
     src = os.path.join(JOB_DIR, name)
+    # require a size-stable file: the submit protocol is a plain `cp`, and
+    # picking the job up mid-copy would execute truncated source
+    try:
+        size0 = os.path.getsize(src)
+        time.sleep(0.3)
+        if os.path.getsize(src) != size0 or size0 == 0:
+            continue  # still being written; re-scan
+    except OSError:
+        continue
     running = src + ".running"
     os.rename(src, running)
     logpath = os.path.join(JOB_DIR, name[:-3] + ".log")
