@@ -74,6 +74,11 @@ def main():
     toks, ws = make_corpus(n_docs, vocab, avg_terms=110, seed=1)
 
     cfg = IndexConfig(
+        # auto resolves to the inverted engine with exact-escalation at this
+        # size (round-3 j40/j42: inverted 5.1K q/s vs scan 1.3K at 128K docs;
+        # escalation keeps every result provably exact — certified queries
+        # run at postings speed, the rare uncertified ones re-run on the
+        # exact scan inside the timed region)
         engine="auto", l_max=128, block_docs=2048, query_batch=qbatch,
         weight_dtype="bfloat16", postings_cap=2048, query_terms=16,
         # synchronous build: build_s measures the whole add->finalize cost,
@@ -106,6 +111,15 @@ def main():
     idx.search_tokens(q_tok, q_w, k=k)
     wall = time.time() - t0
     qps = n_queries / wall
+    # exactness bookkeeping for the headline run (inverted engines): flags
+    # are per-call, so capture them before the latency loop overwrites them
+    cert_frac = (
+        None if idx.last_certified is None
+        else round(float(idx.last_certified.mean()), 4)
+    )
+    n_escalated = (
+        None if idx.last_escalated is None else int(idx.last_escalated.sum())
+    )
 
     # latency: single-batch round trips. The per-query number is the batch
     # round trip AMORTIZED over the batch (a throughput reciprocal); every
@@ -252,6 +266,10 @@ def main():
                     "n_docs": n_docs,
                     "k": k,
                     "engine": idx._engine,
+                    # fraction certified + how many re-ran on the exact scan
+                    # during the headline run (results are exact either way)
+                    "certified_frac": cert_frac,
+                    "escalated": n_escalated,
                     "platform": jax.devices()[0].platform,
                 },
             }

@@ -122,8 +122,10 @@ class DataArguments:
     index_query_terms: int = 16
     # inverted engines: re-run uncertified queries on the exact scan so
     # every result is provably exact (IndexConfig.exact_escalate); eval
-    # reports certified_frac/escalated_frac alongside NDCG
-    index_exact_escalate: bool = False
+    # reports certified_frac/escalated_frac alongside NDCG. None = the
+    # engine default (ON exactly when index_engine="auto" resolves to
+    # inverted — auto keeps the scan's exact contract); True/False pin it.
+    index_exact_escalate: Optional[bool] = None
     # "docs" = corpus stripes per device; "queries" = replicated index,
     # query batch sharded (zero-collective hot path when the corpus fits
     # one device) — see IndexConfig.shard_by

@@ -722,7 +722,7 @@ def index_cfg_from_args(data_args) -> IndexConfig:
         postings_cap=getattr(data_args, "index_postings_cap", 2048),
         query_batch=getattr(data_args, "index_query_batch", 64),
         query_terms=getattr(data_args, "index_query_terms", 16),
-        exact_escalate=getattr(data_args, "index_exact_escalate", False),
+        exact_escalate=getattr(data_args, "index_exact_escalate", None),
         shard_by=getattr(data_args, "index_shard_by", "docs"),
     )
 

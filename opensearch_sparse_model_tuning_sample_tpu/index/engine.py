@@ -101,15 +101,18 @@ class IndexConfig:
     #             rescore (cost ~ query terms x postings_cap, independent of
     #             corpus size; see index/inverted.py for the recall contract)
     # "dense": exact MXU matmul oracle (small corpora)
-    # "auto": sparse below auto_threshold docs, inverted above. Round-3
-    #         measurement (v5e): scan 1052 q/s @128K vs inverted 1112 q/s
-    #         — near-tied at small sizes (and the scan is exact, recall
-    #         1.0 vs inverted's 0.98 on uniform-token queries), so the
-    #         exact scan keeps the small-corpus regime; above the
-    #         threshold the scan degrades linearly (22 q/s @8.8M) while
-    #         inverted holds ~1.2K q/s at any size.
+    # "auto": sparse below auto_threshold docs, inverted above, with
+    #         exact_escalate resolving ON (see below) so auto keeps the
+    #         scan's exact-results contract at every size. Threshold from
+    #         the round-3 single-dispatch measurements (v5e, job j40):
+    #         scan 4.0K q/s @32K docs, 2.5K @65K, 1.3K @128K (linear
+    #         decay) vs inverted ~5K q/s at EVERY size — the crossover
+    #         sits just below 32K; 65536 keeps the scan where its build
+    #         is free and the gap is < 2x. (The pre-single-dispatch
+    #         near-tie note — 1052 vs 1112 q/s @128K — measured driver
+    #         sync overhead, not engine cost.)
     engine: str = "auto"
-    auto_threshold: int = 262144
+    auto_threshold: int = 65536
     l_max: int = 256  # max stored (token, weight) pairs per doc
     block_docs: int = 1024  # docs scored per scan step
     query_batch: int = 16  # queries scored together
@@ -164,8 +167,13 @@ class IndexConfig:
     # trivially exact and are never escalated): results become exact for
     # every query, at speed for the certified ones, and last_certified
     # reads True everywhere (last_escalated marks the re-run rows).
-    # Default off: the approximate contract + visible flags.
-    exact_escalate: bool = False
+    # None = resolve at finalize(): ON when engine="auto" picks the
+    # inverted engine (auto promises the exact contract the scan would
+    # have given — certified queries run at postings speed, the rest
+    # escalate, so auto is never worse than the scan it replaced), OFF
+    # for explicitly chosen engines (the approximate contract + visible
+    # flags). Pass True/False to pin either behavior.
+    exact_escalate: Optional[bool] = None
 
     def __post_init__(self):
         valid = ("sparse", "inverted", "dense", "auto")
@@ -210,6 +218,7 @@ class SparseIndex:
         self._warned_fallback = False
         self._shard_queries = False  # resolved at finalize()
         self._query_batch = self.cfg.query_batch  # ditto
+        self._exact_escalate = bool(self.cfg.exact_escalate)  # ditto
         self._inc = None  # async device postings builder (inverted engines)
         self._inc_fed = 0
         # per-query exactness flags from the LAST inverted search (None for
@@ -367,6 +376,14 @@ class SparseIndex:
             self._engine = (
                 "sparse" if self.n_docs < self.cfg.auto_threshold else "inverted"
             )
+        # exact_escalate=None resolves here: auto-picked inverted engines
+        # escalate (auto keeps the scan's exact contract); everything else
+        # defaults off (see IndexConfig)
+        self._exact_escalate = (
+            self.cfg.engine == "auto" and self._engine == "inverted"
+            if self.cfg.exact_escalate is None
+            else bool(self.cfg.exact_escalate)
+        )
         n_shards = self.mesh.devices.size if self.mesh is not None else 1
         # query sharding replicates the index: every device holds the full
         # corpus and answers its slice of the query batch (cfg.shard_by docs)
@@ -964,7 +981,7 @@ class SparseIndex:
         # exactness certificate (inverted engines): a query whose k-th
         # returned exact score beats the missed-doc bound provably has the
         # true top-k (inverted.make_search_fn docstring). Flags exposed via
-        # `last_certified`; with cfg.exact_escalate the uncertified minority
+        # `last_certified`; with exact_escalate the uncertified minority
         # transparently re-runs through the exact doc-major scan.
         self.last_certified = None
         self.last_escalated = None
@@ -982,7 +999,7 @@ class SparseIndex:
                 margin = np.where(np.isfinite(margin), margin, 0.0)
                 cert = kth >= b_np + margin
             n_unc = int((~cert).sum())
-            if n_unc and self.cfg.exact_escalate:
+            if n_unc and self._exact_escalate:
                 # all-zero rows (batch/chunk padding from serve's pow2
                 # micro-batcher and eval's chunk driver) have kth=-inf and
                 # would never certify — but their true top-k is empty, so
@@ -1099,8 +1116,9 @@ class SparseIndex:
             "full_postings_cols": self.cfg.full_postings_cols,
             "full_rescore_expand": self.cfg.full_rescore_expand,
             # semantic knob, not a tuning knob: a loaded index must keep the
-            # exact-results contract it was built with
-            "exact_escalate": self.cfg.exact_escalate,
+            # exact-results contract it was built with — the RESOLVED flag
+            # (a None in cfg resolved at finalize)
+            "exact_escalate": self._exact_escalate,
             # the FULL config: a loaded index keeps every contract it was
             # built with (weight_dtype, inverted_rescore, two-phase and
             # full-forward budgets). The flat keys above stay for indexes
@@ -1169,6 +1187,11 @@ class SparseIndex:
             known = {f.name for f in fields(IndexConfig)}
             kw = {k: v for k, v in meta["cfg"].items() if k in known}
             kw["engine"] = meta["engine"]
+            # the saved cfg may hold exact_escalate=None (auto); the flat
+            # key is the flag RESOLVED at the original finalize — and with
+            # the engine pinned above, a None would re-resolve to False
+            if "exact_escalate" in meta:
+                kw["exact_escalate"] = meta["exact_escalate"]
             return IndexConfig(**kw)
         return IndexConfig(
             engine=meta["engine"], l_max=meta["l_max"],

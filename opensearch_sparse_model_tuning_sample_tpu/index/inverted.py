@@ -417,7 +417,11 @@ def make_search_fn(
     (any doc absent from the read slice of t's impact-sorted row weighs no
     more), w_max[t] = post_w[t, 0] bounds terms that never won a lookup
     slot, and cut bounds docs dropped at the k1 candidate cut (their exact
-    run sums are known ≤ s1[k1-1]). If the k-th returned exact score ≥
+    run sums are known ≤ s1[k1-1]). When the missed mass is ~0 and the cut
+    dropped nothing positive the bound is returned as -inf directly (the
+    candidate pool provably holds every positive-scoring doc — certifiable
+    even when fewer than k docs match and the k-th score is -inf).
+    Otherwise: if the k-th returned exact score ≥
     bound, the top-k is PROVABLY exact — up to f32 summation order: the
     cut term bounds dropped candidates by their sorted-merge run sums,
     while the rescore/exact scan sums the same products doc-major, so the
@@ -582,6 +586,22 @@ def make_search_fn(
                 else:
                     cut = jnp.zeros((B,), jnp.float32)
                 bound = cut + miss
+                # zero-miss certificate: when the missed mass is ~0 (no
+                # posting row truncated at the read width, every active
+                # term won a lookup slot) AND the k1 cut dropped nothing
+                # with a positive run sum, EVERY doc with a positive score
+                # is in the candidate pool — the result is provably exact
+                # even when fewer than k docs match (kth = -inf, which the
+                # kth >= bound rule alone can never certify; scores <= 0
+                # are not results: both this engine and the exact scan drop
+                # them). `miss` re-sums the same f32 products two ways, so
+                # compare against the same relative margin the consumer
+                # uses rather than exact zero.
+                bound = jnp.where(
+                    (cut <= 0.0)
+                    & (miss <= 1e-4 * jnp.maximum(total_ub, 1e-30)),
+                    -jnp.inf, bound,
+                )
             return s, i, bound
         return s, i
 

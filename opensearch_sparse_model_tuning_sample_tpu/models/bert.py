@@ -88,6 +88,10 @@ PRESETS = {
                     intermediate_size=3072),
     "base": dict(hidden_size=768, num_hidden_layers=12, num_attention_heads=12,
                  intermediate_size=3072),
+    # bert-large scale (~335M) — the size class of the reference kd recipe's
+    # dense teacher (configs/config_kd.yaml:19 names gte-large-en-v1.5)
+    "large": dict(hidden_size=1024, num_hidden_layers=24,
+                  num_attention_heads=16, intermediate_size=4096),
 }
 
 

@@ -936,12 +936,15 @@ def test_escalation_skips_padding_rows_and_flags_read_exact():
     top-k): exact_escalate must not re-run a corpus-linear scan for them,
     and after escalation last_certified reads True for every row while
     last_escalated marks only the real re-runs."""
-    vocab = 700
-    toks, ws = _diffuse_corpus(500, vocab, l_max=24)
+    vocab = 400
+    toks, ws = _diffuse_corpus(2000, vocab, l_max=24)
     q_tok, q_w = _corpus_queries(toks, ws, n_q=6, width=5)
     q_tok = np.concatenate([q_tok, np.zeros((2, 5), np.int32)])
     q_w = np.concatenate([q_w, np.zeros((2, 5), np.float32)])
-    inv = _build_rows("inverted", toks, ws, vocab, postings_cap=512,
+    # tiny cap on a dense-df corpus: the REAL queries hit truncation and
+    # genuinely escalate (with a full cap the zero-miss rule certifies
+    # everything and no escalation pass would run at all)
+    inv = _build_rows("inverted", toks, ws, vocab, postings_cap=8,
                       query_terms=8, exact_escalate=True)
     calls = []
     orig = inv._run_queries
@@ -1096,3 +1099,78 @@ def test_fuzz_cross_engine_parity(trial):
         sb = sorted(b.values(), reverse=True)
         assert sa == pytest.approx(sb, rel=1e-3), trial
     assert bool(np.all(inv.last_certified))
+
+
+def test_zero_miss_certificate_with_fewer_than_k_matches():
+    """A query matching FEWER than k docs has kth = -inf, which the
+    kth >= bound rule alone can never certify — but when nothing was
+    truncated the candidate pool provably holds every positive-scoring
+    doc, so the engine must return bound = -inf and certify (the common
+    rare-token regime: without this, exact_escalate re-runs a
+    corpus-linear scan for queries that were already exact)."""
+    vocab = 64
+    n_docs = 40
+    rng = np.random.default_rng(11)
+    reps = np.zeros((n_docs, vocab), np.float32)
+    for i in range(n_docs):
+        sel = rng.choice(np.arange(8, vocab), 6, replace=False)
+        reps[i, sel] = rng.uniform(0.5, 2.0, 6)
+    reps[:3, 5] = [1.0, 2.0, 3.0]  # token 5: df=3 < k
+    cfg = IndexConfig(engine="inverted", l_max=16, block_docs=32,
+                      query_batch=4, weight_dtype="float32",
+                      postings_cap=64, query_terms=8)
+    idx = SparseIndex(vocab, cfg)
+    idx.add([str(i) for i in range(n_docs)], reps)
+    idx.finalize()
+    q = np.zeros((1, vocab), np.float32)
+    q[0, 5] = 1.0
+    hits = idx.search(q, k=5)
+    assert set(hits[0]) == {"0", "1", "2"}
+    assert idx.last_certified is not None and bool(idx.last_certified[0])
+
+
+def test_auto_resolved_inverted_escalates_by_default():
+    """engine="auto" resolving to the inverted engine turns
+    exact_escalate ON (auto keeps the scan's exact contract); explicitly
+    chosen engines keep the approximate contract unless pinned."""
+    vocab = 400
+    toks, ws = _diffuse_corpus(600, vocab, l_max=24)
+    q_tok, q_w = _corpus_queries(toks, ws, n_q=12, width=5)
+    # tiny cap: candidate generation genuinely misses docs -> escalation
+    # is what restores exactness
+    auto = _build_rows("auto", toks, ws, vocab, auto_threshold=10,
+                       postings_cap=16, query_terms=8)
+    assert auto._engine == "inverted" and auto._exact_escalate
+    explicit = _build_rows("inverted", toks, ws, vocab,
+                           postings_cap=16, query_terms=8)
+    assert not explicit._exact_escalate
+    scan = _build_rows("sparse", toks, ws, vocab)
+    ah = auto.search_tokens(q_tok, q_w, k=5)
+    sh = scan.search_tokens(q_tok, q_w, k=5)
+    assert auto.last_certified is not None and auto.last_certified.all()
+    for a, b in zip(ah, sh):
+        assert sorted(a.values(), reverse=True) == pytest.approx(
+            sorted(b.values(), reverse=True), rel=1e-3)
+    # auto below the threshold still resolves to the exact scan: no flags
+    small = _build_rows("auto", toks[:8], ws[:8], vocab, auto_threshold=100)
+    assert small._engine == "sparse" and not small._exact_escalate
+
+
+def test_auto_escalation_contract_survives_save_load(tmp_path):
+    """An index built by auto-resolution (exact_escalate=None -> ON) must
+    keep escalating after save/load, even though load pins the resolved
+    engine name (which would re-resolve a None to OFF)."""
+    vocab = 400
+    toks, ws = _diffuse_corpus(300, vocab, l_max=24)
+    auto = _build_rows("auto", toks, ws, vocab, auto_threshold=10,
+                       postings_cap=16, query_terms=8)
+    assert auto._exact_escalate
+    auto.save(str(tmp_path / "ix"))
+    loaded = SparseIndex.load(str(tmp_path / "ix"))
+    assert loaded._engine == "inverted" and loaded._exact_escalate
+    # and an explicitly-approximate index stays approximate through disk
+    approx = _build_rows("inverted", toks, ws, vocab,
+                         postings_cap=16, query_terms=8)
+    approx.save(str(tmp_path / "ix2"))
+    loaded2 = SparseIndex.load(str(tmp_path / "ix2"))
+    assert not loaded2._exact_escalate
