@@ -363,6 +363,21 @@ class IncrementalPostingsBuilder:
         return self._docs, self._w
 
 
+def pack_doc_rows(toks: np.ndarray, ws: np.ndarray) -> np.ndarray:
+    """Pack doc-major rows into ONE int32 array: bf16 weight bits in the
+    high half, int16 token id in the low half. The rescore gather then
+    fetches half the indices (TPU gathers price per index, not per byte).
+    Only valid for bf16-weight engines (the pack IS a bf16 truncation) and
+    vocab < 2**15. Unpacked on device by make_search_fn(packed_docs=True)."""
+    if toks.max(initial=0) >= 2**15:
+        raise ValueError("pack_doc_rows needs token ids < 2**15")
+    wb = np.asarray(ws, dtype=np.dtype(jnp.bfloat16)).view(np.uint16)
+    return (
+        (wb.astype(np.uint32) << np.uint32(16))
+        | toks.astype(np.uint32)
+    ).view(np.int32)
+
+
 def make_search_fn(
     post_docs: jax.Array,  # [V, C] int32
     post_w: jax.Array,  # [V, C] (weight dtype)
@@ -377,6 +392,8 @@ def make_search_fn(
     rescore_expand: int = 4,  # candidate pool = expand * k
     select_by_impact: bool = False,  # term selection by q_w * max posting w
     with_bound: bool = False,  # also return the missed-doc score bound
+    sort_candidates: bool = False,  # gather rescore rows in doc-id order
+    packed_docs: bool = False,  # doc_toks holds pack_doc_rows() output
 ):
     """Build the inverted search: dense q [B, V] -> (scores, ids).
 
@@ -561,9 +578,24 @@ def make_search_fn(
         cand = jnp.where(
             jnp.isfinite(s1), jnp.take_along_axis(rid, sel, axis=1), _PAD_ID
         )  # [B, k1]
+        if sort_candidates:
+            # gather rows in ascending doc-id order (PAD sorts last) — a
+            # locality experiment for huge corpora; top_k below is
+            # order-agnostic so results are unchanged
+            cand = jnp.take_along_axis(cand, jnp.argsort(cand, axis=1), axis=1)
         safe = jnp.clip(cand, 0, doc_toks.shape[0] - 1)
-        ct = doc_toks[safe].astype(jnp.int32)  # [B, k1, L]
-        cw = doc_ws[safe].astype(jnp.float32)
+        if packed_docs:
+            # one packed int32 row per doc (pack_doc_rows: bf16 weight bits
+            # high, int16 token id low): HALF the gather indices of the
+            # two-array fetch — TPU gathers price per index, not per byte
+            pk = doc_toks[safe]  # [B, k1, L] int32
+            ct = jnp.bitwise_and(pk, 0xFFFF)
+            cw = jax.lax.bitcast_convert_type(
+                jnp.right_shift(pk, 16).astype(jnp.uint16), jnp.bfloat16
+            ).astype(jnp.float32)
+        else:
+            ct = doc_toks[safe].astype(jnp.int32)  # [B, k1, L]
+            cw = doc_ws[safe].astype(jnp.float32)
         g = jnp.take_along_axis(
             q, ct.reshape(B, -1), axis=1
         ).reshape(B, k1, -1)

@@ -1174,3 +1174,60 @@ def test_auto_escalation_contract_survives_save_load(tmp_path):
     approx.save(str(tmp_path / "ix2"))
     loaded2 = SparseIndex.load(str(tmp_path / "ix2"))
     assert not loaded2._exact_escalate
+
+
+def test_packed_and_sorted_rescore_variants_match_base():
+    """`packed_docs` (one int32 row packing bf16-weight-bits|int16-token)
+    and `sort_candidates` are pure gather-layout experiments: scores, ids,
+    and the certificate bound must be IDENTICAL to the two-array baseline
+    when the baseline's doc weights are the same bf16-truncated values the
+    pack stores."""
+    from opensearch_sparse_model_tuning_sample_tpu.index import inverted
+    import jax.numpy as jnp
+
+    vocab = 600
+    toks, ws = _diffuse_corpus(400, vocab, l_max=24)
+    pd, pw = inverted.build_postings(toks, ws, vocab, 32)
+    d_pd = jnp.asarray(pd)
+    d_pw = jnp.asarray(pw, dtype=jnp.bfloat16)
+    d_toks = jnp.asarray(toks.astype(np.int16))
+    d_ws = jnp.asarray(ws, dtype=jnp.bfloat16)
+    d_packed = jnp.asarray(inverted.pack_doc_rows(toks, ws))
+
+    q_tok, q_w = _corpus_queries(toks, ws, n_q=16, width=5)
+    qs = np.zeros((16, vocab), np.float32)
+    np.put_along_axis(qs, q_tok, q_w, axis=1)
+    qs[:, 0] = 0.0
+
+    def run(dt, dw, **kw):
+        fn = inverted.make_search_fn(
+            d_pd, d_pw, dt, dw, query_terms=8, k=5,
+            with_bound=True, **kw)
+        s, ids, bound = fn(jnp.asarray(qs), d_pd, d_pw, dt, dw)
+        return np.asarray(s), np.asarray(ids), np.asarray(bound)
+
+    s0, i0, b0 = run(d_toks, d_ws)
+    for kw in (dict(sort_candidates=True),
+               dict(packed_docs=True),
+               dict(packed_docs=True, sort_candidates=True)):
+        dt = d_packed if kw.get("packed_docs") else d_toks
+        dw = None if kw.get("packed_docs") else d_ws
+        s, ids, b = run(dt, dw, **kw)
+        np.testing.assert_allclose(s, s0, rtol=1e-5, err_msg=str(kw))
+        np.testing.assert_array_equal(ids, i0, err_msg=str(kw))
+        np.testing.assert_allclose(b, b0, rtol=1e-5, err_msg=str(kw))
+
+
+def test_pack_doc_rows_rejects_wide_vocab_and_roundtrips():
+    from opensearch_sparse_model_tuning_sample_tpu.index import inverted
+    import jax.numpy as jnp
+
+    toks = np.array([[1, 30521, 0]], np.int32)
+    ws = np.array([[0.5, 3.25, 0.0]], np.float32)
+    packed = inverted.pack_doc_rows(toks, ws)
+    np.testing.assert_array_equal(packed & 0xFFFF, toks)
+    wb = (packed.view(np.uint32) >> 16).astype(np.uint16)
+    back = wb.view(np.dtype(jnp.bfloat16)).astype(np.float32)
+    np.testing.assert_allclose(back, ws, rtol=2**-8)
+    with pytest.raises(ValueError, match="2\\*\\*15"):
+        inverted.pack_doc_rows(np.array([[2**15]], np.int32), ws[:, :1])
