@@ -48,18 +48,22 @@ from ..core.mesh import DATA_AXIS
 logger = logging.getLogger(__name__)
 
 
-def _fetch_packed(s_dev, i_dev, n_q, b_dev=None):
-    """Fetch (scores f32, ids int32, missed-score bounds f32|None) with ONE
-    host transfer: floats bitcast to int32 and packed next to the ids, split
-    + viewed back on the host. Per-array syncs cost ~30 ms each over a
-    tunnelled runtime — one packed fetch halves the fixed cost of every
-    search call.
+def _fetch_packed(s_dev, i_dev, n_q, b_dev=None, e_dev=None):
+    """Fetch (scores f32, ids int32, missed-score bounds f32|None,
+    escalated bool|None) with ONE host transfer: floats bitcast to int32
+    and packed next to the ids, split + viewed back on the host. Per-array
+    syncs cost ~30 ms each over a tunnelled runtime — one packed fetch
+    halves the fixed cost of every search call.
 
     The packing must live in INT space: doc ids bitcast to f32 are
     denormals (any id < ~8M has a zero exponent), and the TPU flushes
     denormals to zero in the fused concat/copy — measured: every id came
     back 0 while a pure int concat round-trips bit-exactly. Scores are
-    normal floats, so their int32 bit patterns survive unchanged."""
+    normal floats, so their int32 bit patterns survive unchanged.
+
+    `e_dev` (fused-escalation engines only, requires `b_dev`): per-query
+    flags marking rows whose results were re-run through the exact scan
+    inside the same dispatch."""
     k = s_dev.shape[1]
     cols = [
         jax.lax.bitcast_convert_type(s_dev, jnp.int32),
@@ -71,12 +75,18 @@ def _fetch_packed(s_dev, i_dev, n_q, b_dev=None):
                 b_dev.astype(jnp.float32)[:, None], jnp.int32
             )
         )
+    if e_dev is not None:
+        assert b_dev is not None, "escalation flags require the bound column"
+        cols.append(e_dev.astype(jnp.int32)[:, None])
     packed = jnp.concatenate(cols, axis=1)
     arr = np.asarray(packed)[:n_q]
     s_np, i_np = arr[:, :k].view(np.float32), arr[:, k : 2 * k]
     if b_dev is None:
-        return s_np, i_np, None
-    return s_np, i_np, arr[:, 2 * k : 2 * k + 1].view(np.float32)[:, 0]
+        return s_np, i_np, None, None
+    b_np = arr[:, 2 * k : 2 * k + 1].view(np.float32)[:, 0]
+    if e_dev is None:
+        return s_np, i_np, b_np, None
+    return s_np, i_np, b_np, arr[:, 2 * k + 1] != 0
 
 
 def _round_up(x: int, m: int) -> int:
@@ -167,6 +177,11 @@ class IndexConfig:
     # trivially exact and are never escalated): results become exact for
     # every query, at speed for the certified ones, and last_certified
     # reads True everywhere (last_escalated marks the re-run rows).
+    # On a single device the certify+escalate pass is FUSED into the
+    # search dispatch (a lax.cond exact-scan splice per query batch): only
+    # batches containing an uncertified row execute the scan branch, and
+    # the host pays zero extra round trips. Sharded corpora / sharded
+    # queries escalate through a host-side second pass.
     # None = resolve at finalize(): ON when engine="auto" picks the
     # inverted engine (auto promises the exact contract the scan would
     # have given — certified queries run at postings speed, the rest
@@ -572,16 +587,119 @@ class SparseIndex:
         cfg = self.cfg
         blk = cfg.block_docs
         engine = engine or self._engine
-        # two-phase (reference use_two_phase, search.py:27-42, here with the
-        # doc-major analog of OpenSearch's impact pruning): phase 1 scans the
-        # corpus using only each doc's top-impact l1 terms (rows are
-        # impact-sorted at ingest), phase 2 exactly rescores the candidate
-        # pool. Cuts the dominant gather volume by ~l_max/l1.
-        l1 = min(cfg.two_phase_terms, cfg.l_max) if two_phase else None
-        # candidate-pool size: never below k (blk can be < k — the final
-        # top_k(s2, k) needs k1 >= k columns), capped at blk+k so the
-        # per-block top_k(cat_s[k1+blk], k1) selection stays meaningful
-        k1 = max(min(cfg.two_phase_expand * k, blk), k) if two_phase else k
+
+        def make_scan_topk(scan_engine: str, kk: int, tp: bool):
+            """Build the block-scan top-k body (the "sparse"/"dense" engine
+            core). Parameterized so the inverted branch below can embed an
+            EXACT scan (tp=False) for fused escalation alongside the main
+            path's (engine, k, two_phase) instantiation."""
+            # two-phase (reference use_two_phase, search.py:27-42, here with
+            # the doc-major analog of OpenSearch's impact pruning): phase 1
+            # scans the corpus using only each doc's top-impact l1 terms
+            # (rows are impact-sorted at ingest), phase 2 exactly rescores
+            # the candidate pool. Cuts the dominant gather volume by
+            # ~l_max/l1.
+            l1 = min(cfg.two_phase_terms, cfg.l_max) if tp else None
+            # candidate-pool size: never below kk (blk can be < kk — the
+            # final top_k(s2, kk) needs k1 >= kk columns), capped at blk+kk
+            # so the per-block top_k(cat_s[k1+blk], k1) selection stays
+            # meaningful
+            k1 = max(min(cfg.two_phase_expand * kk, blk), kk) if tp else kk
+
+            def local_topk(q, docs, toks, base_offset):
+                """Top-k over one shard's docs. q [Bq, V] f32; docs
+                [N_loc, ...]; returns (scores [Bq,kk], idx [Bq,kk]) global
+                ids."""
+                Bq = q.shape[0]
+                n_loc = docs.shape[0]
+                nb = n_loc // blk
+                qc = q.astype(docs.dtype)
+
+                if scan_engine == "dense":
+                    blocks = docs.reshape(nb, blk, docs.shape[-1])
+
+                    def body(carry, block):
+                        best_s, best_i, bidx = carry
+                        s = jnp.dot(
+                            qc, block.T, preferred_element_type=jnp.float32
+                        )  # [Bq, blk]
+                        gidx = base_offset + bidx * blk + jnp.arange(
+                            blk, dtype=jnp.int32
+                        )
+                        cat_s = jnp.concatenate([best_s, s], axis=1)
+                        cat_i = jnp.concatenate(
+                            [best_i, jnp.broadcast_to(gidx, (Bq, blk))],
+                            axis=1,
+                        )
+                        ns, sel = jax.lax.top_k(cat_s, kk)
+                        ni = jnp.take_along_axis(cat_i, sel, axis=1)
+                        return (ns, ni, bidx + 1), None
+
+                    init = (
+                        jnp.full((Bq, kk), -jnp.inf, jnp.float32),
+                        jnp.full((Bq, kk), -1, jnp.int32),
+                        jnp.asarray(0, jnp.int32),
+                    )
+                    (best_s, best_i, _), _ = jax.lax.scan(body, init, blocks)
+                    return best_s, best_i
+
+                L = toks.shape[-1]
+                Ls = l1 if tp else L  # phase-1 terms per doc
+                tok_blocks = toks[:, :Ls].reshape(nb, blk, Ls)
+                w_blocks = docs[:, :Ls].reshape(nb, blk, Ls)
+
+                def body(carry, block):
+                    best_s, best_i, bidx = carry
+                    tok, w = block
+                    # gather the query columns for this block's token ids:
+                    # [Bq, blk*Ls] <- q[:, tok]
+                    g = jnp.take(
+                        q, tok.reshape(-1).astype(jnp.int32), axis=1
+                    ).reshape(Bq, blk, Ls)
+                    s = jnp.einsum(
+                        "qjl,jl->qj", g, w.astype(jnp.float32),
+                        preferred_element_type=jnp.float32,
+                    )
+                    gidx = base_offset + bidx * blk + jnp.arange(
+                        blk, dtype=jnp.int32
+                    )
+                    cat_s = jnp.concatenate([best_s, s], axis=1)
+                    cat_i = jnp.concatenate(
+                        [best_i, jnp.broadcast_to(gidx, (Bq, blk))], axis=1
+                    )
+                    ns, sel = jax.lax.top_k(cat_s, k1)
+                    ni = jnp.take_along_axis(cat_i, sel, axis=1)
+                    return (ns, ni, bidx + 1), None
+
+                init = (
+                    jnp.full((Bq, k1), -jnp.inf, jnp.float32),
+                    jnp.full((Bq, k1), -1, jnp.int32),
+                    jnp.asarray(0, jnp.int32),
+                )
+                (best_s, best_i, _), _ = jax.lax.scan(
+                    body, init, (tok_blocks, w_blocks)
+                )
+
+                if not tp:
+                    return best_s, best_i
+
+                # phase 2: exact rescore of the candidate pool with all L
+                # terms
+                local_idx = jnp.clip(best_i - base_offset, 0, n_loc - 1)
+                cand_tok = jnp.take(toks, local_idx, axis=0).astype(
+                    jnp.int32
+                )  # [Bq, k1, L]
+                cand_w = jnp.take(docs, local_idx, axis=0).astype(jnp.float32)
+                g = jnp.take_along_axis(
+                    q, cand_tok.reshape(Bq, -1), axis=1
+                ).reshape(Bq, k1, L)
+                s2 = jnp.sum(g * cand_w, axis=-1)
+                s2 = jnp.where(best_i >= 0, s2, -jnp.inf)
+                ns, sel = jax.lax.top_k(s2, kk)
+                ni = jnp.take_along_axis(best_i, sel, axis=1)
+                return ns, ni
+
+            return local_topk
 
         if engine in ("inverted", "inverted_full"):
             from . import inverted
@@ -628,13 +746,6 @@ class SparseIndex:
 
                 return inverted_search_qsharded, None
             if n_shards == 1:
-                fn = inverted.make_search_fn(
-                    post_docs, post_w, self._tok_dev, self._docs_dev, **inv_kw
-                )
-
-                def inverted_search(q, docs, toks):
-                    return fn(q, post_docs, post_w, toks, docs)
-
                 # multi-batch driver: ONE dispatch + ONE fetch for a whole
                 # query set (lax.map over [nb, Bq, V]); per-dispatch/sync
                 # latency otherwise multiplies by the batch count — on a
@@ -648,10 +759,56 @@ class SparseIndex:
                     jit=False, **inv_kw
                 )
 
+                if self._exact_escalate:
+                    # FUSED exact-escalation: certify and (conditionally)
+                    # re-run the exact doc-major scan for uncertified rows
+                    # inside the SAME dispatch, so the host never pays the
+                    # extra active-count sync + scan dispatch/fetch round
+                    # trips of a second pass (~170 ms over the tunnel even
+                    # when one query in 512 escalates — measured 2 531 q/s
+                    # host-escalated vs 5 100 q/s uncertified at 128K docs).
+                    # Only batches containing an uncertified row execute the
+                    # lax.cond scan branch; certified batches pay ~nothing.
+                    # The margin rule mirrors engine.search's host
+                    # certificate check (see inverted.make_search_fn docs).
+                    exact_topk = make_scan_topk("sparse", k, False)
+
+                    def body_fn(qb, pd, pw, toks, docs):
+                        s, i, b = raw(qb, pd, pw, toks, docs)
+                        kth = s[:, -1]
+                        margin = 1e-4 * jnp.maximum(jnp.abs(b), jnp.abs(kth))
+                        margin = jnp.where(jnp.isfinite(margin), margin, 0.0)
+                        cert = kth >= b + margin
+                        # all-zero padding rows (serve's pow2 micro-batcher,
+                        # eval's chunk driver) never certify (kth=-inf) but
+                        # are trivially exact: don't scan for phantoms
+                        cert = cert | (jnp.sum(qb > 0, axis=1) == 0)
+                        esc = ~cert
+                        es, ei = jax.lax.cond(
+                            jnp.any(esc),
+                            lambda: exact_topk(
+                                qb, docs, toks, jnp.asarray(0, jnp.int32)
+                            ),
+                            lambda: (s, i),
+                        )
+                        return (
+                            jnp.where(esc[:, None], es, s),
+                            jnp.where(esc[:, None], ei, i),
+                            b,
+                            esc,
+                        )
+                else:
+                    body_fn = raw
+
+                fn = jax.jit(body_fn)
+
+                def inverted_search(q, docs, toks):
+                    return fn(q, post_docs, post_w, toks, docs)
+
                 @jax.jit
                 def minv(qs, pd, pw, toks, docs):
                     return jax.lax.map(
-                        lambda qb: raw(qb, pd, pw, toks, docs), qs
+                        lambda qb: body_fn(qb, pd, pw, toks, docs), qs
                     )
 
                 def inverted_multi(qs, docs, toks):
@@ -699,88 +856,9 @@ class SparseIndex:
 
             return inverted_search_sharded, None
 
-        def local_topk(q, docs, toks, base_offset):
-            """Top-k over one shard's docs. q [Bq, V] f32; docs
-            [N_loc, ...]; returns (scores [Bq,k], idx [Bq,k]) global ids."""
-            Bq = q.shape[0]
-            n_loc = docs.shape[0]
-            nb = n_loc // blk
-            qc = q.astype(docs.dtype)
-
-            if engine == "dense":
-                blocks = docs.reshape(nb, blk, docs.shape[-1])
-
-                def body(carry, block):
-                    best_s, best_i, bidx = carry
-                    s = jnp.dot(
-                        qc, block.T, preferred_element_type=jnp.float32
-                    )  # [Bq, blk]
-                    gidx = base_offset + bidx * blk + jnp.arange(blk, dtype=jnp.int32)
-                    cat_s = jnp.concatenate([best_s, s], axis=1)
-                    cat_i = jnp.concatenate(
-                        [best_i, jnp.broadcast_to(gidx, (Bq, blk))], axis=1
-                    )
-                    ns, sel = jax.lax.top_k(cat_s, k)
-                    ni = jnp.take_along_axis(cat_i, sel, axis=1)
-                    return (ns, ni, bidx + 1), None
-
-                init = (
-                    jnp.full((Bq, k), -jnp.inf, jnp.float32),
-                    jnp.full((Bq, k), -1, jnp.int32),
-                    jnp.asarray(0, jnp.int32),
-                )
-                (best_s, best_i, _), _ = jax.lax.scan(body, init, blocks)
-                return best_s, best_i
-
-            L = toks.shape[-1]
-            Ls = l1 if two_phase else L  # phase-1 terms per doc
-            tok_blocks = toks[:, :Ls].reshape(nb, blk, Ls)
-            w_blocks = docs[:, :Ls].reshape(nb, blk, Ls)
-
-            def body(carry, block):
-                best_s, best_i, bidx = carry
-                tok, w = block
-                # gather the query columns for this block's token ids:
-                # [Bq, blk*Ls] <- q[:, tok]
-                g = jnp.take(q, tok.reshape(-1).astype(jnp.int32), axis=1).reshape(Bq, blk, Ls)
-                s = jnp.einsum(
-                    "qjl,jl->qj", g, w.astype(jnp.float32),
-                    preferred_element_type=jnp.float32,
-                )
-                gidx = base_offset + bidx * blk + jnp.arange(blk, dtype=jnp.int32)
-                cat_s = jnp.concatenate([best_s, s], axis=1)
-                cat_i = jnp.concatenate(
-                    [best_i, jnp.broadcast_to(gidx, (Bq, blk))], axis=1
-                )
-                ns, sel = jax.lax.top_k(cat_s, k1)
-                ni = jnp.take_along_axis(cat_i, sel, axis=1)
-                return (ns, ni, bidx + 1), None
-
-            init = (
-                jnp.full((Bq, k1), -jnp.inf, jnp.float32),
-                jnp.full((Bq, k1), -1, jnp.int32),
-                jnp.asarray(0, jnp.int32),
-            )
-            (best_s, best_i, _), _ = jax.lax.scan(body, init, (tok_blocks, w_blocks))
-
-            if not two_phase:
-                return best_s, best_i
-
-            # phase 2: exact rescore of the candidate pool with all L terms
-            local_idx = jnp.clip(best_i - base_offset, 0, n_loc - 1)
-            cand_tok = jnp.take(toks, local_idx, axis=0).astype(jnp.int32)  # [Bq, k1, L]
-            cand_w = jnp.take(docs, local_idx, axis=0).astype(jnp.float32)
-            g = jnp.take_along_axis(
-                q, cand_tok.reshape(Bq, -1), axis=1
-            ).reshape(Bq, k1, L)
-            s2 = jnp.sum(g * cand_w, axis=-1)
-            s2 = jnp.where(best_i >= 0, s2, -jnp.inf)
-            ns, sel = jax.lax.top_k(s2, k)
-            ni = jnp.take_along_axis(best_i, sel, axis=1)
-            return ns, ni
-
         if engine == "dense" and two_phase:
             two_phase = False  # dense engine is already one exact matmul
+        local_topk = make_scan_topk(engine, k, two_phase)
 
         if self._shard_queries:
             # replicated corpus, query batch sharded (see inverted branch)
@@ -840,7 +918,7 @@ class SparseIndex:
         """Returns (per-batch fn, multi-batch fn-or-None); the multi form
         takes q of shape [nb, Bq, V] and answers a whole query set in one
         dispatch (single-device engines only)."""
-        key = (k, two_phase, engine or self._engine)
+        key = (k, two_phase, engine or self._engine, self._exact_escalate)
         fns = self._search_fns.get(key)
         if fns is None:
             fns = self._search_fns[key] = self._build_search_fn(
@@ -851,8 +929,11 @@ class SparseIndex:
     def _run_queries(self, q, k_eff: int, two_phase: bool,
                      engine: Optional[str]):
         """Dispatch a [n_q, V] device query matrix through the chosen engine
-        and fetch (scores, ids, bounds-or-None) as numpy. Inverted engines
-        return per-query missed-score bounds; scan/dense return None."""
+        and fetch (scores, ids, bounds-or-None, escalated-or-None) as numpy.
+        Inverted engines return per-query missed-score bounds; scan/dense
+        return None. Fused-escalation engines (single-device inverted with
+        exact_escalate) additionally return the per-query escalated flags —
+        their scores/ids are already exact everywhere."""
         Bq = self._query_batch
         n_q = q.shape[0]
         fn, multi_fn = self._get_search_fn(k_eff, two_phase, engine)
@@ -877,9 +958,10 @@ class SparseIndex:
             )
             s_all, i_all = out[0], out[1]
             b_all = out[2].reshape(nb * Bq) if len(out) > 2 else None
+            e_all = out[3].reshape(nb * Bq) if len(out) > 3 else None
             return _fetch_packed(
                 s_all.reshape(nb * Bq, -1), i_all.reshape(nb * Bq, -1),
-                n_q, b_all,
+                n_q, b_all, e_all,
             )
 
         # dispatch ALL batches before blocking (async dispatch pipelines
@@ -903,7 +985,9 @@ class SparseIndex:
         # per-batch pad rows only ever occur in the LAST batch (starts
         # step by Bq), so the first n_q stacked rows are the queries
         return _fetch_packed(
-            parts[0], parts[1], n_q, parts[2] if len(parts) > 2 else None
+            parts[0], parts[1], n_q,
+            parts[2] if len(parts) > 2 else None,
+            parts[3] if len(parts) > 3 else None,
         )
 
     def search(
@@ -975,7 +1059,7 @@ class SparseIndex:
                     engine = "inverted_full"
 
         k_eff = min(k + (1 if exclude_self is not None else 0), self.n_docs)
-        s_np, i_np, b_np = self._run_queries(q, k_eff, two_phase, engine)
+        s_np, i_np, b_np, esc_np = self._run_queries(q, k_eff, two_phase, engine)
         n_q = q.shape[0]
 
         # exactness certificate (inverted engines): a query whose k-th
@@ -985,7 +1069,19 @@ class SparseIndex:
         # transparently re-runs through the exact doc-major scan.
         self.last_certified = None
         self.last_escalated = None
-        if b_np is not None:
+        if esc_np is not None:
+            # fused escalation (single-device inverted + exact_escalate):
+            # the device already certified every row and re-ran the
+            # uncertified ones through the exact scan inside the search
+            # dispatch — results are exact everywhere, no second pass
+            self.last_escalated = esc_np
+            self.last_certified = np.ones(n_q, dtype=bool)
+            if esc_np.any():
+                logger.debug(
+                    "exact_escalate (fused): %d/%d queries re-ran on the "
+                    "exact scan in-dispatch", int(esc_np.sum()), n_q,
+                )
+        elif b_np is not None:
             kth = s_np[:, -1] if s_np.shape[1] else np.full(n_q, -np.inf)
             with np.errstate(invalid="ignore"):
                 # relative margin: the bound's cut term uses sorted-merge
@@ -1012,7 +1108,7 @@ class SparseIndex:
                 if idx.size:
                     qs = jnp.take(q, jnp.asarray(idx, dtype=jnp.int32), axis=0)
                     # two_phase=False: the escalation target is the EXACT scan
-                    es, ei, _ = self._run_queries(qs, k_eff, False, "sparse")
+                    es, ei, _, _ = self._run_queries(qs, k_eff, False, "sparse")
                     # single-batch fetches arrive as read-only zero-copy
                     # views of the device buffer (ascontiguousarray would
                     # no-op on them) — copy before splicing

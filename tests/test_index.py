@@ -797,18 +797,26 @@ def test_fetch_packed_roundtrips_scores_and_ids():
     ids = jnp.asarray(
         np.array([[0, 1, 2, 3, 4, 5, 550, 8_800_000]] * 6, dtype=np.int32)
     )
-    s_np, i_np, b_np = _fetch_packed(s, ids, 5)
-    assert b_np is None
+    s_np, i_np, b_np, e_np = _fetch_packed(s, ids, 5)
+    assert b_np is None and e_np is None
     assert s_np.shape == (5, 8) and i_np.shape == (5, 8)
     np.testing.assert_array_equal(i_np, np.asarray(ids)[:5])
     np.testing.assert_array_equal(s_np, np.asarray(s)[:5])
     assert i_np.dtype == np.int32 and s_np.dtype == np.float32
     # with per-query bounds packed as a third segment
     bounds = jnp.asarray(np.linspace(0.0, 3.0, 6, dtype=np.float32))
-    s2, i2, b2 = _fetch_packed(s, ids, 5, bounds)
+    s2, i2, b2, e2 = _fetch_packed(s, ids, 5, bounds)
+    assert e2 is None
     np.testing.assert_array_equal(i2, np.asarray(ids)[:5])
     np.testing.assert_array_equal(s2, np.asarray(s)[:5])
     np.testing.assert_array_equal(b2, np.asarray(bounds)[:5])
+    # with fused-escalation flags packed as a fourth segment
+    esc = jnp.asarray(np.array([True, False, True, False, True, False]))
+    s3, i3, b3, e3 = _fetch_packed(s, ids, 5, bounds, esc)
+    np.testing.assert_array_equal(i3, np.asarray(ids)[:5])
+    np.testing.assert_array_equal(b3, np.asarray(bounds)[:5])
+    np.testing.assert_array_equal(e3, np.asarray(esc)[:5])
+    assert e3.dtype == bool
 
 
 # ------------------------------------------------- exactness certificate
@@ -933,9 +941,11 @@ def test_certificate_on_doc_sharded_mesh(mesh8):
 def test_escalation_skips_padding_rows_and_flags_read_exact():
     """Serve's pow2 micro-batcher and the eval chunk driver pad query
     batches with all-zero rows. Those rows are trivially exact (empty
-    top-k): exact_escalate must not re-run a corpus-linear scan for them,
-    and after escalation last_certified reads True for every row while
-    last_escalated marks only the real re-runs."""
+    top-k): exact_escalate must not mark them escalated, and after
+    escalation last_certified reads True for every row while
+    last_escalated marks only the real re-runs. Single-device escalation
+    is FUSED into the search dispatch (lax.cond exact-scan splice), so the
+    host must issue exactly ONE dispatch — no second sparse pass."""
     vocab = 400
     toks, ws = _diffuse_corpus(2000, vocab, l_max=24)
     q_tok, q_w = _corpus_queries(toks, ws, n_q=6, width=5)
@@ -943,7 +953,7 @@ def test_escalation_skips_padding_rows_and_flags_read_exact():
     q_w = np.concatenate([q_w, np.zeros((2, 5), np.float32)])
     # tiny cap on a dense-df corpus: the REAL queries hit truncation and
     # genuinely escalate (with a full cap the zero-miss rule certifies
-    # everything and no escalation pass would run at all)
+    # everything and no escalation would happen at all)
     inv = _build_rows("inverted", toks, ws, vocab, postings_cap=8,
                       query_terms=8, exact_escalate=True)
     calls = []
@@ -958,10 +968,16 @@ def test_escalation_skips_padding_rows_and_flags_read_exact():
     assert hits[6] == {} and hits[7] == {}
     cert, esc = inv.last_certified, inv.last_escalated
     assert cert is not None and cert.all(), cert
-    assert esc is not None and not esc[6] and not esc[7]
-    scan_rows = sum(n for n, e in calls if e == "sparse")
-    # only genuinely-uncertified REAL queries may hit the exact scan
-    assert scan_rows == int(esc.sum())
+    assert esc is not None and esc.any() and not esc[6] and not esc[7]
+    # fused path: the whole thing — search + certify + escalate — is one
+    # host dispatch; a separate "sparse" pass would betray the old
+    # two-round-trip host escalation
+    assert calls == [(8, None)], calls
+    # and the escalated rows really are exact
+    scan = _build_rows("sparse", toks, ws, vocab)
+    sh = scan.search_tokens(q_tok, q_w, k=5)
+    for qi in np.flatnonzero(esc):
+        assert set(hits[qi]) == set(sh[qi])
 
 
 def test_make_search_fn_validates_pool_vs_k():
@@ -1231,3 +1247,31 @@ def test_pack_doc_rows_rejects_wide_vocab_and_roundtrips():
     np.testing.assert_allclose(back, ws, rtol=2**-8)
     with pytest.raises(ValueError, match="2\\*\\*15"):
         inverted.pack_doc_rows(np.array([[2**15]], np.int32), ws[:, :1])
+
+
+def test_escalation_on_doc_sharded_mesh_matches_scan(mesh8):
+    """Sharded corpora still escalate through the HOST second pass (the
+    fused lax.cond splice is single-device only): exact_escalate on a mesh
+    must restore the exact top-k and set the same flags contract."""
+    vocab = 400
+    toks, ws = _diffuse_corpus(2048, vocab, l_max=24)
+    q_tok, q_w = _corpus_queries(toks, ws, n_q=8, width=5)
+    # cap=2: per-SHARD postings (256 docs each) must still truncate hard
+    # enough that candidate generation genuinely misses true winners
+    cfg = IndexConfig(engine="inverted", l_max=24, block_docs=32,
+                      query_batch=8, weight_dtype="float32",
+                      postings_cap=2, query_terms=8, exact_escalate=True)
+    inv = SparseIndex(vocab, cfg, mesh8)
+    inv.doc_ids = [str(i) for i in range(toks.shape[0])]
+    inv._tok_chunks = [toks]
+    inv._w_chunks = [ws]
+    inv.finalize()
+    scan = _build_rows("sparse", toks, ws, vocab)
+    ih = inv.search_tokens(q_tok, q_w, k=5)
+    sh = scan.search_tokens(q_tok, q_w, k=5)
+    assert inv.last_certified is not None and inv.last_certified.all()
+    assert inv.last_escalated is not None and inv.last_escalated.any()
+    for a, b in zip(ih, sh):
+        assert set(a) == set(b)
+        for d in a:
+            assert abs(a[d] - b[d]) < 1e-3
