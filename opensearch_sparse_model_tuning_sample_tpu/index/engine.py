@@ -768,13 +768,22 @@ class SparseIndex:
                     # when one query in 512 escalates — measured 2 531 q/s
                     # host-escalated vs 5 100 q/s uncertified at 128K docs).
                     # Only batches containing an uncertified row execute the
-                    # lax.cond scan branch; certified batches pay ~nothing.
-                    # The margin rule mirrors engine.search's host
-                    # certificate check (see inverted.make_search_fn docs).
+                    # lax.cond scan branch; certified batches pay ~nothing,
+                    # and when at most E rows escalate the scan runs on a
+                    # COMPACT [E, V] slice instead of the whole [Bq, V]
+                    # batch (the scan's einsum cost is proportional to its
+                    # query rows; at 128K docs the whole-batch splice left
+                    # the common 1-of-512 regime at 3.7K q/s vs the bare
+                    # inverted engine's 5.1K — j48). The margin rule mirrors
+                    # engine.search's host certificate check (see
+                    # inverted.make_search_fn docs).
                     exact_topk = make_scan_topk("sparse", k, False)
+                    zero = jnp.asarray(0, jnp.int32)
 
                     def body_fn(qb, pd, pw, toks, docs):
                         s, i, b = raw(qb, pd, pw, toks, docs)
+                        Bq = qb.shape[0]
+                        E = min(8, Bq)  # compact-escalation row budget
                         kth = s[:, -1]
                         margin = 1e-4 * jnp.maximum(jnp.abs(b), jnp.abs(kth))
                         margin = jnp.where(jnp.isfinite(margin), margin, 0.0)
@@ -784,19 +793,44 @@ class SparseIndex:
                         # are trivially exact: don't scan for phantoms
                         cert = cert | (jnp.sum(qb > 0, axis=1) == 0)
                         esc = ~cert
-                        es, ei = jax.lax.cond(
-                            jnp.any(esc),
-                            lambda: exact_topk(
-                                qb, docs, toks, jnp.asarray(0, jnp.int32)
-                            ),
-                            lambda: (s, i),
+                        n_esc = jnp.sum(esc)
+
+                        def full_scan():
+                            es, ei = exact_topk(qb, docs, toks, zero)
+                            return (
+                                jnp.where(esc[:, None], es, s),
+                                jnp.where(esc[:, None], ei, i),
+                            )
+
+                        def small_scan():
+                            # escalated rows first (argsort of ~esc: False
+                            # sorts ahead), scan only those E rows, scatter
+                            # the exact results back over the escalated ones
+                            idx = jnp.argsort(~esc)[:E]
+                            es, ei = exact_topk(
+                                jnp.take(qb, idx, axis=0), docs, toks, zero
+                            )
+                            m = jnp.take(esc, idx)[:, None]
+                            s2 = s.at[idx].set(
+                                jnp.where(m, es, jnp.take(s, idx, axis=0))
+                            )
+                            i2 = i.at[idx].set(
+                                jnp.where(m, ei, jnp.take(i, idx, axis=0))
+                            )
+                            return s2, i2
+
+                        if E == Bq:
+                            branch = full_scan
+                        else:
+                            def branch():
+                                return jax.lax.cond(
+                                    n_esc <= E, small_scan, full_scan
+                                )
+
+                        s3, i3 = jax.lax.cond(
+                            n_esc > 0, branch, lambda: (s, i)
                         )
-                        return (
-                            jnp.where(esc[:, None], es, s),
-                            jnp.where(esc[:, None], ei, i),
-                            b,
-                            esc,
-                        )
+                        return s3, i3, b, esc
                 else:
                     body_fn = raw
 

@@ -1275,3 +1275,76 @@ def test_escalation_on_doc_sharded_mesh_matches_scan(mesh8):
         assert set(a) == set(b)
         for d in a:
             assert abs(a[d] - b[d]) < 1e-3
+
+
+def test_fused_escalation_compact_and_full_branches():
+    """The fused splice scans a compact 8-row slice when few rows escalate
+    and the whole batch when many do — BOTH branches must restore the
+    exact scan's results for every row."""
+    vocab = 2000  # wide enough that the Zipf tail holds df<=cap tokens
+    toks, ws = _diffuse_corpus(2000, vocab, l_max=24)
+    cfg = IndexConfig(engine="inverted", l_max=24, block_docs=256,
+                      query_batch=16, weight_dtype="float32",
+                      postings_cap=8, query_terms=8, exact_escalate=True)
+    inv = SparseIndex(vocab, cfg)
+    inv.doc_ids = [str(i) for i in range(toks.shape[0])]
+    inv._tok_chunks = [toks]
+    inv._w_chunks = [ws]
+    inv.finalize()
+    scan = _build_rows("sparse", toks, ws, vocab)
+
+    df = np.bincount(toks[toks > 0].ravel(), minlength=vocab)
+    rare = np.flatnonzero((df > 0) & (df <= cfg.postings_cap))
+    assert rare.size >= 5, "corpus lacks rare tokens for the test"
+    r = np.random.default_rng(9)
+    # probe: wide queries of the highest-df tokens; their postings rows are
+    # cut hardest at cap=8 so SOME rows fail to certify (which ones is
+    # distribution-dependent — the probe finds one deterministically)
+    top = np.argsort(-df)[:24]
+    pr_tok = np.zeros((16, 8), np.int32)
+    pr_w = np.zeros((16, 8), np.float32)
+    for i2 in range(16):
+        pr_tok[i2] = r.choice(top, size=8, replace=False)
+        pr_w[i2] = r.uniform(2.0, 10.0, size=8)
+    inv.search_tokens(pr_tok, pr_w, k=5)
+    hard = np.flatnonzero(inv.last_escalated)
+    assert hard.size >= 1, "probe produced no escalating query"
+    hj = hard[0]  # one known-escalating query; duplicates escalate alike
+
+    def rare_queries(n):
+        q_tok = np.zeros((n, 8), np.int32)
+        q_w = np.zeros((n, 8), np.float32)
+        for i2 in range(n):
+            pick = r.choice(rare, size=min(5, rare.size), replace=False)
+            q_tok[i2, : len(pick)] = pick
+            q_w[i2, : len(pick)] = r.uniform(2.0, 10.0, size=len(pick))
+        return q_tok, q_w
+
+    # load A: 3 copies of the hard query + 13 rare-token queries (zero-miss
+    # certified) -> exactly 3 escalations, COMPACT branch
+    ra_tok, ra_w = rare_queries(13)
+    qa_tok = np.concatenate([np.tile(pr_tok[hj], (3, 1)), ra_tok])
+    qa_w = np.concatenate([np.tile(pr_w[hj], (3, 1)), ra_w])
+    ha = inv.search_tokens(qa_tok, qa_w, k=5)
+    esc_a = inv.last_escalated
+    assert inv.last_certified.all()
+    assert esc_a is not None and list(np.flatnonzero(esc_a)) == [0, 1, 2]
+    sa = scan.search_tokens(qa_tok, qa_w, k=5)
+    for a, b in zip(ha, sa):
+        assert set(a) == set(b)
+        for d in a:
+            assert abs(a[d] - b[d]) < 1e-3
+
+    # load B: 16 copies of the hard query -> every row escalates, FULL
+    # branch (> E=8)
+    qb_tok = np.tile(pr_tok[hj], (16, 1))
+    qb_w = np.tile(pr_w[hj], (16, 1))
+    hb = inv.search_tokens(qb_tok, qb_w, k=5)
+    esc_b = inv.last_escalated
+    assert inv.last_certified.all()
+    assert esc_b is not None and esc_b.sum() == 16, esc_b.sum()
+    sb = scan.search_tokens(qb_tok, qb_w, k=5)
+    for a, b in zip(hb, sb):
+        assert set(a) == set(b)
+        for d in a:
+            assert abs(a[d] - b[d]) < 1e-3
