@@ -54,6 +54,11 @@ class ModelArguments:
     arch: Optional[str] = None
     param_dtype: str = "float32"
     compute_dtype: str = "bfloat16"
+    # Rematerialize transformer layers in the backward pass (jax.checkpoint):
+    # ~1 extra forward of FLOPs for O(layers) less activation HBM. Needed to
+    # TRAIN bert-large-class (335M) students on one 16G chip; leave off for
+    # the reference model sizes. (models/bert.py::BertConfig.remat)
+    remat: bool = False
 
     def __post_init__(self):
         self.idf_path = _null(self.idf_path)

@@ -62,6 +62,13 @@ class BertConfig:
     head_act: Optional[str] = None
     # --- TPU knobs ---
     vocab_pad_multiple: int = 128
+    # rematerialize each transformer layer in the backward pass
+    # (jax.checkpoint): trades ~one extra forward of FLOPs for dropping the
+    # per-layer activation residuals. OFF for the reference model sizes
+    # (<=167M trains comfortably); required to TRAIN bert-large students at
+    # the recipe batch shapes on one 16G v5e (without it the 335M student at
+    # 40 docs x L256 needs 16.2G HBM — measured OOM, job j46).
+    remat: bool = False
     param_dtype: Any = jnp.float32
     compute_dtype: Any = jnp.bfloat16
 
@@ -315,10 +322,16 @@ def encode_hidden(
         attention_mask[:, None, None, :] > 0, 0.0, jnp.finfo(jnp.float32).min
     ).astype(jnp.float32)
 
+    def one_layer(x, layer, r1, r2):
+        x = _attention(x, mask_bias, layer["attention"], cfg, r1, deterministic)
+        return _ffn(x, layer["ffn"], cfg, r2, deterministic)
+
+    if cfg.remat:
+        # drop per-layer residuals in the backward pass (see BertConfig.remat)
+        one_layer = jax.checkpoint(one_layer)
     for i, layer in enumerate(params["encoder"]["layers"]):
         rng, r1, r2 = jax.random.split(rng, 3)
-        x = _attention(x, mask_bias, layer["attention"], cfg, r1, deterministic)
-        x = _ffn(x, layer["ffn"], cfg, r2, deterministic)
+        x = one_layer(x, layer, r1, r2)
     return x
 
 

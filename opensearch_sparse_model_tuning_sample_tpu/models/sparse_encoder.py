@@ -529,6 +529,7 @@ def build_model(
     seed: int = 0,
     param_dtype=jnp.float32,
     compute_dtype=jnp.bfloat16,
+    remat: bool = False,
 ) -> SparseEncoderModel:
     """Factory mirroring reference `get_model` (utils.py:50-68).
 
@@ -557,6 +558,12 @@ def build_model(
         )
         bert_params = bert.init(jax.random.PRNGKey(seed), cfg)
         loaded_idf = None
+    # training-time knob, not a checkpoint property: applies to loaded
+    # checkpoints too (see bert.BertConfig.remat)
+    if cfg.remat != remat:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, remat=remat)
 
     if loaded_idf is not None and idf_path is None:
         idf = loaded_idf
@@ -609,4 +616,5 @@ def from_model_args(model_args, seed: int = 0) -> SparseEncoderModel:
         seed=seed,
         param_dtype=jnp.dtype(model_args.param_dtype),
         compute_dtype=jnp.dtype(model_args.compute_dtype),
+        remat=getattr(model_args, "remat", False),
     )

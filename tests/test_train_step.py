@@ -201,3 +201,28 @@ def test_step_pins_batch_sharding(tiny_model, mesh8, tmp_path):
     # params replicated on all 8 devices
     sh = trainer.state.params["idf_vector"].sharding
     assert sh.is_fully_replicated
+
+
+def test_remat_layers_matches_non_remat_gradients(tmp_path):
+    """cfg.remat (per-layer jax.checkpoint) must be a pure memory/FLOPs
+    trade: losses and gradients identical to the stored-activation step.
+    (Needed to train bert-large-class students on one 16G chip — the 335M
+    student at the l0 recipe shape OOMs without it, TPU job j46.)"""
+    ma, da, ta = make_args(output_dir=str(tmp_path))
+    results = []
+    for remat in (False, True):
+        model = se.build_model(arch="tiny", remat=remat,
+                               idf_path="assets/idf.npz")
+        assert model.cfg.remat is remat
+        trainer = Trainer(model, ma, da, ta, mesh=make_mesh(1))
+        batch = make_batch(model)
+        m = trainer.train_step(batch)
+        results.append(
+            (float(m["ranking_loss"]),
+             jax.tree_util.tree_leaves(trainer.state.params))
+        )
+    (l0, p0), (l1, p1) = results
+    assert l0 == pytest.approx(l1, rel=1e-6)
+    for a, b in zip(p0, p1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5,
+                                   atol=1e-7)
