@@ -1348,3 +1348,30 @@ def test_fused_escalation_compact_and_full_branches():
         assert set(a) == set(b)
         for d in a:
             assert abs(a[d] - b[d]) < 1e-3
+
+
+def test_escalation_on_query_sharded_mesh(mesh8):
+    """shard_by="queries" + exact_escalate: the host second pass re-runs
+    uncertified rows through the query-sharded exact scan. Results must
+    match the single-device scan; flags contract as usual."""
+    vocab = 400
+    toks, ws = _diffuse_corpus(2048, vocab, l_max=24)
+    q_tok, q_w = _corpus_queries(toks, ws, n_q=16, width=5)
+    cfg = IndexConfig(engine="inverted", l_max=24, block_docs=32,
+                      query_batch=16, weight_dtype="float32",
+                      postings_cap=2, query_terms=8, exact_escalate=True,
+                      shard_by="queries")
+    inv = SparseIndex(vocab, cfg, mesh8)
+    inv.doc_ids = [str(i) for i in range(toks.shape[0])]
+    inv._tok_chunks = [toks]
+    inv._w_chunks = [ws]
+    inv.finalize()
+    scan = _build_rows("sparse", toks, ws, vocab)
+    ih = inv.search_tokens(q_tok, q_w, k=5)
+    sh = scan.search_tokens(q_tok, q_w, k=5)
+    assert inv.last_certified is not None and inv.last_certified.all()
+    assert inv.last_escalated is not None and inv.last_escalated.any()
+    for a, b in zip(ih, sh):
+        assert set(a) == set(b)
+        for d in a:
+            assert abs(a[d] - b[d]) < 1e-3
