@@ -785,9 +785,7 @@ class SparseIndex:
                         Bq = qb.shape[0]
                         E = min(8, Bq)  # compact-escalation row budget
                         kth = s[:, -1]
-                        margin = 1e-4 * jnp.maximum(jnp.abs(b), jnp.abs(kth))
-                        margin = jnp.where(jnp.isfinite(margin), margin, 0.0)
-                        cert = kth >= b + margin
+                        cert = inverted.certified_mask(kth, b)
                         # all-zero padding rows (serve's pow2 micro-batcher,
                         # eval's chunk driver) never certify (kth=-inf) but
                         # are trivially exact: don't scan for phantoms
@@ -1117,17 +1115,11 @@ class SparseIndex:
                 )
         elif b_np is not None:
             kth = s_np[:, -1] if s_np.shape[1] else np.full(n_q, -np.inf)
-            with np.errstate(invalid="ignore"):
-                # relative margin: the bound's cut term uses sorted-merge
-                # run sums while kth comes from a doc-major sum of the same
-                # f32 products, so they can disagree by a few ulps near an
-                # exact tie. Certify only when kth clears the bound by more
-                # than that — sound under fp reordering; at worst a
-                # borderline tie is left uncertified (inverted.make_search_fn
-                # docstring).
-                margin = 1e-4 * np.maximum(np.abs(b_np), np.abs(kth))
-                margin = np.where(np.isfinite(margin), margin, 0.0)
-                cert = kth >= b_np + margin
+            # the SAME rule the device fused path applies
+            # (inverted.certified_mask docstring explains the margin)
+            from . import inverted
+
+            cert = inverted.certified_mask(kth, b_np, xp=np)
             n_unc = int((~cert).sum())
             if n_unc and self._exact_escalate:
                 # all-zero rows (batch/chunk padding from serve's pow2

@@ -363,14 +363,39 @@ class IncrementalPostingsBuilder:
         return self._docs, self._w
 
 
+CERT_MARGIN = 1e-4  # relative fp-reorder tolerance of the certificate
+
+
+def certified_mask(kth, bound, xp=jnp):
+    """The certificate decision: certify a query when its k-th exact score
+    clears the missed-score bound by a small relative margin (the bound's
+    cut term and the rescore sum the same f32 products in different orders,
+    so they can disagree by a few ulps near an exact tie — see
+    make_search_fn). ONE implementation serves both the device fused
+    escalation (xp=jnp, engine._build_search_fn) and the host certificate
+    check (xp=np, engine.search): if the two rules drifted apart, a fused
+    single-device index would escalate a different query set than a
+    doc/query-sharded index over the same corpus."""
+    def rule():
+        margin = CERT_MARGIN * xp.maximum(xp.abs(bound), xp.abs(kth))
+        margin = xp.where(xp.isfinite(margin), margin, 0.0)
+        return kth >= bound + margin
+
+    if xp is np:
+        with np.errstate(invalid="ignore"):
+            return rule()
+    return rule()
+
+
 def pack_doc_rows(toks: np.ndarray, ws: np.ndarray) -> np.ndarray:
     """Pack doc-major rows into ONE int32 array: bf16 weight bits in the
     high half, int16 token id in the low half. The rescore gather then
     fetches half the indices (TPU gathers price per index, not per byte).
     Only valid for bf16-weight engines (the pack IS a bf16 truncation) and
     vocab < 2**15. Unpacked on device by make_search_fn(packed_docs=True)."""
-    if toks.max(initial=0) >= 2**15:
-        raise ValueError("pack_doc_rows needs token ids < 2**15")
+    if toks.max(initial=0) >= 2**15 or toks.min(initial=0) < 0:
+        # negatives would wrap through uint32 and clobber the weight half
+        raise ValueError("pack_doc_rows needs token ids in [0, 2**15)")
     wb = np.asarray(ws, dtype=np.dtype(jnp.bfloat16)).view(np.uint16)
     return (
         (wb.astype(np.uint32) << np.uint32(16))
@@ -470,6 +495,17 @@ def make_search_fn(
         raise ValueError(f"postings_cols={postings_cols} must be >= 1")
     if rescore and rescore_expand < 1:
         raise ValueError(f"rescore_expand={rescore_expand} must be >= 1")
+    if packed_docs and post_w.dtype != jnp.bfloat16:
+        # the pack IS a bf16 truncation of the doc weights: rescoring
+        # truncated weights against an untruncated-f32 postings bound could
+        # CERTIFY results that differ from the exact scan by more than the
+        # certificate margin — sound only when postings weights are the
+        # same bf16 values
+        raise ValueError(
+            "packed_docs requires bfloat16 postings weights (got "
+            f"{post_w.dtype}); the packed rescore is a bf16 truncation and "
+            "the exactness bound must be computed from the same values"
+        )
     if TC < k:
         raise ValueError(
             f"k={k} exceeds the candidate pool query_terms*postings_cols="
@@ -580,8 +616,10 @@ def make_search_fn(
         )  # [B, k1]
         if sort_candidates:
             # gather rows in ascending doc-id order (PAD sorts last) — a
-            # locality experiment for huge corpora; top_k below is
-            # order-agnostic so results are unchanged
+            # locality experiment for huge corpora. Scores are unchanged;
+            # on an EXACT rescore-score tie the returned id can differ from
+            # the unsorted path (top_k keeps the first occurrence, which is
+            # now doc-id order instead of run-sum order)
             cand = jnp.take_along_axis(cand, jnp.argsort(cand, axis=1), axis=1)
         safe = jnp.clip(cand, 0, doc_toks.shape[0] - 1)
         if packed_docs:

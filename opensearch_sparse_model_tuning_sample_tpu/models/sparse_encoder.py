@@ -16,7 +16,7 @@ re-designed TPU-first:
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace as dc_replace
 from functools import partial
 from typing import Any, Dict, List, Optional
 
@@ -561,9 +561,7 @@ def build_model(
     # training-time knob, not a checkpoint property: applies to loaded
     # checkpoints too (see bert.BertConfig.remat)
     if cfg.remat != remat:
-        import dataclasses
-
-        cfg = dataclasses.replace(cfg, remat=remat)
+        cfg = dc_replace(cfg, remat=remat)
 
     if loaded_idf is not None and idf_path is None:
         idf = loaded_idf

@@ -1375,3 +1375,44 @@ def test_escalation_on_query_sharded_mesh(mesh8):
         assert set(a) == set(b)
         for d in a:
             assert abs(a[d] - b[d]) < 1e-3
+
+
+def test_certified_mask_device_host_lockstep():
+    """One certificate rule serves the device fused path (jnp) and the host
+    path (np): they must agree everywhere, including the +-inf bound edge
+    cases the zero-miss/truncation logic produces."""
+    import jax.numpy as jnp
+
+    from opensearch_sparse_model_tuning_sample_tpu.index import inverted
+
+    kth = np.array([5.0, 5.0, 5.0, -np.inf, -np.inf, 0.0, 100.0],
+                   np.float32)
+    bound = np.array([4.0, 5.0, 5.0005, -np.inf, np.inf, 0.0, 100.02],
+                     np.float32)
+    host = inverted.certified_mask(kth, bound, xp=np)
+    dev = np.asarray(inverted.certified_mask(jnp.asarray(kth),
+                                             jnp.asarray(bound)))
+    np.testing.assert_array_equal(host, dev)
+    # semantics: clear win certifies, borderline tie does not, -inf bound
+    # (zero-miss) certifies even a -inf kth, +inf bound never certifies
+    assert list(host) == [True, False, False, True, False, True, False]
+
+
+def test_pack_doc_rows_rejects_negative_ids_and_f32_postings():
+    import jax.numpy as jnp
+
+    from opensearch_sparse_model_tuning_sample_tpu.index import inverted
+
+    with pytest.raises(ValueError, match=r"\[0, 2\*\*15\)"):
+        inverted.pack_doc_rows(np.array([[-1]], np.int32),
+                               np.array([[1.0]], np.float32))
+    # packed_docs + f32 postings would compute the exactness bound from
+    # untruncated weights while rescoring bf16-truncated ones
+    toks = np.array([[1, 2]], np.int32)
+    ws = np.array([[1.0, 2.0]], np.float32)
+    pd, pw = inverted.build_postings(toks, ws, 16, 4)
+    packed = jnp.asarray(inverted.pack_doc_rows(toks, ws))
+    with pytest.raises(ValueError, match="bfloat16"):
+        inverted.make_search_fn(
+            jnp.asarray(pd), jnp.asarray(pw, dtype=jnp.float32), packed,
+            None, query_terms=2, k=1, with_bound=True, packed_docs=True)
