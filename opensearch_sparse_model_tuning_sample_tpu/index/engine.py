@@ -145,6 +145,19 @@ class IndexConfig:
     full_rescore_expand: int = 16
     full_merge_shifts: Optional[int] = None  # None = exact run sums (T-1)
     full_fallback_scan: bool = False  # escape hatch: old exact-scan behavior
+    # Escalation for FULL-FORWARD queries, separate from `exact_escalate`
+    # below. The exactness bound is loose by construction for wide queries
+    # (it sums tails over `full_query_terms` selected terms plus the
+    # unselected remainder), so on realistic zipf corpora ~no wide query
+    # certifies even when the returned top-k is exact (measured: recall@10
+    # = 1.000 with certified = 0.0 at 128K docs, avg 74-term queries).
+    # Escalating would therefore re-run the corpus-linear scan for nearly
+    # every query, forfeiting the path's corpus-size-independence — so the
+    # default is OFF: wide queries return exact-rescored candidates with
+    # honest `last_certified` flags (like the reference's two-phase
+    # pipeline, an approximate contract). Pin True for provably exact wide
+    # results at scan cost.
+    full_exact_escalate: bool = False
     # multi-device layout. "docs": corpus stripes per device, per-shard
     # top-k merged with one all-gather — required when the corpus doesn't
     # fit one device. "queries": the index is REPLICATED and the query
@@ -759,7 +772,7 @@ class SparseIndex:
                     jit=False, **inv_kw
                 )
 
-                if self._exact_escalate:
+                if self._escalate_for(engine):
                     # FUSED exact-escalation: certify and (conditionally)
                     # re-run the exact doc-major scan for uncertified rows
                     # inside the SAME dispatch, so the host never pays the
@@ -945,12 +958,22 @@ class SparseIndex:
         )
         return jax.jit(fn), None
 
+    def _escalate_for(self, engine: Optional[str]) -> bool:
+        """Resolved exact-escalation flag for a search-path engine string:
+        full-forward lookups follow `cfg.full_exact_escalate` (default OFF —
+        the wide-query bound is too loose to certify, see IndexConfig), all
+        other inverted paths follow the finalize()-resolved flag."""
+        if engine == "inverted_full":
+            return bool(self.cfg.full_exact_escalate)
+        return self._exact_escalate
+
     def _get_search_fn(self, k: int, two_phase: bool = False,
                        engine: Optional[str] = None):
         """Returns (per-batch fn, multi-batch fn-or-None); the multi form
         takes q of shape [nb, Bq, V] and answers a whole query set in one
         dispatch (single-device engines only)."""
-        key = (k, two_phase, engine or self._engine, self._exact_escalate)
+        eng = engine or self._engine
+        key = (k, two_phase, eng, self._escalate_for(eng))
         fns = self._search_fns.get(key)
         if fns is None:
             fns = self._search_fns[key] = self._build_search_fn(
@@ -1121,7 +1144,7 @@ class SparseIndex:
 
             cert = inverted.certified_mask(kth, b_np, xp=np)
             n_unc = int((~cert).sum())
-            if n_unc and self._exact_escalate:
+            if n_unc and self._escalate_for(engine):
                 # all-zero rows (batch/chunk padding from serve's pow2
                 # micro-batcher and eval's chunk driver) have kth=-inf and
                 # would never certify — but their true top-k is empty, so

@@ -487,6 +487,42 @@ def test_inverted_full_forward_recall_with_truncated_postings():
     assert hits / total >= 0.99, f"recall@10 {hits/total:.3f}"
 
 
+def test_full_forward_does_not_inherit_exact_escalate():
+    """Wide queries must NOT inherit `exact_escalate`: the wide-query bound
+    is loose by construction (tails over full_query_terms selected terms +
+    the unselected remainder), so on realistic corpora ~no wide query
+    certifies and escalation would re-run the corpus-linear scan for every
+    one — forfeiting the full-forward path's corpus-size-independence.
+    Default contract: exact-rescored candidates + honest flags."""
+    dense_q = make_sparse_reps(N_Q, nnz=64, seed=3)
+    # cramped budgets so candidate generation provably can't certify
+    kw = dict(postings_cap=8, query_terms=4, weight_dtype="float32",
+              full_query_terms=8, full_postings_cols=4,
+              full_rescore_expand=2, exact_escalate=True)
+    idx = build("inverted", **kw)
+    idx.search(dense_q, k=10)
+    assert idx.last_escalated is None  # no escalation pass ran
+    assert idx.last_certified is not None
+    assert not idx.last_certified.all()  # flags stay honest
+
+
+def test_full_exact_escalate_pins_exact_wide_results():
+    """full_exact_escalate=True buys back provably exact wide-query results
+    (at scan cost for the uncertified ones)."""
+    dense_q = make_sparse_reps(N_Q, nnz=64, seed=3)
+    idx = build("inverted", postings_cap=8, query_terms=4,
+                weight_dtype="float32", full_query_terms=8,
+                full_postings_cols=4, full_rescore_expand=2,
+                full_exact_escalate=True)
+    got = idx.search(dense_q, k=10)
+    assert idx.last_certified.all()
+    assert idx.last_escalated.any()  # the cramped budget forced re-runs
+    for h, want in zip(got, _exact_full_forward_want(dense_q)):
+        assert set(h) == set(want)
+        for d in want:
+            assert h[d] == pytest.approx(want[d], rel=1e-5)
+
+
 def test_inverted_inf_free_skips_fallback():
     """Queries within the term budget stay on the inverted path."""
     idx = build("inverted", postings_cap=N_DOCS, query_terms=16,
