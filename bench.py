@@ -126,7 +126,11 @@ def main():
         # run at postings speed, the rare uncertified ones re-run on the
         # exact scan inside the timed region)
         engine="auto", l_max=128, block_docs=2048, query_batch=qbatch,
-        weight_dtype="bfloat16", postings_cap=2048, query_terms=16,
+        weight_dtype="bfloat16", postings_cap=4096, query_terms=16,
+        # cap 4096 (not the 2048 default): on this corpus the certificate
+        # rate is 85.4% at 2048 / 97.9% at 4096 (postings tails shrink), so
+        # escalations drop from ~9/batch to ~1.4/batch and stay inside the
+        # 8-row compact-scan tier. [V, 4096] postings = 750 MB HBM.
         # synchronous build: build_s measures the whole add->finalize cost,
         # not a finalize tail behind a background builder
         incremental_postings=False,

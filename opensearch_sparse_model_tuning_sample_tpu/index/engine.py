@@ -796,7 +796,6 @@ class SparseIndex:
                     def body_fn(qb, pd, pw, toks, docs):
                         s, i, b = raw(qb, pd, pw, toks, docs)
                         Bq = qb.shape[0]
-                        E = min(8, Bq)  # compact-escalation row budget
                         kth = s[:, -1]
                         cert = inverted.certified_mask(kth, b)
                         # all-zero padding rows (serve's pow2 micro-batcher,
@@ -813,29 +812,42 @@ class SparseIndex:
                                 jnp.where(esc[:, None], ei, i),
                             )
 
-                        def small_scan():
+                        def small_scan(E):
                             # escalated rows first (argsort of ~esc: False
                             # sorts ahead), scan only those E rows, scatter
                             # the exact results back over the escalated ones
-                            idx = jnp.argsort(~esc)[:E]
-                            es, ei = exact_topk(
-                                jnp.take(qb, idx, axis=0), docs, toks, zero
-                            )
-                            m = jnp.take(esc, idx)[:, None]
-                            s2 = s.at[idx].set(
-                                jnp.where(m, es, jnp.take(s, idx, axis=0))
-                            )
-                            i2 = i.at[idx].set(
-                                jnp.where(m, ei, jnp.take(i, idx, axis=0))
-                            )
-                            return s2, i2
+                            def f():
+                                idx = jnp.argsort(~esc)[:E]
+                                es, ei = exact_topk(
+                                    jnp.take(qb, idx, axis=0), docs, toks,
+                                    zero,
+                                )
+                                m = jnp.take(esc, idx)[:, None]
+                                s2 = s.at[idx].set(
+                                    jnp.where(m, es, jnp.take(s, idx, axis=0))
+                                )
+                                i2 = i.at[idx].set(
+                                    jnp.where(m, ei, jnp.take(i, idx, axis=0))
+                                )
+                                return s2, i2
 
-                        if E == Bq:
-                            branch = full_scan
-                        else:
-                            def branch():
+                            return f
+
+                        # tiered compact budgets: the scan's einsum cost is
+                        # proportional to its query rows, so pay for the
+                        # smallest tier that covers this batch's escalation
+                        # count (realistic zipf corpora escalate ~10-15% of
+                        # inf-free queries — 6-12 rows of a 64-batch — and a
+                        # single 8-row budget sent nearly every batch to the
+                        # full-width scan: measured 1 122 q/s vs 5 161 bare
+                        # inverted at 128K docs). Each tier is one more
+                        # lax.cond branch (compiled once per (engine, k)).
+                        tiers = [t for t in (8, 16, 32) if t < Bq]
+                        branch = full_scan
+                        for E in reversed(tiers):
+                            def branch(E=E, wider=branch):
                                 return jax.lax.cond(
-                                    n_esc <= E, small_scan, full_scan
+                                    n_esc <= E, small_scan(E), wider
                                 )
 
                         s3, i3 = jax.lax.cond(

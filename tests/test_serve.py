@@ -441,6 +441,9 @@ def test_fullforward_padding_rows_do_not_escalate(tiny_model):
     idx = SparseIndex(V, IndexConfig(
         engine="inverted", l_max=16, block_docs=32, query_batch=4,
         postings_cap=8, query_terms=8, exact_escalate=True,
+        # wide (text) queries escalate only under their own knob since
+        # full_exact_escalate split off from exact_escalate (default OFF)
+        full_exact_escalate=True,
     ))
     idx.add([str(i) for i in range(64)], reps)
     idx.finalize()
