@@ -108,6 +108,7 @@ def main(config_source=None):
             sample_num_one_query=data_args.sample_num_one_query,
             first_rank_thresh=data_args.first_rank_thresh,
             score_scale=data_args.score_scale,
+            shuffle_seed=training_args.seed,
         )
         if dist:
             # single-file datasets shard across processes here (the dir path
@@ -125,6 +126,7 @@ def main(config_source=None):
             sample_num_one_query=data_args.sample_num_one_query,
             first_rank_thresh=data_args.first_rank_thresh,
             score_scale=data_args.score_scale,
+            shuffle_seed=training_args.seed,
         )
     else:
         raise ValueError("train_file or train_file_dir must be specified")

@@ -34,19 +34,29 @@ def _column_names(rows) -> List[str]:
     return list(first.keys()) if isinstance(first, dict) else []
 
 
-def partial_shuffle(lst: Sequence, swap_times) -> List:
+def partial_shuffle(lst: Sequence, swap_times,
+                    rng: Optional[np.random.Generator] = None) -> List:
     """Soften a rank ordering with `swap_times` random pair swaps
     (reference dataset.py:22-40); >= n/2 swaps degenerates to a full
-    shuffle. Uses the module-level numpy RNG (seedable by callers)."""
+    shuffle. `rng` must be an explicitly seeded Generator when multi-host
+    determinism matters: the KD datasets seed one per (shuffle_seed,
+    row_idx), so every rank builds the IDENTICAL group list and the
+    modulo host shard partitions — rather than duplicates/drops — the
+    global sample stream (the reference's unseeded random.sample here is
+    a latent multi-rank hazard, dataset.py:22-40)."""
     swap_times = int(swap_times)
     if swap_times <= 0:
         return list(lst)
+    if rng is None:
+        rng = np.random  # legacy module-global path (single-host only)
     out = np.array(lst)
     n = len(out)
     if swap_times >= n // 2:
-        np.random.shuffle(out)
+        rng.shuffle(out)
     else:
-        pairs = np.random.randint(0, n, size=(swap_times, 2))
+        pairs = rng.integers(0, n, size=(swap_times, 2)) if isinstance(
+            rng, np.random.Generator
+        ) else rng.randint(0, n, size=(swap_times, 2))
         for i, j in pairs:
             out[i], out[j] = out[j], out[i]
     return out.tolist()
@@ -74,6 +84,7 @@ class KnowledgeDistillDataset:
         swap_times=0,
         first_rank_thresh: int = 10000,
         score_scale: float = 1.0,
+        shuffle_seed: int = 0,
         **_,
     ):
         assert sample_num >= 2
@@ -95,7 +106,12 @@ class KnowledgeDistillDataset:
             n = len(all_data[row_idx]["docs"])
             order = list(range(n))
             if swap_times:
-                order = partial_shuffle(order, swap_times)
+                # one Generator per (seed, row): deterministic across ranks
+                # and independent of row visiting order
+                order = partial_shuffle(
+                    order, swap_times,
+                    rng=np.random.default_rng([shuffle_seed, row_idx]),
+                )
             step = n // sample_num
             for i in range(step):
                 self.groups.append(
@@ -133,6 +149,7 @@ class KnowledgeDistillIdsDataset(KnowledgeDistillDataset):
         sample_num: int = 2,
         swap_times=0,
         first_rank_thresh: int = 10000,
+        shuffle_seed: int = 0,
         **_,
     ):
         super().__init__(
@@ -141,6 +158,7 @@ class KnowledgeDistillIdsDataset(KnowledgeDistillDataset):
             swap_times=swap_times,
             first_rank_thresh=first_rank_thresh,
             score_scale=1.0,
+            shuffle_seed=shuffle_seed,
         )
 
     def __getitem__(self, idx: int):
@@ -398,6 +416,7 @@ def load_dataset(
     sample_num_one_query: int = 2,
     first_rank_thresh: int = 10000,
     score_scale: float = 1.0,
+    shuffle_seed: int = 0,
 ):
     """Load one HF save_to_disk dir into the dataset class for `cls`
     (reference dataset.py:454-469)."""
@@ -411,6 +430,7 @@ def load_dataset(
         swap_times=swap_times,
         first_rank_thresh=first_rank_thresh,
         score_scale=score_scale,
+        shuffle_seed=shuffle_seed,
     )
 
 
@@ -423,6 +443,7 @@ def load_datasets(
     score_scale: float = 1.0,
     rank: Optional[int] = None,
     world_size: Optional[int] = None,
+    shuffle_seed: int = 0,
 ):
     """Load every dataset dir under `path` (or a list of such roots), shard
     each across hosts, and combine (reference dataset.py:472-523). Single
@@ -442,6 +463,7 @@ def load_datasets(
                 load_dataset(
                     os.path.join(root, name), cls, swap_times,
                     sample_num_one_query, first_rank_thresh, score_scale,
+                    shuffle_seed=shuffle_seed,
                 )
             )
     sharded = [
