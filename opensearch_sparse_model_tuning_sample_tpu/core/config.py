@@ -131,6 +131,12 @@ class DataArguments:
     # engine default (ON exactly when index_engine="auto" resolves to
     # inverted — auto keeps the scan's exact contract); True/False pin it.
     index_exact_escalate: Optional[bool] = None
+    # two-phase mechanism for use_two_phase: "query" = the reference's
+    # OpenSearch processor semantics (phase 1 scores tokens with weight >=
+    # ratio * max, phase 2 rescores with the rest), "doc" = the TPU-native
+    # doc-side impact pruning (see IndexConfig.two_phase_mode)
+    index_two_phase_mode: str = "query"
+    index_two_phase_ratio: float = 0.4
     # "docs" = corpus stripes per device; "queries" = replicated index,
     # query batch sharded (zero-collective hot path when the corpus fits
     # one device) — see IndexConfig.shard_by
@@ -162,6 +168,12 @@ class TrainingArguments:
     output_dir: str = "output/run"
     per_device_train_batch_size: int = 8
     per_device_eval_batch_size: int = 50
+    # HF TrainingArguments surface (reference args.py:6 inherits it): one
+    # optimizer step per N microbatches, gradients averaged — a jit-level
+    # lax.scan over microbatches, so peak activation memory is bounded by
+    # ONE microbatch (bert-large recipes keep their per-device batch shape
+    # on a 16G chip; effective batch = per_device * mesh * this).
+    gradient_accumulation_steps: int = 1
     learning_rate: float = 2e-5
     weight_decay: float = 0.01
     max_steps: int = 1000

@@ -724,6 +724,8 @@ def index_cfg_from_args(data_args) -> IndexConfig:
         query_terms=getattr(data_args, "index_query_terms", 16),
         exact_escalate=getattr(data_args, "index_exact_escalate", None),
         shard_by=getattr(data_args, "index_shard_by", "docs"),
+        two_phase_mode=getattr(data_args, "index_two_phase_mode", "query"),
+        two_phase_ratio=getattr(data_args, "index_two_phase_ratio", 0.4),
     )
 
 

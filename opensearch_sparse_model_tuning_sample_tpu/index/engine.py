@@ -127,7 +127,20 @@ class IndexConfig:
     block_docs: int = 1024  # docs scored per scan step
     query_batch: int = 16  # queries scored together
     weight_dtype: str = "bfloat16"
-    two_phase_terms: int = 32  # phase-1 scores only the top-impact terms/doc
+    # two-phase search (reference use_two_phase installs OpenSearch's
+    # neural_sparse_two_phase_processor, search.py:27-42):
+    #   "query" (default, the REFERENCE mechanism): phase 1 scores only the
+    #     high-weight query tokens (weight >= two_phase_ratio * max weight);
+    #     phase 2 exactly rescores the candidate pool with the FULL query.
+    #     On the inverted engine the pruned-out terms' mass rides the
+    #     exactness bound, so certificates stay sound (approximate contract,
+    #     honest flags; never escalated — 2p is the explicit speed knob).
+    #   "doc": the TPU-native doc-side analog — phase 1 scans each doc's
+    #     top `two_phase_terms` impact-ordered terms, phase 2 rescores
+    #     (cuts the scan's gather volume by ~l_max/two_phase_terms).
+    two_phase_mode: str = "query"
+    two_phase_ratio: float = 0.4  # OpenSearch processor prune_ratio default
+    two_phase_terms: int = 32  # doc mode: phase-1 top-impact terms per doc
     two_phase_expand: int = 8  # phase-1 candidate pool = expand * k
     postings_cap: int = 2048  # inverted: top-C postings kept per token
     query_terms: int = 16  # inverted: query term slots per lookup
@@ -213,6 +226,11 @@ class IndexConfig:
             raise ValueError(
                 f"IndexConfig.shard_by={self.shard_by!r} — must be 'docs' or 'queries'"
             )
+        if self.two_phase_mode not in ("query", "doc"):
+            raise ValueError(
+                f"IndexConfig.two_phase_mode={self.two_phase_mode!r} — "
+                "must be 'query' or 'doc'"
+            )
 
 
 class SparseIndex:
@@ -251,8 +269,10 @@ class SparseIndex:
         self._inc_fed = 0
         # per-query exactness flags from the LAST inverted search (None for
         # scan/dense searches, which are exact by construction — EXCEPT with
-        # two_phase=True, whose phase-1 candidate pool is approximate with
-        # no bound; None there means "no certificate", not "exact").
+        # two_phase=True on a scan engine, whose phase-1 candidate pool is
+        # approximate with no bound; None there means "no certificate", not
+        # "exact". Query-mode two-phase on the inverted engine DOES return
+        # sound flags: the pruned terms' mass rides the bound.)
         # After an exact_escalate pass the escalated rows read
         # certified=True (their results came from the exact scan);
         # `last_escalated` marks which.
@@ -601,18 +621,23 @@ class SparseIndex:
         blk = cfg.block_docs
         engine = engine or self._engine
 
-        def make_scan_topk(scan_engine: str, kk: int, tp: bool):
+        def make_scan_topk(scan_engine: str, kk: int, tp):
             """Build the block-scan top-k body (the "sparse"/"dense" engine
             core). Parameterized so the inverted branch below can embed an
-            EXACT scan (tp=False) for fused escalation alongside the main
-            path's (engine, k, two_phase) instantiation."""
-            # two-phase (reference use_two_phase, search.py:27-42, here with
-            # the doc-major analog of OpenSearch's impact pruning): phase 1
-            # scans the corpus using only each doc's top-impact l1 terms
-            # (rows are impact-sorted at ingest), phase 2 exactly rescores
-            # the candidate pool. Cuts the dominant gather volume by
-            # ~l_max/l1.
-            l1 = min(cfg.two_phase_terms, cfg.l_max) if tp else None
+            EXACT scan (tp=None) for fused escalation alongside the main
+            path's (engine, k, two_phase) instantiation.
+
+            `tp`: None (exact), "doc" or "query" — the two two-phase
+            mechanisms (IndexConfig.two_phase_mode):
+              * "doc": phase 1 scans only each doc's top-impact l1 terms
+                (rows are impact-sorted at ingest) — cuts the dominant
+                gather volume by ~l_max/l1;
+              * "query" (the reference's OpenSearch processor, search.py:
+                27-42): phase 1 scores only query tokens with weight >=
+                two_phase_ratio * max weight.
+            Both rescore the k1 candidate pool exactly with the full query
+            and all doc terms."""
+            l1 = min(cfg.two_phase_terms, cfg.l_max) if tp == "doc" else None
             # candidate-pool size: never below kk (blk can be < kk — the
             # final top_k(s2, kk) needs k1 >= kk columns), capped at blk+kk
             # so the per-block top_k(cat_s[k1+blk], k1) selection stays
@@ -626,7 +651,14 @@ class SparseIndex:
                 Bq = q.shape[0]
                 n_loc = docs.shape[0]
                 nb = n_loc // blk
-                qc = q.astype(docs.dtype)
+                if tp == "query":
+                    # phase-1 query: high-weight tokens only; `q` (full)
+                    # still feeds the phase-2 rescore below
+                    thresh = jnp.max(q, axis=1, keepdims=True) * cfg.two_phase_ratio
+                    q1 = jnp.where(q >= thresh, q, 0.0)
+                else:
+                    q1 = q
+                qc = q1.astype(docs.dtype)
 
                 if scan_engine == "dense":
                     blocks = docs.reshape(nb, blk, docs.shape[-1])
@@ -657,17 +689,17 @@ class SparseIndex:
                     return best_s, best_i
 
                 L = toks.shape[-1]
-                Ls = l1 if tp else L  # phase-1 terms per doc
+                Ls = l1 if tp == "doc" else L  # phase-1 terms per doc
                 tok_blocks = toks[:, :Ls].reshape(nb, blk, Ls)
                 w_blocks = docs[:, :Ls].reshape(nb, blk, Ls)
 
                 def body(carry, block):
                     best_s, best_i, bidx = carry
                     tok, w = block
-                    # gather the query columns for this block's token ids:
-                    # [Bq, blk*Ls] <- q[:, tok]
+                    # gather the phase-1 query columns for this block's
+                    # token ids: [Bq, blk*Ls] <- q1[:, tok]
                     g = jnp.take(
-                        q, tok.reshape(-1).astype(jnp.int32), axis=1
+                        q1, tok.reshape(-1).astype(jnp.int32), axis=1
                     ).reshape(Bq, blk, Ls)
                     s = jnp.einsum(
                         "qjl,jl->qj", g, w.astype(jnp.float32),
@@ -735,6 +767,14 @@ class SparseIndex:
                     rescore=cfg.inverted_rescore,
                     with_bound=True,
                 )
+            if two_phase and cfg.two_phase_mode == "query":
+                # reference two-phase (search.py:27-42): term lookup only
+                # considers tokens >= ratio * max weight; the rescore and
+                # the exactness bound still see the full query (the
+                # pruned-out terms' mass rides the bound's unselected term,
+                # so certificates remain sound). Requires rescore.
+                if inv_kw["rescore"]:
+                    inv_kw["phase1_ratio"] = cfg.two_phase_ratio
 
             post_docs, post_w = self._post_docs, self._post_w
             n_shards = self.mesh.devices.size if self.mesh is not None else 1
@@ -772,7 +812,7 @@ class SparseIndex:
                     jit=False, **inv_kw
                 )
 
-                if self._escalate_for(engine):
+                if self._escalate_for(engine, two_phase):
                     # FUSED exact-escalation: certify and (conditionally)
                     # re-run the exact doc-major scan for uncertified rows
                     # inside the SAME dispatch, so the host never pays the
@@ -790,7 +830,7 @@ class SparseIndex:
                     # inverted engine's 5.1K — j48). The margin rule mirrors
                     # engine.search's host certificate check (see
                     # inverted.make_search_fn docs).
-                    exact_topk = make_scan_topk("sparse", k, False)
+                    exact_topk = make_scan_topk("sparse", k, None)
                     zero = jnp.asarray(0, jnp.int32)
 
                     def body_fn(qb, pd, pw, toks, docs):
@@ -915,7 +955,9 @@ class SparseIndex:
 
         if engine == "dense" and two_phase:
             two_phase = False  # dense engine is already one exact matmul
-        local_topk = make_scan_topk(engine, k, two_phase)
+        local_topk = make_scan_topk(
+            engine, k, cfg.two_phase_mode if two_phase else None
+        )
 
         if self._shard_queries:
             # replicated corpus, query batch sharded (see inverted branch)
@@ -970,11 +1012,17 @@ class SparseIndex:
         )
         return jax.jit(fn), None
 
-    def _escalate_for(self, engine: Optional[str]) -> bool:
+    def _escalate_for(self, engine: Optional[str],
+                      two_phase: bool = False) -> bool:
         """Resolved exact-escalation flag for a search-path engine string:
         full-forward lookups follow `cfg.full_exact_escalate` (default OFF —
         the wide-query bound is too loose to certify, see IndexConfig), all
-        other inverted paths follow the finalize()-resolved flag."""
+        other inverted paths follow the finalize()-resolved flag. Query-side
+        two-phase never escalates: it is the explicit approximate speed knob
+        (reference parity — OpenSearch's processor trades exactness for
+        speed); certificates are still computed and exposed."""
+        if two_phase and self.cfg.two_phase_mode == "query":
+            return False
         if engine == "inverted_full":
             return bool(self.cfg.full_exact_escalate)
         return self._exact_escalate
@@ -985,7 +1033,7 @@ class SparseIndex:
         takes q of shape [nb, Bq, V] and answers a whole query set in one
         dispatch (single-device engines only)."""
         eng = engine or self._engine
-        key = (k, two_phase, eng, self._escalate_for(eng))
+        key = (k, two_phase, eng, self._escalate_for(eng, two_phase))
         fns = self._search_fns.get(key)
         if fns is None:
             fns = self._search_fns[key] = self._build_search_fn(
@@ -1071,8 +1119,11 @@ class SparseIndex:
         `query_prune`: drop query tokens with weight <= prune * max weight
         (reference sparse_embedding_to_query, sparse_encoders.py:184-194).
         `exclude_self`: per-query id whose hit is dropped (search.py:78-80).
-        `two_phase`: impact-ordered approximate phase 1 + exact rescore
-        (reference use_two_phase, search.py:27-42).
+        `two_phase`: approximate phase 1 + exact rescore (reference
+        use_two_phase, search.py:27-42). cfg.two_phase_mode picks the
+        mechanism: "query" (the reference's processor: phase 1 = tokens
+        with weight >= two_phase_ratio * max) or "doc" (TPU-native analog:
+        phase 1 = each doc's top-impact terms).
         `full_forward`: queries come from the full encoder forward (hundreds
         of active terms) rather than the inf-free path. The inverted engine's
         inf-free lookup covers `cfg.query_terms` terms; wider queries route
@@ -1156,7 +1207,7 @@ class SparseIndex:
 
             cert = inverted.certified_mask(kth, b_np, xp=np)
             n_unc = int((~cert).sum())
-            if n_unc and self._escalate_for(engine):
+            if n_unc and self._escalate_for(engine, two_phase):
                 # all-zero rows (batch/chunk padding from serve's pow2
                 # micro-batcher and eval's chunk driver) have kth=-inf and
                 # would never certify — but their true top-k is empty, so

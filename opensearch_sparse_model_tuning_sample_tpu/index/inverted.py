@@ -416,6 +416,7 @@ def make_search_fn(
     merge_shifts: Optional[int] = None,  # None = T-1 (exact run sums)
     rescore_expand: int = 4,  # candidate pool = expand * k
     select_by_impact: bool = False,  # term selection by q_w * max posting w
+    phase1_ratio: Optional[float] = None,  # query-side two-phase (see below)
     with_bound: bool = False,  # also return the missed-doc score bound
     sort_candidates: bool = False,  # gather rescore rows in doc-id order
     packed_docs: bool = False,  # doc_toks holds pack_doc_rows() output
@@ -447,6 +448,16 @@ def make_search_fn(
     `merge_shifts` < T-1 truncates per-run sums (a doc appearing in more
     than merge_shifts+1 of the looked-up postings lists gets a partial
     candidate score) — only meaningful with rescore on.
+
+    `phase1_ratio` implements the reference's QUERY-side two-phase
+    (OpenSearch neural_sparse_two_phase_processor, search.py:27-42): term
+    LOOKUP considers only tokens with weight >= ratio * max weight; the
+    exact rescore — and the exactness bound's unselected-mass term — still
+    see the full query, so the returned scores are exact for the returned
+    docs and the certificate stays sound (pruned-out terms contribute
+    q_w * w_max to the bound, exactly like terms that lost a lookup slot).
+    Requires rescore=True (without it the visible sums would silently drop
+    the pruned terms' mass).
 
     `with_bound` additionally returns, per query, an upper bound on the
     true score of ANY doc the search could have missed (a WAND-flavored
@@ -495,6 +506,11 @@ def make_search_fn(
         raise ValueError(f"postings_cols={postings_cols} must be >= 1")
     if rescore and rescore_expand < 1:
         raise ValueError(f"rescore_expand={rescore_expand} must be >= 1")
+    if phase1_ratio is not None and not rescore:
+        raise ValueError(
+            "phase1_ratio (query-side two-phase) requires rescore=True — "
+            "phase-1 sums drop the pruned terms' mass"
+        )
     if packed_docs and post_w.dtype != jnp.bfloat16:
         # the pack IS a bf16 truncation of the doc weights: rescoring
         # truncated weights against an untruncated-f32 postings bound could
@@ -515,17 +531,24 @@ def make_search_fn(
 
     def search(q: jax.Array, post_docs, post_w, doc_toks, doc_ws):
         B = q.shape[0]
+        if phase1_ratio is not None:
+            # query-side two-phase: lookup sees only high-weight tokens.
+            # `q` (full) still feeds the rescore and the bound's total_ub.
+            thresh = jnp.max(q, axis=1, keepdims=True) * phase1_ratio
+            q_sel = jnp.where(q >= thresh, q, 0.0)
+        else:
+            q_sel = q
         if select_by_impact:
             # impact upper bound per term: q_w * max posting weight. Postings
             # are impact-sorted so column 0 is each token's max weight; terms
             # with empty postings get bound 0 and never win a slot.
-            ub = q * jnp.maximum(post_w[:, 0].astype(jnp.float32), 0.0)[None, :]
+            ub = q_sel * jnp.maximum(post_w[:, 0].astype(jnp.float32), 0.0)[None, :]
             _, q_tok = jax.lax.top_k(ub, query_terms)  # [B, T]
-            q_w = jnp.take_along_axis(q, q_tok, axis=1)
+            q_w = jnp.take_along_axis(q_sel, q_tok, axis=1)
         else:
             # top-T terms by weight (inference-free queries have ~2-10
             # active terms; T slots cover them)
-            q_w, q_tok = jax.lax.top_k(q, query_terms)  # [B, T]
+            q_w, q_tok = jax.lax.top_k(q_sel, query_terms)  # [B, T]
         term_valid = q_w > 0
 
         if Cq < C:

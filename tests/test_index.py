@@ -227,8 +227,8 @@ def test_two_phase_matches_exact_on_easy_corpus():
     """With docs whose mass concentrates in their top-impact terms (the
     SPLADE regime), two-phase must recover the exact top-k."""
     cfg = IndexConfig(engine="sparse", l_max=32, block_docs=64, query_batch=4,
-                      weight_dtype="float32", two_phase_terms=8,
-                      two_phase_expand=8)
+                      weight_dtype="float32", two_phase_mode="doc",
+                      two_phase_terms=8, two_phase_expand=8)
     idx = SparseIndex(V, cfg)
     idx.add([str(i) for i in range(N_DOCS)], DOCS)
     idx.finalize()
@@ -247,8 +247,8 @@ def test_two_phase_matches_exact_on_easy_corpus():
 
 def test_two_phase_sharded(mesh8):
     cfg = IndexConfig(engine="sparse", l_max=32, block_docs=64, query_batch=4,
-                      weight_dtype="float32", two_phase_terms=16,
-                      two_phase_expand=8)
+                      weight_dtype="float32", two_phase_mode="doc",
+                      two_phase_terms=16, two_phase_expand=8)
     idx = SparseIndex(V, cfg, mesh8)
     idx.add([str(i) for i in range(N_DOCS)], DOCS)
     idx.finalize()
@@ -257,6 +257,67 @@ def test_two_phase_sharded(mesh8):
     hits = sum(len(set(a) & set(b)) for a, b in zip(exact, res))
     total = sum(len(a) for a in exact)
     assert hits / total > 0.9
+
+
+def test_query_two_phase_scan_semantics():
+    """Query-mode two-phase (the reference's OpenSearch processor,
+    /root/reference/scripts/search.py:27-42): phase 1 scores only query
+    tokens with weight >= ratio * max, phase 2 exactly rescores the
+    candidate pool with the FULL query. Pinned: (a) returned scores are the
+    exact full-query scores; (b) every returned doc sits in the phase-1
+    (pruned-query) candidate pool; (c) ratio=0 degenerates to exact."""
+    k, expand = 5, 3
+    idx = build("sparse", weight_dtype="float32", two_phase_ratio=0.4,
+                two_phase_expand=expand)
+    got = idx.search(QS, k=k, two_phase=True)
+    k1 = max(min(expand * k, idx.cfg.block_docs), k)
+    thresh = QS.max(axis=1, keepdims=True) * 0.4
+    pruned_scores = np.where(QS >= thresh, QS, 0.0) @ DOCS.T
+    for qi, hits in enumerate(got):
+        kth_pruned = np.sort(pruned_scores[qi])[::-1][k1 - 1]
+        for d, s in hits.items():
+            # (a) exact full-query score
+            assert s == pytest.approx(BRUTE[qi, int(d)], rel=1e-5)
+            # (b) candidate came from the phase-1 pool
+            assert pruned_scores[qi, int(d)] >= kth_pruned - 1e-5
+    # 2p results contain the phase-1 top-k (reference containment: phase 2
+    # only ADDS the low-weight tokens' mass to candidates already found)
+    exact = brute_topk(k)
+    agree = sum(len(set(a) & set(b)) for a, b in zip(exact, got))
+    assert agree / sum(len(a) for a in exact) > 0.6  # sanity, not exactness
+    # (c) ratio=0: nothing pruned -> exact results
+    idx0 = build("sparse", weight_dtype="float32", two_phase_ratio=0.0)
+    got0 = idx0.search(QS, k=k, two_phase=True)
+    for g, w in zip(got0, exact):
+        assert set(g.keys()) == set(w.keys())
+        for d in g:
+            assert g[d] == pytest.approx(w[d], rel=1e-5)
+
+
+def test_query_two_phase_inverted_certified_and_never_escalates():
+    """Query-mode two-phase on the inverted engine: the pruned-out terms'
+    mass rides the exactness bound (sound certificates), returned scores
+    are exact for the returned docs, and 2p NEVER escalates even with
+    exact_escalate pinned on (it is the explicit approximate speed knob)."""
+    idx = build("inverted", weight_dtype="float32", postings_cap=8,
+                query_terms=8, exact_escalate=True, two_phase_ratio=0.4)
+    got = idx.search(QS, k=5, two_phase=True)
+    assert idx.last_certified is not None
+    assert idx.last_escalated is None  # never escalated
+    exact = brute_topk(5)
+    for qi, hits in enumerate(got):
+        for d, s in hits.items():
+            # rescore is exact for whatever was returned
+            assert s == pytest.approx(BRUTE[qi, int(d)], rel=1e-5)
+        if idx.last_certified[qi]:
+            # certified: provably the true top-k despite pruning+cap
+            assert set(hits.keys()) == set(exact[qi].keys())
+    # the certificate must not be vacuous on a fat-cap index: with the
+    # full postings depth and ratio=0 every query certifies
+    idx2 = build("inverted", weight_dtype="float32", postings_cap=N_DOCS,
+                 query_terms=16, two_phase_ratio=0.0)
+    idx2.search(QS, k=5, two_phase=True)
+    assert idx2.last_certified.all()
 
 
 def test_inverted_engine_exact_with_large_cap():
