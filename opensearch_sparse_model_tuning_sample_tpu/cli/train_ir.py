@@ -98,6 +98,10 @@ def main(config_source=None):
     # run the loader produces this process's LOCAL slice; the trainer
     # assembles the global batch without cross-host movement.
     global_batch = training_args.per_device_train_batch_size * mesh.devices.size
+    # one loader batch per OPTIMIZER step: with gradient accumulation the
+    # trainer slices it into A microbatches (HF effective batch semantics:
+    # per_device * n_dev * gradient_accumulation_steps samples per update)
+    global_batch *= max(1, training_args.gradient_accumulation_steps)
     loader_batch = (
         global_batch // jax.process_count() if dist else global_batch
     )

@@ -131,6 +131,7 @@ def make_train_step(
     teacher_ensemble: Optional[TeacherEnsemble] = None,
     mesh=None,
     donate_state: bool = True,
+    accum_steps: int = 1,
 ) -> Callable:
     """Build the jitted train step.
 
@@ -139,6 +140,15 @@ def make_train_step(
       d_input_ids/d_attention_mask   [B*G, Ld]
       scores (optional)              [B, G] teacher scores from the dataset
       teacher_q / teacher_d (opt)    per-teacher feature dicts (kd-ensemble)
+
+    With `accum_steps` A > 1 every leaf instead carries a leading
+    microbatch axis [A, ...] (sharded over `data` on axis 1): the step
+    scans the A microbatches, averaging gradients before ONE optimizer
+    update (HF gradient_accumulation_steps semantics — each microbatch
+    computes its own loss, incl. in-batch negatives and the FLOPS
+    statistic over the microbatch, exactly as the reference's HF Trainer
+    would). Peak activation memory is bounded by one microbatch; the
+    lambda ramp sees the optimizer step count, not microbatches.
     """
     cfg = model.cfg
     special_mask = jnp.asarray(model.special_mask)
@@ -214,9 +224,32 @@ def make_train_step(
         # derive the per-step dropout rng on device from the base key + step
         # (no host-side split/transfer per step)
         rng = jax.random.fold_in(rng, state.step)
-        (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, state.step, rng, teacher_params
-        )
+        if accum_steps <= 1:
+            (_, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, batch, state.step, rng, teacher_params
+            )
+        else:
+            # microbatch scan: forward+backward per [A]-sliced microbatch,
+            # gradients averaged, ONE update below. scan rematerializes per
+            # iteration, so activations live for one microbatch at a time.
+            def body(g_acc, xs):
+                mb, i = xs
+                (_, m), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                    state.params, mb, state.step,
+                    jax.random.fold_in(rng, i), teacher_params,
+                )
+                return jax.tree_util.tree_map(jnp.add, g_acc, g), m
+            g_sum, m_stack = jax.lax.scan(
+                body,
+                jax.tree_util.tree_map(jnp.zeros_like, state.params),
+                (batch, jnp.arange(accum_steps, dtype=jnp.int32)),
+            )
+            inv = 1.0 / accum_steps
+            grads = jax.tree_util.tree_map(lambda g: g * inv, g_sum)
+            metrics = {
+                k: (jnp.max(v) if k == "nonzero_max" else jnp.mean(v))
+                for k, v in m_stack.items()
+            }
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         # every-step moving average on device (reference trainer.py:120-122
@@ -244,9 +277,12 @@ def make_train_step(
     # pin the layout: state replicated, batch sharded over `data`, rng +
     # teacher params replicated — a mis-placed input is resharded/rejected
     # here rather than silently replicated (sharding prefixes broadcast
-    # over the pytrees)
+    # over the pytrees). With accumulation the microbatch axis leads and
+    # the batch dim (axis 1) shards.
     repl = NamedSharding(mesh, P())
-    shard = NamedSharding(mesh, P(DATA_AXIS))
+    shard = NamedSharding(
+        mesh, P(None, DATA_AXIS) if accum_steps > 1 else P(DATA_AXIS)
+    )
     jitted = jax.jit(
         train_step,
         in_shardings=(repl, shard, repl, repl),
@@ -291,10 +327,14 @@ class Trainer:
             step=jnp.asarray(0, jnp.int32),
             loss_ma=jnp.asarray(0.0, jnp.float32),
         )
+        self.accum_steps = max(
+            1, int(getattr(training_args, "gradient_accumulation_steps", 1))
+        )
         self._step_fn = make_train_step(
             model, self.loss_specs, model_args, data_args, self.tx,
             teacher_ensemble=teacher_ensemble, mesh=self.mesh,
             donate_state=training_args.donate_state,
+            accum_steps=self.accum_steps,
         )
         # rbg PRNG for dropout: ~20 ms/step cheaper than threefry on the
         # config_l0 shape (377M attention-probs dropout bits/step on v5e);
@@ -303,7 +343,10 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def _place(self, batch):
-        shard = NamedSharding(self.mesh, P(DATA_AXIS))
+        shard = NamedSharding(
+            self.mesh,
+            P(None, DATA_AXIS) if self.accum_steps > 1 else P(DATA_AXIS),
+        )
         if jax.process_count() > 1:
             # multi-process (torchrun-analog) run: this process's batch is
             # its LOCAL shard of the global batch; assemble the global array
@@ -323,6 +366,22 @@ class Trainer:
         # their raw texts; their reps enter the step as plain arrays
         if self.teacher_ensemble is not None and self.teacher_ensemble.has_host:
             batch = self.teacher_ensemble.host_precompute(batch)
+        if self.accum_steps > 1:
+            # slice the loader's [A*b, ...] batch into A microbatches on the
+            # host: doc rows are query-major, so a plain leading-dim split
+            # keeps each query's group with it (collator layout)
+            A = self.accum_steps
+
+            def to_micro(x):
+                x = np.asarray(x)
+                if x.shape[0] % A:
+                    raise ValueError(
+                        f"batch leading dim {x.shape[0]} not divisible by "
+                        f"gradient_accumulation_steps={A}"
+                    )
+                return x.reshape(A, x.shape[0] // A, *x.shape[1:])
+
+            batch = jax.tree_util.tree_map(to_micro, batch)
         # the step fn folds the step count into this base key on device
         batch = self._place(batch)
         self.state, metrics = self._step_fn(self.state, batch, self._rng)

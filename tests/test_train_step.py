@@ -226,3 +226,57 @@ def test_remat_layers_matches_non_remat_gradients(tmp_path):
     for a, b in zip(p0, p1):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-5,
                                    atol=1e-7)
+
+
+def test_grad_accum_matches_big_batch(tmp_path):
+    """gradient_accumulation_steps=A over microbatches of b must reproduce
+    the single big-batch (A*b) step exactly when the loss decomposes per
+    sample (infonce without in-batch negatives, flops off, dropout off,
+    fp32): HF semantics — microbatch losses averaged == big-batch mean.
+    (VERDICT r3 item 8; HF TrainingArguments surface the reference
+    inherits, /root/reference/scripts/args.py:6.)"""
+    results = []
+    for accum in (1, 4):
+        import dataclasses
+
+        model = se.build_model(arch="tiny", idf_path="assets/idf.npz",
+                               seed=0, compute_dtype=jnp.float32)
+        model.cfg = dataclasses.replace(
+            model.cfg, hidden_dropout_prob=0.0,
+            attention_probs_dropout_prob=0.0,
+        )
+        ma, da, ta = make_args(
+            output_dir=str(tmp_path / f"a{accum}"),
+            use_in_batch_negatives=False, flops_d_lambda=0.0,
+            gradient_accumulation_steps=accum,
+        )
+        trainer = Trainer(model, ma, da, ta, mesh=make_mesh(1))
+        batch = make_batch(model, B=8, G=2)
+        m = trainer.train_step(batch)
+        results.append(
+            (float(m["ranking_loss"]), float(m["avg_doc_length"]),
+             jax.tree_util.tree_leaves(
+                 jax.device_get(trainer.state.params)))
+        )
+    (l0, adl0, p0), (l1, adl1, p1) = results
+    assert l0 == pytest.approx(l1, rel=1e-5)
+    assert adl0 == pytest.approx(adl1, rel=1e-5)  # metrics averaged
+    for a, b in zip(p0, p1):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-6)
+
+
+def test_grad_accum_trains_and_validates(tiny_model, tmp_path):
+    # with in-batch negatives + flops on, accumulation still trains (each
+    # microbatch computes its OWN in-batch negatives/FLOPS, the documented
+    # HF-parity semantics) and a non-divisible batch fails loudly
+    ma, da, ta = make_args(output_dir=str(tmp_path),
+                           gradient_accumulation_steps=2)
+    trainer = Trainer(tiny_model, ma, da, ta, mesh=make_mesh(1))
+    batch = make_batch(tiny_model, B=8, G=2)
+    losses = [float(trainer.train_step(batch)["ranking_loss"])
+              for _ in range(10)]
+    assert losses[-1] < losses[0], losses
+    assert int(trainer.state.step) == 10  # one optimizer step per call
+    with pytest.raises(ValueError, match="not divisible"):
+        trainer.train_step(make_batch(tiny_model, B=3, G=2))
