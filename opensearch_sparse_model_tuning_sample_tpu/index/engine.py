@@ -882,7 +882,16 @@ class SparseIndex:
                         # full-width scan: measured 1 122 q/s vs 5 161 bare
                         # inverted at 128K docs). Each tier is one more
                         # lax.cond branch (compiled once per (engine, k)).
-                        tiers = [t for t in (8, 16, 32) if t < Bq]
+                        # geometric ladder 8, 16, ..., < Bq: large serving
+                        # batches keep proportional compact budgets instead
+                        # of cliffing to the full-width scan past a
+                        # hardcoded top tier (each tier is one lax.cond
+                        # branch, compiled once per (engine, k))
+                        tiers = []
+                        t = 8
+                        while t < Bq:
+                            tiers.append(t)
+                            t *= 2
                         branch = full_scan
                         for E in reversed(tiers):
                             def branch(E=E, wider=branch):

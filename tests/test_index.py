@@ -1513,3 +1513,60 @@ def test_pack_doc_rows_rejects_negative_ids_and_f32_postings():
         inverted.make_search_fn(
             jnp.asarray(pd), jnp.asarray(pw, dtype=jnp.float32), packed,
             None, query_terms=2, k=1, with_bound=True, packed_docs=True)
+
+
+def test_fused_escalation_tier_ladder_bq64():
+    """Every tier of the geometric compact-escalation ladder at
+    query_batch=64 (tiers 8, 16, 32, then the full-width scan) must restore
+    the exact scan's results: loads engineered to escalate ~3, ~12, ~25 and
+    ~40 rows land in each band (ADVICE r3: the middle tiers were never
+    exercised by CI at query_batch=16)."""
+    vocab = 2000
+    toks, ws = _diffuse_corpus(2000, vocab, l_max=24)
+    cfg = IndexConfig(engine="inverted", l_max=24, block_docs=256,
+                      query_batch=64, weight_dtype="float32",
+                      postings_cap=8, query_terms=8, exact_escalate=True)
+    inv = SparseIndex(vocab, cfg)
+    inv.doc_ids = [str(i) for i in range(toks.shape[0])]
+    inv._tok_chunks = [toks]
+    inv._w_chunks = [ws]
+    inv.finalize()
+    scan = _build_rows("sparse", toks, ws, vocab)
+
+    df = np.bincount(toks[toks > 0].ravel(), minlength=vocab)
+    rare = np.flatnonzero((df > 0) & (df <= cfg.postings_cap))
+    r = np.random.default_rng(11)
+    # probe for a deterministically escalating query (see the Bq=16 test)
+    top = np.argsort(-df)[:24]
+    pr_tok = np.zeros((64, 8), np.int32)
+    pr_w = np.zeros((64, 8), np.float32)
+    for i in range(64):
+        pr_tok[i] = r.choice(top, size=8, replace=False)
+        pr_w[i] = r.uniform(2.0, 10.0, size=8)
+    inv.search_tokens(pr_tok, pr_w, k=5)
+    hard = np.flatnonzero(inv.last_escalated)
+    assert hard.size >= 1
+    hj = hard[0]
+
+    def rare_queries(n):
+        q_tok = np.zeros((n, 8), np.int32)
+        q_w = np.zeros((n, 8), np.float32)
+        for i in range(n):
+            pick = r.choice(rare, size=min(5, rare.size), replace=False)
+            q_tok[i, : len(pick)] = pick
+            q_w[i, : len(pick)] = r.uniform(2.0, 10.0, size=len(pick))
+        return q_tok, q_w
+
+    for n_esc in (3, 12, 25, 40):  # bands <=8, 9-16, 17-32, >32
+        ra_tok, ra_w = rare_queries(64 - n_esc)
+        q_tok = np.concatenate([np.tile(pr_tok[hj], (n_esc, 1)), ra_tok])
+        q_w = np.concatenate([np.tile(pr_w[hj], (n_esc, 1)), ra_w])
+        got = inv.search_tokens(q_tok, q_w, k=5)
+        assert inv.last_certified.all()
+        n_got = int(inv.last_escalated.sum())
+        assert n_got == n_esc, (n_got, n_esc)
+        want = scan.search_tokens(q_tok, q_w, k=5)
+        for a, b in zip(got, want):
+            assert set(a) == set(b)
+            for d in a:
+                assert abs(a[d] - b[d]) < 1e-3
