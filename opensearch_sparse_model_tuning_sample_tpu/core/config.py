@@ -141,6 +141,16 @@ class DataArguments:
     # query batch sharded (zero-collective hot path when the corpus fits
     # one device) — see IndexConfig.shard_by
     index_shard_by: str = "docs"
+    # candidate-pool depth for the exact rescore (k1 = expand * k): deeper
+    # pools tighten the certificate's cut term — see
+    # IndexConfig.inverted_rescore_expand
+    index_rescore_expand: int = 16
+    # tiered adaptive postings depth: keep postings_ext_cap extra postings
+    # for the few zipf-head tokens whose lists extend past the cap, read
+    # them for the deep_slots largest bound contributors per query — see
+    # IndexConfig.postings_ext_cap / deep_slots
+    index_postings_ext_cap: int = 0
+    index_deep_slots: int = 2
 
 
 @dataclass

@@ -723,6 +723,9 @@ def index_cfg_from_args(data_args) -> IndexConfig:
         query_batch=getattr(data_args, "index_query_batch", 64),
         query_terms=getattr(data_args, "index_query_terms", 16),
         exact_escalate=getattr(data_args, "index_exact_escalate", None),
+        inverted_rescore_expand=getattr(data_args, "index_rescore_expand", 16),
+        postings_ext_cap=getattr(data_args, "index_postings_ext_cap", 0),
+        deep_slots=getattr(data_args, "index_deep_slots", 2),
         shard_by=getattr(data_args, "index_shard_by", "docs"),
         two_phase_mode=getattr(data_args, "index_two_phase_mode", "query"),
         two_phase_ratio=getattr(data_args, "index_two_phase_ratio", 0.4),

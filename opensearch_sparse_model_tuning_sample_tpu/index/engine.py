@@ -145,6 +145,25 @@ class IndexConfig:
     postings_cap: int = 2048  # inverted: top-C postings kept per token
     query_terms: int = 16  # inverted: query term slots per lookup
     inverted_rescore: bool = True  # inverted: exact rescore of candidates
+    # candidate-pool depth for the exact rescore: k1 = expand * k. Deeper
+    # pools shrink the certificate's CUT term (the k1-th run sum bounds
+    # every dropped candidate): on the realistic 128K bench corpus the
+    # certified fraction at cap 2048 is 85.4% at expand 4 vs 98.0% at 16 —
+    # the cut, not the postings tail, was the binding term (round-4 sim +
+    # CPU engine measurement). Cost: a wider rescore gather (k1 rows of
+    # l_max), small next to the postings sort.
+    inverted_rescore_expand: int = 16
+    # Tiered ADAPTIVE read depths (inverted engines): store the top
+    # `postings_cap + postings_ext_cap` postings per token, but keep the
+    # extension rows only for the "deep" tokens whose lists extend past
+    # postings_cap (a few hundred zipf-head tokens). At query time the
+    # `deep_slots` terms with the largest bound contribution (q_w x tail)
+    # also read their extension, so fat-tailed common terms get deep,
+    # certifiable reads while everything else stays narrow — the
+    # static-shape analog of Lucene WAND's data-dependent visit depth.
+    # 0 disables (exact round-3 behavior).
+    postings_ext_cap: int = 0
+    deep_slots: int = 2
     # full-forward (non-inf-free) queries on the inverted engine: candidate
     # generation widens to the top `full_query_terms` terms by WAND impact
     # bound but reads only the top `full_postings_cols` postings per term
@@ -265,6 +284,11 @@ class SparseIndex:
         self._shard_queries = False  # resolved at finalize()
         self._query_batch = self.cfg.query_batch  # ditto
         self._exact_escalate = bool(self.cfg.exact_escalate)  # ditto
+        # tiered-depth extension postings (postings_ext_cap > 0): device
+        # arrays from inverted.split_postings, else None
+        self._ext_docs = None
+        self._ext_w = None
+        self._deep_map = None
         self._inc = None  # async device postings builder (inverted engines)
         self._inc_fed = 0
         # per-query exactness flags from the LAST inverted search (None for
@@ -380,7 +404,7 @@ class SparseIndex:
             from . import inverted
 
             self._inc = inverted.IncrementalPostingsBuilder(
-                self.vocab_size, self.cfg.postings_cap,
+                self.vocab_size, self._build_cap,
                 unit=max(self.cfg.incremental_unit, 1),
             )
             self._inc_fed = 0
@@ -406,6 +430,12 @@ class SparseIndex:
     @property
     def n_docs(self) -> int:
         return len(self.doc_ids)
+
+    @property
+    def _build_cap(self) -> int:
+        """Postings depth of the host-side build: base cap + the tiered
+        extension depth (split into base + extension at finalize)."""
+        return self.cfg.postings_cap + max(int(self.cfg.postings_ext_cap), 0)
 
     @property
     def avg_doc_activation(self) -> np.ndarray:
@@ -488,24 +518,63 @@ class SparseIndex:
             if self._engine == "inverted":
                 from . import inverted
 
+                ext_cap = max(int(self.cfg.postings_ext_cap), 0)
+                wdt = jnp.dtype(self.cfg.weight_dtype)
+
+                def split(pd, pw):
+                    """Base device arrays + (ext device arrays or None):
+                    tiered adaptive depth splits the full-depth build at
+                    postings_cap (inverted.split_postings)."""
+                    if not ext_cap:
+                        return pd, pw, None
+                    bd, bw, ed, ew, dm = inverted.split_postings(
+                        pd, pw, self.cfg.postings_cap
+                    )
+                    return bd, bw, (ed, jnp.asarray(ew, dtype=wdt), dm)
+
                 if n_shards > 1:
                     # per-shard postings over the local doc stripe (LOCAL doc
                     # indices) — each device answers from its own corpus
                     # shard, merged with one all-gather at search time
                     shard_n = n_pad // n_shards
-                    pds, pws = [], []
+                    pds, pws, exts = [], [], []
                     for s in range(n_shards):
                         sl = slice(s * shard_n, (s + 1) * shard_n)
                         pd, pw = inverted.build_postings(
                             toks[sl], ws[sl], self.vocab_size,
-                            self.cfg.postings_cap,
+                            self._build_cap,
                         )
+                        pd, pw, ext = split(pd, pw)
                         pds.append(pd)
                         pws.append(pw)
+                        exts.append(ext)
                     self._post_docs = jnp.asarray(np.stack(pds))
                     self._post_w = jnp.asarray(
-                        np.stack(pws), dtype=jnp.dtype(self.cfg.weight_dtype)
+                        np.stack(pws), dtype=wdt
                     )
+                    if ext_cap:
+                        # shards have different deep-set sizes: pad each
+                        # shard's extension to the max row count (extra rows
+                        # are all-padding; each shard's deep_map still points
+                        # its non-deep tokens at its own zero pad row)
+                        rows = max(e[0].shape[0] for e in exts)
+                        eds = np.full(
+                            (n_shards, rows, ext_cap), inverted._PAD_ID,
+                            np.int32,
+                        )
+                        ews = np.zeros((n_shards, rows, ext_cap), np.float32)
+                        dms = np.zeros(
+                            (n_shards, self.vocab_size), np.int32
+                        )
+                        for s, (ed, ew, dm) in enumerate(exts):
+                            eds[s, : ed.shape[0]] = ed
+                            ews[s, : ed.shape[0]] = np.asarray(
+                                ew, dtype=np.float32
+                            )
+                            dms[s] = dm
+                        self._ext_docs = jnp.asarray(eds)
+                        self._ext_w = jnp.asarray(ews, dtype=wdt)
+                        self._deep_map = jnp.asarray(dms)
                 else:
                     if self._inc is not None:
                         # overlap path: the builder consumed chunks during
@@ -520,12 +589,16 @@ class SparseIndex:
                     else:
                         pd, pw = inverted.build_postings(
                             toks[:n] if n else toks, ws[:n] if n else ws,
-                            self.vocab_size, self.cfg.postings_cap,
+                            self.vocab_size, self._build_cap,
                         )
+                    pd, pw, ext = split(pd, pw)
                     self._post_docs = jnp.asarray(pd)
-                    self._post_w = jnp.asarray(
-                        pw, dtype=jnp.dtype(self.cfg.weight_dtype)
-                    )
+                    self._post_w = jnp.asarray(pw, dtype=wdt)
+                    if ext is not None:
+                        ed, ew, dm = ext
+                        self._ext_docs = jnp.asarray(ed)
+                        self._ext_w = ew
+                        self._deep_map = jnp.asarray(dm)
 
         if self.mesh is not None:
             sh = NamedSharding(
@@ -539,6 +612,10 @@ class SparseIndex:
             if self._engine == "inverted" and self.mesh.devices.size > 1:
                 self._post_docs = jax.device_put(self._post_docs, sh)
                 self._post_w = jax.device_put(self._post_w, sh)
+                if self._ext_docs is not None:
+                    self._ext_docs = jax.device_put(self._ext_docs, sh)
+                    self._ext_w = jax.device_put(self._ext_w, sh)
+                    self._deep_map = jax.device_put(self._deep_map, sh)
 
         self._n_pad = n_pad
         self._tok_chunks, self._w_chunks, self._dense_chunks = [], [], []
@@ -564,6 +641,7 @@ class SparseIndex:
         seed = None
         if (self._engine == "inverted" and self._post_docs is not None
                 and self._post_docs.ndim == 2
+                and not self.cfg.postings_ext_cap
                 and self._incremental_applicable()):
             seed = (
                 np.asarray(self._post_docs, dtype=np.int32),
@@ -586,6 +664,9 @@ class SparseIndex:
         self._tok_dev = None
         self._post_docs = None
         self._post_w = None
+        self._ext_docs = None
+        self._ext_w = None
+        self._deep_map = None
         self._search_fns = {}
         self._q_builder = None
         self._finalized = False
@@ -606,6 +687,9 @@ class SparseIndex:
         self._tok_dev = None
         self._post_docs = None
         self._post_w = None
+        self._ext_docs = None
+        self._ext_w = None
+        self._deep_map = None
         self._search_fns = {}
         self._q_builder = None
         self._finalized = False
@@ -765,8 +849,15 @@ class SparseIndex:
                 inv_kw = dict(
                     query_terms=cfg.query_terms, k=k,
                     rescore=cfg.inverted_rescore,
+                    rescore_expand=cfg.inverted_rescore_expand,
                     with_bound=True,
                 )
+            ext_args = None
+            if self._ext_docs is not None:
+                # tiered adaptive depth: the search fn reads the extension
+                # rows for the deep_slots largest bound contributors
+                inv_kw["deep_slots"] = cfg.deep_slots
+                ext_args = (self._ext_docs, self._ext_w, self._deep_map)
             if two_phase and cfg.two_phase_mode == "query":
                 # reference two-phase (search.py:27-42): term lookup only
                 # considers tokens >= ratio * max weight; the rescore and
@@ -785,17 +876,24 @@ class SparseIndex:
                 body = inverted.make_search_fn(
                     post_docs, post_w, None, None, jit=False, **inv_kw
                 )
+                # replicated index + extension; only the query batch shards
+                in_specs = (P(DATA_AXIS), P(), P(), P(), P()) + (
+                    (P(),) if ext_args is not None else ()
+                )
                 smfn = jax.jit(
                     shard_map(
                         body, mesh=self.mesh,
-                        in_specs=(P(DATA_AXIS), P(), P(), P(), P()),
+                        in_specs=in_specs,
                         out_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
                         check_vma=False,
                     )
                 )
 
                 def inverted_search_qsharded(q, docs, toks):
-                    return smfn(q, post_docs, post_w, toks, docs)
+                    args = (q, post_docs, post_w, toks, docs)
+                    if ext_args is not None:
+                        args += (ext_args,)
+                    return smfn(*args)
 
                 return inverted_search_qsharded, None
             if n_shards == 1:
@@ -833,8 +931,8 @@ class SparseIndex:
                     exact_topk = make_scan_topk("sparse", k, None)
                     zero = jnp.asarray(0, jnp.int32)
 
-                    def body_fn(qb, pd, pw, toks, docs):
-                        s, i, b = raw(qb, pd, pw, toks, docs)
+                    def body_fn(qb, pd, pw, toks, docs, ext=None):
+                        s, i, b = raw(qb, pd, pw, toks, docs, ext)
                         Bq = qb.shape[0]
                         kth = s[:, -1]
                         cert = inverted.certified_mask(kth, b)
@@ -909,16 +1007,16 @@ class SparseIndex:
                 fn = jax.jit(body_fn)
 
                 def inverted_search(q, docs, toks):
-                    return fn(q, post_docs, post_w, toks, docs)
+                    return fn(q, post_docs, post_w, toks, docs, ext_args)
 
                 @jax.jit
-                def minv(qs, pd, pw, toks, docs):
+                def minv(qs, pd, pw, toks, docs, ext=None):
                     return jax.lax.map(
-                        lambda qb: body_fn(qb, pd, pw, toks, docs), qs
+                        lambda qb: body_fn(qb, pd, pw, toks, docs, ext), qs
                     )
 
                 def inverted_multi(qs, docs, toks):
-                    return minv(qs, post_docs, post_w, toks, docs)
+                    return minv(qs, post_docs, post_w, toks, docs, ext_args)
 
                 return inverted_search, inverted_multi
 
@@ -929,8 +1027,12 @@ class SparseIndex:
                 post_docs[0], post_w[0], None, None, jit=False, **inv_kw
             )
 
-            def sharded_inverted(q, pd, pw, toks, docs):
-                s, i, b = body(q, pd[0], pw[0], toks, docs)
+            def sharded_inverted(q, pd, pw, toks, docs, ext=None):
+                local_ext = None
+                if ext is not None:
+                    # stacked per-shard extension arrays arrive as [1, ...]
+                    local_ext = tuple(e[0] for e in ext)
+                s, i, b = body(q, pd[0], pw[0], toks, docs, local_ext)
                 me = jax.lax.axis_index(DATA_AXIS).astype(jnp.int32)
                 gi = jnp.where(i >= 0, i + me * shard_n, -1)
                 all_s = jax.lax.all_gather(s, DATA_AXIS)
@@ -948,17 +1050,23 @@ class SparseIndex:
                     jnp.max(all_b, axis=0),
                 )
 
+            in_specs = (P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
+                        P(DATA_AXIS)) + (
+                (P(DATA_AXIS),) if ext_args is not None else ()
+            )
             smfn = jax.jit(
                 shard_map(
                     sharded_inverted, mesh=self.mesh,
-                    in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS),
-                              P(DATA_AXIS)),
+                    in_specs=in_specs,
                     out_specs=(P(), P(), P()), check_vma=False,
                 )
             )
 
             def inverted_search_sharded(q, docs, toks):
-                return smfn(q, post_docs, post_w, toks, docs)
+                args = (q, post_docs, post_w, toks, docs)
+                if ext_args is not None:
+                    args += (ext_args,)
+                return smfn(*args)
 
             return inverted_search_sharded, None
 

@@ -363,6 +363,43 @@ class IncrementalPostingsBuilder:
         return self._docs, self._w
 
 
+def split_postings(
+    post_docs: np.ndarray,  # [V, C_total] from build_postings
+    post_w: np.ndarray,
+    base_cap: int,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Split a full-depth postings build into (base [V, base_cap],
+    extension [n_deep+1, C_total-base_cap], deep_map [V]) for tiered
+    adaptive read depths.
+
+    Only the "deep" tokens — those whose impact-sorted postings extend past
+    base_cap — get an extension row; everything else maps to the final
+    all-padding row. On zipf-distributed corpora the deep set is a few
+    hundred to a few thousand tokens (131K docs @ cap 1024: 1 793 of
+    30 522), so storing [V, C_total] densely (750 MB at C_total=4096) drops
+    to base + a small dense extension. At query time the search fn reads
+    the extension only for the few terms whose tail dominates the exactness
+    bound (make_search_fn deep_slots), making the certificate's read depth
+    ADAPTIVE per term while every shape stays static."""
+    V, C_total = post_docs.shape
+    if base_cap >= C_total:
+        raise ValueError(
+            f"split_postings: base_cap={base_cap} >= C_total={C_total}"
+        )
+    base_d = np.ascontiguousarray(post_docs[:, :base_cap])
+    base_w = np.ascontiguousarray(post_w[:, :base_cap])
+    deep = np.flatnonzero(post_w[:, base_cap] > 0)
+    Ce = C_total - base_cap
+    ext_d = np.full((deep.size + 1, Ce), _PAD_ID, dtype=np.int32)
+    ext_w = np.zeros((deep.size + 1, Ce), dtype=np.float32)
+    if deep.size:
+        ext_d[:-1] = post_docs[deep, base_cap:]
+        ext_w[:-1] = post_w[deep, base_cap:]
+    deep_map = np.full(V, deep.size, dtype=np.int32)  # pad row by default
+    deep_map[deep] = np.arange(deep.size, dtype=np.int32)
+    return base_d, base_w, ext_d, ext_w, deep_map
+
+
 CERT_MARGIN = 1e-4  # relative fp-reorder tolerance of the certificate
 
 
@@ -417,6 +454,7 @@ def make_search_fn(
     rescore_expand: int = 4,  # candidate pool = expand * k
     select_by_impact: bool = False,  # term selection by q_w * max posting w
     phase1_ratio: Optional[float] = None,  # query-side two-phase (see below)
+    deep_slots: int = 0,  # tiered adaptive depth (see below)
     with_bound: bool = False,  # also return the missed-doc score bound
     sort_candidates: bool = False,  # gather rescore rows in doc-id order
     packed_docs: bool = False,  # doc_toks holds pack_doc_rows() output
@@ -448,6 +486,20 @@ def make_search_fn(
     `merge_shifts` < T-1 truncates per-run sums (a doc appearing in more
     than merge_shifts+1 of the looked-up postings lists gets a partial
     candidate score) — only meaningful with rescore on.
+
+    `deep_slots` > 0 enables TIERED ADAPTIVE READ DEPTHS: the search fn then
+    takes an extra `ext` tuple (ext_docs, ext_w, deep_map) from
+    split_postings. Per query, the `deep_slots` terms whose bound
+    contribution (q_w x tail-at-the-shallow-read) is largest ALSO read the
+    rest of their base row (full-forward, where Cq < C) and their extension
+    row — so the exactness certificate's read depth adapts per term (fat
+    zipf-head tokens read deep, everything else stays narrow) while all
+    shapes stay static. A doc still appears at most once per term across
+    the base+extension slices (they partition one impact-sorted list), so
+    the run-merge bound on run length — and the exact-sum guarantee — are
+    unchanged. The tail bound uses each term's ACTUAL read depth: shallow
+    terms pay tail-at-Cq, deep terms pay the extension's last read weight
+    (zero when the extension exhausts the postings).
 
     `phase1_ratio` implements the reference's QUERY-side two-phase
     (OpenSearch neural_sparse_two_phase_processor, search.py:27-42): term
@@ -528,8 +580,9 @@ def make_search_fn(
             f"{query_terms}*{Cq}={TC} — raise query_terms/postings_cap or "
             "lower k (otherwise top_k fails inside jit with an opaque error)"
         )
+    deep_slots = min(max(int(deep_slots), 0), query_terms)
 
-    def search(q: jax.Array, post_docs, post_w, doc_toks, doc_ws):
+    def search(q: jax.Array, post_docs, post_w, doc_toks, doc_ws, ext=None):
         B = q.shape[0]
         if phase1_ratio is not None:
             # query-side two-phase: lookup sees only high-weight tokens.
@@ -565,6 +618,51 @@ def make_search_fn(
         ids = jnp.where(valid, docs, _PAD_ID).reshape(B, TC)
         part = jnp.where(valid, part, 0.0).reshape(B, TC)
 
+        w_tail = pw[:, :, -1]  # [B, T] smallest weight read per term
+        if deep_slots:
+            # tiered adaptive depth (see docstring): the deep_slots terms
+            # whose bound contribution q_w * tail is largest also read (a)
+            # the rest of their base row when the shallow read is narrowed
+            # (full-forward Cq < C) and (b) their extension row. Base,
+            # middle and extension slices partition one impact-sorted
+            # postings list, so a doc still appears at most once per term.
+            ext_docs_a, ext_w_a, deep_map_a = ext
+            contrib = jnp.where(term_valid, q_w * w_tail, -1.0)
+            _, dpos = jax.lax.top_k(contrib, deep_slots)  # [B, S] slot pos
+            d_tok = jnp.take_along_axis(q_tok, dpos, axis=1)
+            d_qw = jnp.take_along_axis(q_w, dpos, axis=1)
+            extra_ids, extra_part = [], []
+            if Cq < C:
+                m_docs = post_docs[:, Cq:][d_tok]  # [B, S, C-Cq]
+                m_w = post_w[:, Cq:][d_tok].astype(jnp.float32)
+                m_valid = (
+                    (m_docs != _PAD_ID) & (d_qw > 0)[:, :, None] & (m_w > 0)
+                )
+                extra_ids.append(
+                    jnp.where(m_valid, m_docs, _PAD_ID).reshape(B, -1)
+                )
+                extra_part.append(
+                    jnp.where(m_valid, m_w * d_qw[:, :, None], 0.0).reshape(
+                        B, -1
+                    )
+                )
+            rows = deep_map_a[d_tok]  # pad row for non-deep tokens
+            e_docs = ext_docs_a[rows]  # [B, S, Ce]
+            e_w = ext_w_a[rows].astype(jnp.float32)
+            e_valid = (e_docs != _PAD_ID) & (d_qw > 0)[:, :, None] & (e_w > 0)
+            extra_ids.append(jnp.where(e_valid, e_docs, _PAD_ID).reshape(B, -1))
+            extra_part.append(
+                jnp.where(e_valid, e_w * d_qw[:, :, None], 0.0).reshape(B, -1)
+            )
+            ids = jnp.concatenate([ids] + extra_ids, axis=1)
+            part = jnp.concatenate([part] + extra_part, axis=1)
+            # deep terms now pay the extension's last READ weight as their
+            # tail (zero when the extension exhausted the postings — then
+            # nothing was missed for that term at all)
+            w_tail = w_tail.at[
+                jnp.arange(B, dtype=jnp.int32)[:, None], dpos
+            ].set(e_w[:, :, -1])
+
         if with_bound:
             # missed-mass bound (see docstring): tails of the read postings
             # slices + terms that never won a lookup slot. One [B,V] matvec
@@ -576,7 +674,7 @@ def make_search_fn(
             )
             unsel = jnp.maximum(total_ub - sel_max, 0.0)
             tail = jnp.sum(
-                jnp.where(term_valid, q_w * pw[:, :, -1], 0.0), axis=1
+                jnp.where(term_valid, q_w * w_tail, 0.0), axis=1
             )
             miss = tail + unsel
 
@@ -632,7 +730,7 @@ def make_search_fn(
             return s, i
 
         # exact rescore of the top candidate pool against doc-major rows
-        k1 = min(rescore_expand * k, TC)
+        k1 = min(rescore_expand * k, ids.shape[1])
         s1, sel = jax.lax.top_k(sums, k1)
         cand = jnp.where(
             jnp.isfinite(s1), jnp.take_along_axis(rid, sel, axis=1), _PAD_ID
@@ -671,7 +769,10 @@ def make_search_fn(
                 # the cut term is unsound, so never certify
                 bound = jnp.full((B,), jnp.inf, jnp.float32)
             else:
-                if k1 < TC:
+                if k1 < int(ids.shape[1]):
+                    # the pool is narrower than the (possibly
+                    # extension-widened) sort: dropped candidates are
+                    # bounded by the k1-th run sum
                     cut = jnp.where(
                         jnp.isfinite(s1[:, -1]),
                         jnp.maximum(s1[:, -1], 0.0), 0.0,

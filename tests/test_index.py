@@ -1570,3 +1570,170 @@ def test_fused_escalation_tier_ladder_bq64():
             assert set(a) == set(b)
             for d in a:
                 assert abs(a[d] - b[d]) < 1e-3
+
+
+# ------------------------------------------------- tiered adaptive depth
+
+
+def test_split_postings_unit():
+    from opensearch_sparse_model_tuning_sample_tpu.index.inverted import (
+        _PAD_ID,
+        build_postings,
+        split_postings,
+    )
+
+    toks = np.array([[1, 2, 0], [1, 3, 0], [1, 0, 0], [2, 1, 0]], np.int32)
+    ws = np.array([[3.0, 2.0, 0], [2.5, 1.0, 0], [2.0, 0, 0], [4.0, 1.5, 0]],
+                  np.float32)
+    pd, pw = build_postings(toks, ws, vocab_size=5, postings_cap=4)
+    bd, bw, ed, ew, dm = split_postings(pd, pw, base_cap=2)
+    # token 1 has 4 postings (> base 2) -> deep; tokens 2,3 have <= 2
+    assert dm[1] == 0 and ed.shape == (2, 2)  # 1 deep token + pad row
+    assert list(bw[1]) == [3.0, 2.5]  # impact-sorted base
+    assert list(ew[0]) == [2.0, 1.5]  # extension continues the same list
+    assert (ew[-1] == 0).all() and (ed[-1] == _PAD_ID).all()  # pad row
+    for t in (0, 2, 3, 4):
+        assert dm[t] == 1  # non-deep -> pad row
+
+
+def test_tiered_ext_sound_and_improves_certification():
+    """postings_ext_cap + deep_slots: certificates stay SOUND (certified =>
+    exact-scan-identical) and the certified fraction strictly improves over
+    the same base cap without the extension — the adaptive-depth analog of
+    Lucene WAND's data-dependent visit depth (reference search.py:59-70)."""
+    vocab = 400
+    toks, ws = _diffuse_corpus(3000, vocab, l_max=24)
+    q_tok, q_w = _corpus_queries(toks, ws, n_q=32, width=5)
+    scan = _build_rows("sparse", toks, ws, vocab)
+    sh = scan.search_tokens(q_tok, q_w, k=5)
+
+    base = _build_rows("inverted", toks, ws, vocab,
+                       postings_cap=64, query_terms=8)
+    base.search_tokens(q_tok, q_w, k=5)
+    base_cert = base.last_certified.mean()
+
+    ext = _build_rows("inverted", toks, ws, vocab,
+                      postings_cap=64, postings_ext_cap=3000, deep_slots=4,
+                      query_terms=8)
+    assert ext._ext_docs is not None and ext._ext_docs.shape[0] > 1
+    eh = ext.search_tokens(q_tok, q_w, k=5)
+    ext_cert = ext.last_certified
+    assert ext_cert.mean() > base_cert, (ext_cert.mean(), base_cert)
+    # full-depth extension on every queried term -> every query certifies
+    # here (the deep set covers the popular tokens the queries draw)
+    for qi in np.flatnonzero(ext_cert):
+        assert set(eh[qi]) == set(sh[qi]), qi
+        for d, s in eh[qi].items():
+            assert abs(s - sh[qi][d]) < 1e-3
+
+
+def test_tiered_ext_fused_escalation_exact():
+    """ext + exact_escalate: the fused splice must restore exact results
+    for whatever the (tighter) certificate still leaves uncertified."""
+    vocab = 400
+    toks, ws = _diffuse_corpus(2000, vocab, l_max=24)
+    q_tok, q_w = _corpus_queries(toks, ws, n_q=16, width=5)
+    scan = _build_rows("sparse", toks, ws, vocab)
+    inv = _build_rows("inverted", toks, ws, vocab,
+                      postings_cap=32, postings_ext_cap=96, deep_slots=2,
+                      query_terms=8, exact_escalate=True)
+    got = inv.search_tokens(q_tok, q_w, k=5)
+    assert inv.last_certified.all()
+    want = scan.search_tokens(q_tok, q_w, k=5)
+    for a, b in zip(got, want):
+        assert set(a) == set(b)
+        for d in a:
+            assert abs(a[d] - b[d]) < 1e-3
+
+
+@pytest.mark.parametrize("shard_by", ["docs", "queries"])
+def test_tiered_ext_sharded_matches_single(mesh8, shard_by):
+    """The extension arrays ride the mesh layouts: per-shard-split +
+    stacked under doc sharding, replicated under query sharding — results
+    must match the single-device tiered engine exactly (fp32)."""
+    vocab = 400
+    toks, ws = _diffuse_corpus(1024, vocab, l_max=24)
+    q_tok, q_w = _corpus_queries(toks, ws, n_q=16, width=5)
+    kw = dict(postings_cap=32, postings_ext_cap=256, deep_slots=2,
+              query_terms=8, exact_escalate=False)
+    single = _build_rows("inverted", toks, ws, vocab, **kw)
+    sh = single.search_tokens(q_tok, q_w, k=5)
+
+    cfg = IndexConfig(engine="inverted", l_max=24, block_docs=64,
+                      query_batch=16, weight_dtype="float32",
+                      shard_by=shard_by, **kw)
+    idx = SparseIndex(vocab, cfg, mesh8)
+    idx.doc_ids = [str(i) for i in range(toks.shape[0])]
+    idx._tok_chunks = [toks]
+    idx._w_chunks = [ws]
+    idx.finalize()
+    assert idx._ext_docs is not None
+    got = idx.search_tokens(q_tok, q_w, k=5)
+    for qi, (a, b) in enumerate(zip(got, sh)):
+        # doc sharding changes the candidate POOL shape (per-shard top-k
+        # then merge, so a shard can surface docs the global pool cut);
+        # certified rows of both engines must agree exactly, and returned
+        # scores are exact either way
+        if shard_by == "queries":
+            assert set(a) == set(b), qi
+        for d in set(a) & set(b):
+            assert abs(a[d] - b[d]) < 1e-3
+    if idx.last_certified is not None and single.last_certified is not None:
+        both = idx.last_certified & single.last_certified
+        for qi in np.flatnonzero(both):
+            assert set(got[qi]) == set(sh[qi])
+
+
+def test_tiered_ext_save_load_roundtrip(tmp_path):
+    vocab = 400
+    toks, ws = _diffuse_corpus(800, vocab, l_max=24)
+    q_tok, q_w = _corpus_queries(toks, ws, n_q=8, width=5)
+    inv = _build_rows("inverted", toks, ws, vocab,
+                      postings_cap=32, postings_ext_cap=128, deep_slots=2,
+                      query_terms=8)
+    want = inv.search_tokens(q_tok, q_w, k=5)
+    inv.save(str(tmp_path / "ix"))
+    loaded = SparseIndex.load(str(tmp_path / "ix"))
+    assert loaded.cfg.postings_ext_cap == 128
+    assert loaded._ext_docs is not None
+    got = loaded.search_tokens(q_tok, q_w, k=5)
+    for a, b in zip(got, want):
+        assert set(a) == set(b)
+
+
+def test_tiered_ext_full_forward_wide_queries():
+    """Wide queries (> query_terms active) route to the full-forward
+    inverted mode, where the shallow read is narrowed (full_postings_cols <
+    cap): deep slots must then read BOTH the rest of the base row and the
+    extension (the middle-gap case), keep certificates sound, and improve
+    candidate recall over the no-ext engine."""
+    vocab = 400
+    toks, ws = _diffuse_corpus(3000, vocab, l_max=24)
+    q_tok, q_w = _corpus_queries(toks, ws, n_q=16, width=14, seed=6)
+    scan = _build_rows("sparse", toks, ws, vocab)
+    sh = scan.search_tokens(q_tok, q_w, k=5)
+
+    kw = dict(query_terms=8, full_query_terms=16, full_postings_cols=16,
+              full_rescore_expand=16)
+    base = _build_rows("inverted", toks, ws, vocab,
+                       postings_cap=64, **kw)
+    bh = base.search_tokens(q_tok, q_w, k=5)
+    ext = _build_rows("inverted", toks, ws, vocab,
+                      postings_cap=64, postings_ext_cap=3000, deep_slots=4,
+                      **kw)
+    eh = ext.search_tokens(q_tok, q_w, k=5)
+    cert = ext.last_certified
+
+    def recall(hits):
+        agree = sum(len(set(a) & set(b)) for a, b in zip(hits, sh))
+        return agree / max(sum(len(b) for b in sh), 1)
+
+    assert recall(eh) >= recall(bh)
+    for qi in range(16):
+        # full-forward rescore is exact for returned docs
+        for d, s in eh[qi].items():
+            assert s == pytest.approx(
+                sh[qi].get(d, s), rel=1e-3
+            ) or d not in sh[qi]
+        if cert is not None and cert[qi]:
+            assert set(eh[qi]) == set(sh[qi]), qi
