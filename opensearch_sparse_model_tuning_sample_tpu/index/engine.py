@@ -164,6 +164,21 @@ class IndexConfig:
     # 0 disables (exact round-3 behavior).
     postings_ext_cap: int = 0
     deep_slots: int = 2
+    # With postings_ext_cap > 0 and exact_escalate, uncertified rows first
+    # re-run through a DEEP re-lookup (every query term reads its full
+    # base+extension postings, candidate pool widened to
+    # deep_escalate_expand * k) instead of the corpus-linear compact scan —
+    # a full-depth inverted query reads ~|postings| entries per term where
+    # the scan reads the whole corpus, so the common ~1%-escalation regime
+    # stays at postings speed (the scan ladder remains the backstop for
+    # rows the deep pass still can't certify). False = scan-only ladder.
+    deep_escalate: bool = True
+    deep_escalate_expand: int = 64
+    # full-forward deep escalation widens term selection to this many slots
+    # so queries with more than full_query_terms active terms can still
+    # zero the bound's unselected-mass term and certify (queries wider than
+    # THIS still fall through to the exact-scan ladder)
+    full_deep_query_terms: int = 128
     # full-forward (non-inf-free) queries on the inverted engine: candidate
     # generation widens to the top `full_query_terms` terms by WAND impact
     # bound but reads only the top `full_postings_cols` postings per term
@@ -931,6 +946,33 @@ class SparseIndex:
                     exact_topk = make_scan_topk("sparse", k, None)
                     zero = jnp.asarray(0, jnp.int32)
 
+                    deep_raw = None
+                    if ext_args is not None and cfg.deep_escalate:
+                        # deep re-lookup escalation tier: EVERY query term
+                        # reads its full base+extension postings and the
+                        # candidate pool widens, so rows the shallow pass
+                        # couldn't certify usually certify here at postings
+                        # cost (~|postings| reads per term) instead of the
+                        # corpus-linear compact scan
+                        deep_kw = dict(inv_kw)
+                        if engine == "inverted_full":
+                            # wide queries: widen term selection so the
+                            # bound's unselected-mass term can reach zero
+                            # (full-depth reads already zero the tails)
+                            deep_kw["query_terms"] = max(
+                                cfg.full_deep_query_terms,
+                                inv_kw["query_terms"],
+                            )
+                        deep_kw["deep_slots"] = deep_kw["query_terms"]
+                        deep_kw["rescore_expand"] = max(
+                            cfg.deep_escalate_expand,
+                            deep_kw.get("rescore_expand", 4),
+                        )
+                        deep_raw = inverted.make_search_fn(
+                            post_docs, post_w, self._tok_dev, self._docs_dev,
+                            jit=False, **deep_kw
+                        )
+
                     def body_fn(qb, pd, pw, toks, docs, ext=None):
                         s, i, b = raw(qb, pd, pw, toks, docs, ext)
                         Bq = qb.shape[0]
@@ -942,6 +984,42 @@ class SparseIndex:
                         cert = cert | (jnp.sum(qb > 0, axis=1) == 0)
                         esc = ~cert
                         n_esc = jnp.sum(esc)
+                        esc0 = esc  # reported flags: rows that re-ran at all
+
+                        if deep_raw is not None:
+                            Ed = min(8, Bq)
+
+                            def deep_pass():
+                                # escalated rows first (argsort of ~esc),
+                                # deep re-lookup on that compact slice, then
+                                # splice back the rows it CERTIFIED — the
+                                # certificate rule makes those provably
+                                # exact; the rest stay escalated for the
+                                # scan ladder below
+                                idx = jnp.argsort(~esc)[:Ed]
+                                ds, di, db = deep_raw(
+                                    jnp.take(qb, idx, axis=0), pd, pw, toks,
+                                    docs, ext,
+                                )
+                                dcert = inverted.certified_mask(
+                                    ds[:, -1], db
+                                )
+                                m = jnp.take(esc, idx)
+                                fix = (m & dcert)[:, None]
+                                s2 = s.at[idx].set(
+                                    jnp.where(fix, ds, jnp.take(s, idx, axis=0))
+                                )
+                                i2 = i.at[idx].set(
+                                    jnp.where(fix, di, jnp.take(i, idx, axis=0))
+                                )
+                                esc2 = esc.at[idx].set(m & ~dcert)
+                                return s2, i2, esc2
+
+                            s, i, esc = jax.lax.cond(
+                                (n_esc > 0) & (n_esc <= Ed), deep_pass,
+                                lambda: (s, i, esc),
+                            )
+                            n_esc = jnp.sum(esc)
 
                         def full_scan():
                             es, ei = exact_topk(qb, docs, toks, zero)
@@ -1000,7 +1078,7 @@ class SparseIndex:
                         s3, i3 = jax.lax.cond(
                             n_esc > 0, branch, lambda: (s, i)
                         )
-                        return s3, i3, b, esc
+                        return s3, i3, b, esc0
                 else:
                     body_fn = raw
 

@@ -942,6 +942,34 @@ def _diffuse_corpus(n_docs, vocab, l_max, seed=3):
             np.take_along_axis(ws, order, axis=1))
 
 
+def _rich_corpus(n_docs, vocab, l_max, seed=3):
+    """Zipf-PMF (rank^-0.8) popularities — docs keep ~l_max UNIQUE tokens
+    after dedupe, so queries sampled from a doc can actually be wide.
+    (_diffuse_corpus draws zipf(1.3) SAMPLES as popularities — the
+    infinite-mean draw concentrates ~all mass on one token and docs
+    collapse to 1-3 unique terms; good for stressing truncation, useless
+    for wide-query routing.)"""
+    r = np.random.default_rng(seed)
+    pop = np.arange(1, vocab + 1, dtype=np.float64) ** -0.8
+    r.shuffle(pop)
+    cdf = np.cumsum(pop / pop.sum())
+    toks = np.searchsorted(cdf, r.random((n_docs, l_max))).astype(np.int32)
+    ws = r.gamma(2.0, 0.5, size=(n_docs, l_max)).astype(np.float32)
+    key = (toks.astype(np.uint64) << np.uint64(32)) | (
+        np.uint64(0xFFFFFFFF) - ws.view(np.uint32).astype(np.uint64)
+    )
+    order = np.argsort(key, axis=1, kind="stable")
+    toks = np.take_along_axis(toks, order, axis=1)
+    ws = np.take_along_axis(ws, order, axis=1)
+    rep = np.zeros_like(ws, dtype=bool)
+    rep[:, 1:] = toks[:, 1:] == toks[:, :-1]
+    ws = np.where(rep, 0.0, ws)
+    toks = np.where(ws > 0, toks, 0)
+    order = np.argsort(-ws, axis=1)
+    return (np.take_along_axis(toks, order, axis=1),
+            np.take_along_axis(ws, order, axis=1))
+
+
 def _corpus_queries(toks, ws, n_q, width, seed=4):
     r = np.random.default_rng(seed)
     q_tok = np.zeros((n_q, width), np.int32)
@@ -1708,8 +1736,9 @@ def test_tiered_ext_full_forward_wide_queries():
     extension (the middle-gap case), keep certificates sound, and improve
     candidate recall over the no-ext engine."""
     vocab = 400
-    toks, ws = _diffuse_corpus(3000, vocab, l_max=24)
+    toks, ws = _rich_corpus(3000, vocab, l_max=24)
     q_tok, q_w = _corpus_queries(toks, ws, n_q=16, width=14, seed=6)
+    assert (q_tok > 0).sum(axis=1).min() > 8  # actually wide (routes full)
     scan = _build_rows("sparse", toks, ws, vocab)
     sh = scan.search_tokens(q_tok, q_w, k=5)
 
@@ -1737,3 +1766,80 @@ def test_tiered_ext_full_forward_wide_queries():
             ) or d not in sh[qi]
         if cert is not None and cert[qi]:
             assert set(eh[qi]) == set(sh[qi]), qi
+
+
+# --------------------------------------------- deep re-lookup escalation
+
+
+def test_deep_escalation_exact_and_certified():
+    """postings_ext_cap + exact_escalate + deep_escalate: uncertified rows
+    first re-run through the full-depth inverted re-lookup (every term reads
+    base+extension, widened pool) — when the extension covers the full
+    postings depth every row must come back provably exact, matching the
+    exact scan, with last_certified all-True and the re-run rows flagged."""
+    vocab = 400
+    toks, ws = _diffuse_corpus(3000, vocab, l_max=24)
+    q_tok, q_w = _corpus_queries(toks, ws, n_q=32, width=5)
+    scan = _build_rows("sparse", toks, ws, vocab)
+    want = scan.search_tokens(q_tok, q_w, k=5)
+
+    # tiny base cap so the shallow pass leaves rows uncertified; full-depth
+    # extension so the deep tier can certify them
+    inv = _build_rows("inverted", toks, ws, vocab,
+                      postings_cap=16, postings_ext_cap=3000 - 16,
+                      deep_slots=1, query_terms=8, exact_escalate=True,
+                      deep_escalate=True)
+    got = inv.search_tokens(q_tok, q_w, k=5)
+    assert inv.last_certified.all()
+    assert inv.last_escalated.sum() > 0  # the tier actually exercised
+    for a, b in zip(got, want):
+        assert set(a) == set(b)
+        for d in a:
+            assert abs(a[d] - b[d]) < 1e-3
+
+
+def test_deep_escalation_off_still_exact():
+    """deep_escalate=False falls back to the scan-only ladder — results
+    stay exact either way (the knob is perf-only)."""
+    vocab = 400
+    toks, ws = _diffuse_corpus(2000, vocab, l_max=24)
+    q_tok, q_w = _corpus_queries(toks, ws, n_q=16, width=5)
+    kw = dict(postings_cap=16, postings_ext_cap=1984, deep_slots=1,
+              query_terms=8, exact_escalate=True)
+    on = _build_rows("inverted", toks, ws, vocab, deep_escalate=True, **kw)
+    off = _build_rows("inverted", toks, ws, vocab, deep_escalate=False, **kw)
+    a_hits = on.search_tokens(q_tok, q_w, k=5)
+    b_hits = off.search_tokens(q_tok, q_w, k=5)
+    for a, b in zip(a_hits, b_hits):
+        assert set(a) == set(b)
+        for d in a:
+            assert abs(a[d] - b[d]) < 1e-3
+
+
+def test_full_forward_deep_escalation_exact():
+    """Wide queries under full_exact_escalate: the hot path selects only
+    full_query_terms terms (unselected mass keeps the bound open), the deep
+    escalation tier widens selection to full_deep_query_terms AND reads the
+    full postings depth — with the extension covering every list, escalated
+    rows certify there and every result matches the exact scan (the scan
+    ladder stays the backstop for queries wider than the deep slots)."""
+    vocab = 400
+    toks, ws = _rich_corpus(2500, vocab, l_max=24)
+    q_tok, q_w = _corpus_queries(toks, ws, n_q=16, width=14, seed=9)
+    assert (q_tok > 0).sum(axis=1).min() > 8  # actually wide (routes full)
+    scan = _build_rows("sparse", toks, ws, vocab)
+    want = scan.search_tokens(q_tok, q_w, k=5)
+
+    inv = _build_rows("inverted", toks, ws, vocab,
+                      postings_cap=32, postings_ext_cap=2500 - 32,
+                      deep_slots=0, query_terms=8,
+                      full_query_terms=8, full_postings_cols=16,
+                      full_deep_query_terms=16,
+                      full_exact_escalate=True, deep_escalate=True)
+    got = inv.search_tokens(q_tok, q_w, k=5)
+    assert inv.last_certified.all()
+    assert inv.last_escalated.sum() > 0
+    for a, b in zip(got, want):
+        assert set(a) == set(b)
+        for d in a:
+            assert abs(a[d] - b[d]) < 1e-3
