@@ -115,7 +115,7 @@ def main():
     n_docs = 131072
     n_queries = 512
     k = 10
-    qbatch = 64
+    qbatch = 128
 
     toks, ws = make_corpus(n_docs, vocab, avg_terms=110, seed=1)
 
@@ -123,14 +123,20 @@ def main():
         # auto resolves to the inverted engine with exact-escalation at this
         # size (round-3 j40/j42: inverted 5.1K q/s vs scan 1.3K at 128K docs;
         # escalation keeps every result provably exact — certified queries
-        # run at postings speed, the rare uncertified ones re-run on the
-        # exact scan inside the timed region)
+        # run at postings speed, the rare uncertified ones re-run at
+        # postings cost through the deep re-lookup tier inside the timed
+        # region, with the exact scan as the final backstop)
         engine="auto", l_max=128, block_docs=2048, query_batch=qbatch,
-        weight_dtype="bfloat16", postings_cap=4096, query_terms=16,
-        # cap 4096 (not the 2048 default): on this corpus the certificate
-        # rate is 85.4% at 2048 / 97.9% at 4096 (postings tails shrink), so
-        # escalations drop from ~9/batch to ~1.4/batch and stay inside the
-        # 8-row compact-scan tier. [V, 4096] postings = 750 MB HBM.
+        weight_dtype="bfloat16", postings_cap=2048, query_terms=8,
+        # round-4 winning shape (j53/j54/j56 sweeps, PERFORMANCE.md
+        # "round-4 headline"): 8 query-term slots cover the 6-term inf-free
+        # queries at half the sort width of 16; rescore pool k1=8k keeps
+        # the hot path lean while deep_slots=1 (the fattest term reads its
+        # extension) recovers the certificate the narrower pool loses —
+        # 3 907 q/s certified 1.0 with 6/512 deep-tier escalations, vs
+        # 1 314 q/s at round 3's cap-4096 scan-ladder shape.
+        inverted_rescore_expand=8,
+        postings_ext_cap=14336, deep_slots=1, deep_escalate=True,
         # synchronous build: build_s measures the whole add->finalize cost,
         # not a finalize tail behind a background builder
         incremental_postings=False,
@@ -176,7 +182,7 @@ def main():
     # query in the batch actually experiences the full round trip, reported
     # separately — don't compare the amortized figure to a per-query p50.
     lat = []
-    for s in range(0, 8 * qbatch, qbatch):
+    for s in range(0, min(8 * qbatch, n_queries), qbatch):
         tb = time.time()
         idx.search_tokens(q_tok[s : s + qbatch], q_w[s : s + qbatch], k=k)
         lat.append(time.time() - tb)

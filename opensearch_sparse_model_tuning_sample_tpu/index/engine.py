@@ -195,16 +195,21 @@ class IndexConfig:
     # Escalation for FULL-FORWARD queries, separate from `exact_escalate`
     # below. The exactness bound is loose by construction for wide queries
     # (it sums tails over `full_query_terms` selected terms plus the
-    # unselected remainder), so on realistic zipf corpora ~no wide query
-    # certifies even when the returned top-k is exact (measured: recall@10
-    # = 1.000 with certified = 0.0 at 128K docs, avg 74-term queries).
-    # Escalating would therefore re-run the corpus-linear scan for nearly
-    # every query, forfeiting the path's corpus-size-independence — so the
-    # default is OFF: wide queries return exact-rescored candidates with
-    # honest `last_certified` flags (like the reference's two-phase
-    # pipeline, an approximate contract). Pin True for provably exact wide
-    # results at scan cost.
-    full_exact_escalate: bool = False
+    # unselected remainder): on a trained encoder's reps (mean ~30 active
+    # terms, decaying weights) ~56% certify in the hot path; flat-idf
+    # synthetic 74-term queries ~0% — even when the returned top-k is
+    # exact (measured recall 0.994-1.000). Default None resolves to ON
+    # exactly when DEEP escalation is available (postings_ext_cap > 0 and
+    # deep_escalate): the uncertified minority then re-runs at postings
+    # cost instead of the corpus-linear scan — measured 11% end-to-end
+    # (598 -> 530 q/s, recall -> 1.000, trained reps @ 20K docs), so every
+    # query width carries the provably-exact contract the reference gets
+    # from Lucene WAND (search.py:59-70). Without the extension it
+    # resolves to OFF (escalation would re-run the scan for nearly every
+    # wide query, forfeiting corpus-size-independence); wide queries then
+    # return exact-rescored candidates with honest `last_certified` flags.
+    # Pin True/False to force either behavior.
+    full_exact_escalate: Optional[bool] = None
     # multi-device layout. "docs": corpus stripes per device, per-shard
     # top-k merged with one all-gather — required when the corpus doesn't
     # fit one device. "queries": the index is REPLICATED and the query
@@ -987,37 +992,57 @@ class SparseIndex:
                         esc0 = esc  # reported flags: rows that re-ran at all
 
                         if deep_raw is not None:
-                            Ed = min(8, Bq)
-
-                            def deep_pass():
+                            def deep_pass(E):
                                 # escalated rows first (argsort of ~esc),
                                 # deep re-lookup on that compact slice, then
                                 # splice back the rows it CERTIFIED — the
                                 # certificate rule makes those provably
                                 # exact; the rest stay escalated for the
                                 # scan ladder below
-                                idx = jnp.argsort(~esc)[:Ed]
-                                ds, di, db = deep_raw(
-                                    jnp.take(qb, idx, axis=0), pd, pw, toks,
-                                    docs, ext,
-                                )
-                                dcert = inverted.certified_mask(
-                                    ds[:, -1], db
-                                )
-                                m = jnp.take(esc, idx)
-                                fix = (m & dcert)[:, None]
-                                s2 = s.at[idx].set(
-                                    jnp.where(fix, ds, jnp.take(s, idx, axis=0))
-                                )
-                                i2 = i.at[idx].set(
-                                    jnp.where(fix, di, jnp.take(i, idx, axis=0))
-                                )
-                                esc2 = esc.at[idx].set(m & ~dcert)
-                                return s2, i2, esc2
+                                def f():
+                                    idx = jnp.argsort(~esc)[:E]
+                                    ds, di, db = deep_raw(
+                                        jnp.take(qb, idx, axis=0), pd, pw,
+                                        toks, docs, ext,
+                                    )
+                                    dcert = inverted.certified_mask(
+                                        ds[:, -1], db
+                                    )
+                                    m = jnp.take(esc, idx)
+                                    fix = (m & dcert)[:, None]
+                                    s2 = s.at[idx].set(jnp.where(
+                                        fix, ds, jnp.take(s, idx, axis=0)
+                                    ))
+                                    i2 = i.at[idx].set(jnp.where(
+                                        fix, di, jnp.take(i, idx, axis=0)
+                                    ))
+                                    esc2 = esc.at[idx].set(m & ~dcert)
+                                    return s2, i2, esc2
+
+                                return f
+
+                            # geometric tier ladder (x4): high-escalation
+                            # regimes (fat-tailed corpora at the multi-M-doc
+                            # scale certify <50% in the shallow pass) keep a
+                            # proportional deep budget instead of cliffing
+                            # to the corpus-linear scan past 8 rows; the
+                            # deep pass costs ~|postings| per term, so even
+                            # a full-width tier stays corpus-independent
+                            d_tiers = []
+                            t = 8
+                            while t < Bq:
+                                d_tiers.append(t)
+                                t *= 4
+                            d_tiers.append(Bq)
+                            branch = deep_pass(d_tiers[-1])
+                            for E in reversed(d_tiers[:-1]):
+                                def branch(E=E, wider=branch):
+                                    return jax.lax.cond(
+                                        n_esc <= E, deep_pass(E), wider
+                                    )
 
                             s, i, esc = jax.lax.cond(
-                                (n_esc > 0) & (n_esc <= Ed), deep_pass,
-                                lambda: (s, i, esc),
+                                n_esc > 0, branch, lambda: (s, i, esc)
                             )
                             n_esc = jnp.sum(esc)
 
@@ -1210,15 +1235,20 @@ class SparseIndex:
     def _escalate_for(self, engine: Optional[str],
                       two_phase: bool = False) -> bool:
         """Resolved exact-escalation flag for a search-path engine string:
-        full-forward lookups follow `cfg.full_exact_escalate` (default OFF —
-        the wide-query bound is too loose to certify, see IndexConfig), all
-        other inverted paths follow the finalize()-resolved flag. Query-side
-        two-phase never escalates: it is the explicit approximate speed knob
+        full-forward lookups follow `cfg.full_exact_escalate` (None = ON
+        exactly when deep escalation can absorb the wide-query bound's
+        looseness at postings cost, see IndexConfig), all other inverted
+        paths follow the finalize()-resolved flag. Query-side two-phase
+        never escalates: it is the explicit approximate speed knob
         (reference parity — OpenSearch's processor trades exactness for
         speed); certificates are still computed and exposed."""
         if two_phase and self.cfg.two_phase_mode == "query":
             return False
         if engine == "inverted_full":
+            if self.cfg.full_exact_escalate is None:
+                return bool(
+                    self.cfg.postings_ext_cap and self.cfg.deep_escalate
+                )
             return bool(self.cfg.full_exact_escalate)
         return self._exact_escalate
 

@@ -1843,3 +1843,62 @@ def test_full_forward_deep_escalation_exact():
         assert set(a) == set(b)
         for d in a:
             assert abs(a[d] - b[d]) < 1e-3
+
+
+def test_deep_escalation_tier_ladder_many_rows():
+    """When most of a batch fails the shallow certificate (tiny cap), the
+    geometric deep-tier ladder (8, 32, ..., Bq) must still certify every
+    row through the full-depth re-lookup — no scan fallback needed — and
+    results must match the exact scan."""
+    vocab = 400
+    toks, ws = _diffuse_corpus(2000, vocab, l_max=24)
+    q_tok, q_w = _corpus_queries(toks, ws, n_q=32, width=5, seed=12)
+    scan = _build_rows("sparse", toks, ws, vocab)
+    want = scan.search_tokens(q_tok, q_w, k=5)
+
+    cfg = IndexConfig(engine="inverted", l_max=24, block_docs=256,
+                      query_batch=32, weight_dtype="float32",
+                      postings_cap=4, postings_ext_cap=1996, deep_slots=0,
+                      query_terms=8, exact_escalate=True, deep_escalate=True)
+    inv = SparseIndex(vocab, cfg)
+    inv.doc_ids = [str(i) for i in range(toks.shape[0])]
+    inv._tok_chunks = [toks]
+    inv._w_chunks = [ws]
+    inv.finalize()
+    got = inv.search_tokens(q_tok, q_w, k=5)
+    assert inv.last_certified.all()
+    assert inv.last_escalated.sum() > 8  # past the first tier
+    for a, b in zip(got, want):
+        assert set(a) == set(b)
+        for d in a:
+            assert abs(a[d] - b[d]) < 1e-3
+
+
+def test_full_exact_escalate_default_follows_deep_availability():
+    """full_exact_escalate=None resolves ON exactly when deep escalation
+    can absorb wide-query escalations at postings cost (postings_ext_cap >
+    0 and deep_escalate); without the extension it resolves OFF and wide
+    results keep honest certificates instead of paying the scan."""
+    vocab = 400
+    toks, ws = _rich_corpus(1500, vocab, l_max=24)
+    q_tok, q_w = _corpus_queries(toks, ws, n_q=16, width=14, seed=9)
+    scan = _build_rows("sparse", toks, ws, vocab)
+    want = scan.search_tokens(q_tok, q_w, k=5)
+
+    with_ext = _build_rows("inverted", toks, ws, vocab,
+                           postings_cap=32, postings_ext_cap=1468,
+                           deep_slots=0, query_terms=8,
+                           full_query_terms=8, full_postings_cols=16,
+                           full_deep_query_terms=16)
+    assert with_ext._escalate_for("inverted_full") is True
+    got = with_ext.search_tokens(q_tok, q_w, k=5)
+    assert with_ext.last_certified.all()
+    for a, b in zip(got, want):
+        assert set(a) == set(b)
+
+    no_ext = _build_rows("inverted", toks, ws, vocab,
+                         postings_cap=32, query_terms=8,
+                         full_query_terms=8, full_postings_cols=16)
+    assert no_ext._escalate_for("inverted_full") is False
+    no_ext.search_tokens(q_tok, q_w, k=5)
+    assert no_ext.last_escalated is None  # approximate contract, no scan
