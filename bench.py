@@ -192,12 +192,17 @@ def main():
     # inverted engine at scale: corpus far beyond the auto-threshold, where
     # the scan engine degrades linearly but postings cost stays constant —
     # the Lucene-analog path that must hold the ">10x OpenSearch" north star
-    # (BASELINE.md) at production corpus sizes
+    # (BASELINE.md) at production corpus sizes. Round 4: this segment now
+    # carries the certified-exact contract too (cap 8192 + extension +
+    # deep-tier escalation — j58: 1 138 q/s certified 1.0 vs 3 810
+    # uncertified at cap 2048 where only 5% of queries certify)
     n_large = 1 << 21  # 2.1M docs (16x the headline corpus, 8x auto-threshold)
     ltoks, lws = make_corpus(n_large, vocab, avg_terms=80, seed=2, l_max=96)
     inv_cfg = IndexConfig(
         engine="inverted", l_max=96, block_docs=4096, query_batch=qbatch,
-        weight_dtype="bfloat16", postings_cap=2048, query_terms=16,
+        weight_dtype="bfloat16", postings_cap=8192, query_terms=8,
+        inverted_rescore_expand=8, exact_escalate=True,
+        postings_ext_cap=24576, deep_slots=2, deep_escalate=True,
         incremental_postings=False,
     )
     t0 = time.time()
@@ -211,6 +216,13 @@ def main():
         t0 = time.time()
         inv.search_tokens(q_tok, q_w, k=k)
         inv_qps = max(inv_qps, n_queries / (time.time() - t0))
+    inv_cert = (
+        None if inv.last_certified is None
+        else round(float(inv.last_certified.mean()), 4)
+    )
+    inv_esc = (
+        None if inv.last_escalated is None else int(inv.last_escalated.sum())
+    )
     del inv, ltoks, lws
 
     # encoder forward throughput (the ingest hot path)
@@ -319,6 +331,8 @@ def main():
                     "per_query_amortized_ms": round(p50_ms, 3),
                     "batch64_p50_roundtrip_ms": round(batch_p50_ms, 2),
                     "inverted_qps_2m_docs": round(inv_qps, 1),
+                    "certified_frac_2m": inv_cert,
+                    "escalated_2m": inv_esc,
                     "inverted_build_s_2m_docs": round(inv_build_s, 1),
                     "index_build_s": round(build_s, 2),
                     "encoder_docs_per_sec_mini_L128": round(enc_dps, 1),

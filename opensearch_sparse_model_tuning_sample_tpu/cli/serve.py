@@ -523,9 +523,11 @@ def main(argv=None):
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=9201)
     p.add_argument("--max-length", type=int, default=512)
-    p.add_argument("--batch-window-ms", type=float, default=2.0,
+    p.add_argument("--batch-window-ms", type=float, default=5.0,
                    help="coalescing window for concurrent searches (0 = "
-                        "drain-available batching only)")
+                        "drain-available batching only; 5 ms measured best "
+                        "under load, PERFORMANCE.md round-4 serving — drop "
+                        "to 0 for latency-sensitive single clients)")
     p.add_argument("--max-batch", type=int, default=64,
                    help="max concurrent searches per engine dispatch")
     args = p.parse_args(argv)

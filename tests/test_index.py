@@ -1902,3 +1902,37 @@ def test_full_exact_escalate_default_follows_deep_availability():
     assert no_ext._escalate_for("inverted_full") is False
     no_ext.search_tokens(q_tok, q_w, k=5)
     assert no_ext.last_escalated is None  # approximate contract, no scan
+
+
+def test_incremental_build_with_extension_matches_sync():
+    """incremental_postings + postings_ext_cap: the background builder runs
+    at the full build depth (cap + ext) and finalize splits into base +
+    extension exactly like the synchronous build."""
+    kw = dict(postings_cap=16, postings_ext_cap=48, deep_slots=2,
+              query_terms=16, weight_dtype="float32")
+    cfg_inc = IndexConfig(engine="inverted", l_max=32, block_docs=64,
+                          query_batch=4, incremental_postings=True,
+                          incremental_unit=64, **kw)
+    cfg_sync = IndexConfig(engine="inverted", l_max=32, block_docs=64,
+                           query_batch=4, incremental_postings=False, **kw)
+    inc, sync = SparseIndex(V, cfg_inc), SparseIndex(V, cfg_sync)
+    for idx in (inc, sync):
+        for s in range(0, N_DOCS, 50):
+            batch = DOCS[s:s + 50]
+            idx.add([str(i) for i in range(s, s + batch.shape[0])], batch)
+    inc.finalize()
+    sync.finalize()
+    np.testing.assert_array_equal(
+        np.asarray(inc._post_docs), np.asarray(sync._post_docs)
+    )
+    assert inc._ext_docs is not None
+    np.testing.assert_array_equal(
+        np.asarray(inc._ext_docs), np.asarray(sync._ext_docs)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(inc._deep_map), np.asarray(sync._deep_map)
+    )
+    a = inc.search(QS, k=10)
+    b = sync.search(QS, k=10)
+    for x, y in zip(a, b):
+        assert x == y
