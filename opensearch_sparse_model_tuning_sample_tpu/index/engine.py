@@ -153,6 +153,20 @@ class IndexConfig:
     # CPU engine measurement). Cost: a wider rescore gather (k1 rows of
     # l_max), small next to the postings sort.
     inverted_rescore_expand: int = 16
+    # CUT-REFINEMENT pool: when a row fails the certificate at the base
+    # rescore pool, the search fn re-rescores the SAME sorted run sums at
+    # refine_expand * k candidates inside the same dispatch (no postings
+    # re-read, no re-sort — one wider top_k + doc-row gather). At multi-M
+    # scale the cut is the binding certificate term (8.8M analysis: depth
+    # 8192 tail-certifies 475/512 but the k1=80 cut leaves 106) and the
+    # deep re-lookup tier re-reads and re-sorts postings, so this tier can
+    # recover certified rows more cheaply when few rows fail (the failing
+    # rows are compacted to the front and only a geometric slice pays the
+    # wider gather). Applies to both inf-free and full-forward paths;
+    # 0 disables (default — a FULL-batch refine measured a net loss at 2M
+    # docs on TPU: the k2*l_max doc-row gather outweighs the deep tier it
+    # saves; enable explicitly after measuring on your corpus shape).
+    refine_expand: int = 0
     # Tiered ADAPTIVE read depths (inverted engines): store the top
     # `postings_cap + postings_ext_cap` postings per token, but keep the
     # extension rows only for the "deep" tokens whose lists extend past
@@ -862,6 +876,7 @@ class SparseIndex:
                     postings_cols=cfg.full_postings_cols,
                     merge_shifts=cfg.full_merge_shifts,
                     rescore_expand=cfg.full_rescore_expand,
+                    refine_expand=cfg.refine_expand,
                     select_by_impact=True,
                     with_bound=True,
                 )
@@ -870,6 +885,7 @@ class SparseIndex:
                     query_terms=cfg.query_terms, k=k,
                     rescore=cfg.inverted_rescore,
                     rescore_expand=cfg.inverted_rescore_expand,
+                    refine_expand=cfg.refine_expand,
                     with_bound=True,
                 )
             ext_args = None

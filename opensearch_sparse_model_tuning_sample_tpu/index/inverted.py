@@ -452,6 +452,7 @@ def make_search_fn(
     postings_cols: Optional[int] = None,  # use only the top-C' postings/term
     merge_shifts: Optional[int] = None,  # None = T-1 (exact run sums)
     rescore_expand: int = 4,  # candidate pool = expand * k
+    refine_expand: int = 0,  # cut-refinement pool = expand * k (see below)
     select_by_impact: bool = False,  # term selection by q_w * max posting w
     phase1_ratio: Optional[float] = None,  # query-side two-phase (see below)
     deep_slots: int = 0,  # tiered adaptive depth (see below)
@@ -541,6 +542,16 @@ def make_search_fn(
     Without rescore the returned scores are postings-visible sums, so the
     bound degenerates to -inf when nothing was truncated (certified) and
     +inf otherwise.
+
+    `refine_expand` > rescore_expand (rescore + with_bound only) adds a
+    CUT-REFINEMENT tier inside the search fn: when any row in the batch
+    fails the certificate at the base pool, the SAME sorted run sums are
+    exact-rescored at a pool of refine_expand*k candidates. At multi-M-doc
+    scale the bound's binding term is the cut (the k1-th run sum), not the
+    postings tail — deepening the pool shrinks the cut at the cost of one
+    wider top_k + doc-row gather, with no postings re-read and no re-sort,
+    so rows the base pool can't certify usually certify here instead of
+    falling to the engine's deep re-lookup / exact-scan escalation ladder.
     """
     C = post_docs.shape[1]
     Cq = C if postings_cols is None else min(postings_cols, C)
@@ -730,73 +741,145 @@ def make_search_fn(
             return s, i
 
         # exact rescore of the top candidate pool against doc-major rows
-        k1 = min(rescore_expand * k, ids.shape[1])
-        s1, sel = jax.lax.top_k(sums, k1)
-        cand = jnp.where(
-            jnp.isfinite(s1), jnp.take_along_axis(rid, sel, axis=1), _PAD_ID
-        )  # [B, k1]
-        if sort_candidates:
-            # gather rows in ascending doc-id order (PAD sorts last) — a
-            # locality experiment for huge corpora. Scores are unchanged;
-            # on an EXACT rescore-score tie the returned id can differ from
-            # the unsorted path (top_k keeps the first occurrence, which is
-            # now doc-id order instead of run-sum order)
-            cand = jnp.take_along_axis(cand, jnp.argsort(cand, axis=1), axis=1)
-        safe = jnp.clip(cand, 0, doc_toks.shape[0] - 1)
-        if packed_docs:
-            # one packed int32 row per doc (pack_doc_rows: bf16 weight bits
-            # high, int16 token id low): HALF the gather indices of the
-            # two-array fetch — TPU gathers price per index, not per byte
-            pk = doc_toks[safe]  # [B, k1, L] int32
-            ct = jnp.bitwise_and(pk, 0xFFFF)
-            cw = jax.lax.bitcast_convert_type(
-                jnp.right_shift(pk, 16).astype(jnp.uint16), jnp.bfloat16
-            ).astype(jnp.float32)
-        else:
-            ct = doc_toks[safe].astype(jnp.int32)  # [B, k1, L]
-            cw = doc_ws[safe].astype(jnp.float32)
-        g = jnp.take_along_axis(
-            q, ct.reshape(B, -1), axis=1
-        ).reshape(B, k1, -1)
-        exact = jnp.sum(g * cw, axis=-1)
-        exact = jnp.where(cand == _PAD_ID, -jnp.inf, exact)
-        s, sel2 = jax.lax.top_k(exact, k)
-        i = jnp.take_along_axis(cand, sel2, axis=1)
-        i = jnp.where(i == _PAD_ID, -1, i)
-        if with_bound:
+        def pool_rescore(k1, sums, rid, q, miss, total_ub):
+            """Exact-rescore the top-k1 run-sum pool (row-sliceable: all
+            per-row tensors enter as arguments); returns the top-k
+            (scores, ids) and the missed-score bound for THIS pool width
+            (None without with_bound). Called once at the base width over
+            the whole batch and — when rows fail certification — again at
+            refine_expand*k over a compacted slice of just those rows:
+            deepening the pool shrinks the bound's cut term (s1[k1-1]
+            decreases in k1) without re-reading postings or re-sorting."""
+            B = q.shape[0]
+            s1, sel = jax.lax.top_k(sums, k1)
+            cand = jnp.where(
+                jnp.isfinite(s1), jnp.take_along_axis(rid, sel, axis=1),
+                _PAD_ID,
+            )  # [B, k1]
+            if sort_candidates:
+                # gather rows in ascending doc-id order (PAD sorts last) — a
+                # locality experiment for huge corpora. Scores are unchanged;
+                # on an EXACT rescore-score tie the returned id can differ
+                # from the unsorted path (top_k keeps the first occurrence,
+                # which is now doc-id order instead of run-sum order)
+                cand = jnp.take_along_axis(
+                    cand, jnp.argsort(cand, axis=1), axis=1
+                )
+            safe = jnp.clip(cand, 0, doc_toks.shape[0] - 1)
+            if packed_docs:
+                # one packed int32 row per doc (pack_doc_rows: bf16 weight
+                # bits high, int16 token id low): HALF the gather indices of
+                # the two-array fetch — TPU gathers price per index, not per
+                # byte
+                pk = doc_toks[safe]  # [B, k1, L] int32
+                ct = jnp.bitwise_and(pk, 0xFFFF)
+                cw = jax.lax.bitcast_convert_type(
+                    jnp.right_shift(pk, 16).astype(jnp.uint16), jnp.bfloat16
+                ).astype(jnp.float32)
+            else:
+                ct = doc_toks[safe].astype(jnp.int32)  # [B, k1, L]
+                cw = doc_ws[safe].astype(jnp.float32)
+            g = jnp.take_along_axis(
+                q, ct.reshape(B, -1), axis=1
+            ).reshape(B, k1, -1)
+            exact = jnp.sum(g * cw, axis=-1)
+            exact = jnp.where(cand == _PAD_ID, -jnp.inf, exact)
+            s, sel2 = jax.lax.top_k(exact, k)
+            i = jnp.take_along_axis(cand, sel2, axis=1)
+            i = jnp.where(i == _PAD_ID, -1, i)
+            if not with_bound:
+                return s, i, None
             if shifts < query_terms - 1:
                 # truncated run sums under-rank candidates at the k1 cut:
                 # the cut term is unsound, so never certify
-                bound = jnp.full((B,), jnp.inf, jnp.float32)
-            else:
-                if k1 < int(ids.shape[1]):
-                    # the pool is narrower than the (possibly
-                    # extension-widened) sort: dropped candidates are
-                    # bounded by the k1-th run sum
-                    cut = jnp.where(
-                        jnp.isfinite(s1[:, -1]),
-                        jnp.maximum(s1[:, -1], 0.0), 0.0,
-                    )
-                else:
-                    cut = jnp.zeros((B,), jnp.float32)
-                bound = cut + miss
-                # zero-miss certificate: when the missed mass is ~0 (no
-                # posting row truncated at the read width, every active
-                # term won a lookup slot) AND the k1 cut dropped nothing
-                # with a positive run sum, EVERY doc with a positive score
-                # is in the candidate pool — the result is provably exact
-                # even when fewer than k docs match (kth = -inf, which the
-                # kth >= bound rule alone can never certify; scores <= 0
-                # are not results: both this engine and the exact scan drop
-                # them). `miss` re-sums the same f32 products two ways, so
-                # compare against the same relative margin the consumer
-                # uses rather than exact zero.
-                bound = jnp.where(
-                    (cut <= 0.0)
-                    & (miss <= 1e-4 * jnp.maximum(total_ub, 1e-30)),
-                    -jnp.inf, bound,
+                return s, i, jnp.full((B,), jnp.inf, jnp.float32)
+            if k1 < int(ids.shape[1]):
+                # the pool is narrower than the (possibly
+                # extension-widened) sort: dropped candidates are
+                # bounded by the k1-th run sum
+                cut = jnp.where(
+                    jnp.isfinite(s1[:, -1]),
+                    jnp.maximum(s1[:, -1], 0.0), 0.0,
                 )
+            else:
+                cut = jnp.zeros((B,), jnp.float32)
+            bound = cut + miss
+            # zero-miss certificate: when the missed mass is ~0 (no
+            # posting row truncated at the read width, every active
+            # term won a lookup slot) AND the k1 cut dropped nothing
+            # with a positive run sum, EVERY doc with a positive score
+            # is in the candidate pool — the result is provably exact
+            # even when fewer than k docs match (kth = -inf, which the
+            # kth >= bound rule alone can never certify; scores <= 0
+            # are not results: both this engine and the exact scan drop
+            # them). `miss` re-sums the same f32 products two ways, so
+            # compare against the same relative margin the consumer
+            # uses rather than exact zero.
+            bound = jnp.where(
+                (cut <= 0.0)
+                & (miss <= 1e-4 * jnp.maximum(total_ub, 1e-30)),
+                -jnp.inf, bound,
+            )
             return s, i, bound
-        return s, i
+
+        k1 = min(rescore_expand * k, ids.shape[1])
+        s, i, bound = pool_rescore(k1, sums, rid, q, miss, total_ub)
+        if not with_bound:
+            return s, i
+        k2 = min(max(int(refine_expand), 0) * k, ids.shape[1])
+        if k2 > k1 and shifts >= query_terms - 1:
+            # CUT-REFINEMENT tier: at multi-M-doc scale the bound's binding
+            # term is the cut, not the postings tail (8.8M-doc analysis:
+            # uniform depth 8192 tail-certifies 475/512 queries, yet the
+            # k1=80 cut left only 106 certified; at 2M the measured 40
+            # escalations match the cut requirement k1<=80 exactly). Rows
+            # that fail the certificate are COMPACTED to the front
+            # (argsort of the certified mask) and re-rescored from the SAME
+            # sorted run sums at a deeper pool — no postings re-gather, no
+            # re-sort, just a wider top_k + doc-row gather over the slice.
+            # The rescore gather is the cost driver (~k2*l_max fetched
+            # elements per row), so the slice sizes form a geometric ladder
+            # like the engine's escalation tiers: a batch with few
+            # uncertified rows pays only the smallest covering tier.
+            # Refined rows' pool is a superset of the base pool, so splicing
+            # their results back can only improve them; certified rows are
+            # never touched.
+            cert0 = certified_mask(s[:, -1], bound)
+            n_unc = jnp.sum(~cert0)
+
+            def refine_slice(E):
+                def f():
+                    idx = jnp.argsort(cert0)[:E]  # uncertified rows first
+                    s2, i2, b2 = pool_rescore(
+                        k2, jnp.take(sums, idx, axis=0),
+                        jnp.take(rid, idx, axis=0),
+                        jnp.take(q, idx, axis=0),
+                        jnp.take(miss, idx), jnp.take(total_ub, idx),
+                    )
+                    m = jnp.take(~cert0, idx)
+                    s3 = s.at[idx].set(jnp.where(
+                        m[:, None], s2, jnp.take(s, idx, axis=0)))
+                    i3 = i.at[idx].set(jnp.where(
+                        m[:, None], i2, jnp.take(i, idx, axis=0)))
+                    b3 = bound.at[idx].set(jnp.where(
+                        m, b2, jnp.take(bound, idx)))
+                    return s3, i3, b3
+
+                return f
+
+            tiers = []
+            t = 8
+            while t < B:
+                tiers.append(t)
+                t *= 4
+            branch = refine_slice(B)
+            for E in reversed(tiers):
+                def branch(E=E, wider=branch):
+                    return jax.lax.cond(n_unc <= E, refine_slice(E), wider)
+
+            s, i, bound = jax.lax.cond(
+                n_unc > 0, branch, lambda: (s, i, bound)
+            )
+        return s, i, bound
 
     return jax.jit(search) if jit else search

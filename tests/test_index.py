@@ -1771,6 +1771,62 @@ def test_tiered_ext_full_forward_wide_queries():
 # --------------------------------------------- deep re-lookup escalation
 
 
+def test_refine_tier_certifies_cut_bound_rows():
+    """CUT-REFINEMENT tier (inverted.make_search_fn refine_expand): with
+    full-depth postings (zero tail) but a cramped rescore pool, the bound's
+    cut term (k1-th run sum = the k1-th exact score at full depth) equals
+    kth and every row fails certification — the refine tier re-rescores the
+    SAME run sums at a deeper pool inside the dispatch and must certify
+    every row with scan-exact results and NO escalation, where refine=0
+    escalates instead."""
+    vocab = 400
+    toks, ws = _diffuse_corpus(2000, vocab, l_max=24)
+    q_tok, q_w = _corpus_queries(toks, ws, n_q=32, width=5)
+    scan = _build_rows("sparse", toks, ws, vocab)
+    want = scan.search_tokens(q_tok, q_w, k=5)
+
+    kw = dict(postings_cap=2000, query_terms=8, inverted_rescore_expand=1,
+              exact_escalate=True, deep_escalate=False)
+    base = _build_rows("inverted", toks, ws, vocab, refine_expand=0, **kw)
+    got0 = base.search_tokens(q_tok, q_w, k=5)
+    assert base.last_escalated.sum() > 0  # cut binds without refinement
+
+    ref = _build_rows("inverted", toks, ws, vocab, refine_expand=512, **kw)
+    got1 = ref.search_tokens(q_tok, q_w, k=5)
+    assert ref.last_certified.all()
+    assert ref.last_escalated.sum() == 0  # refined in-dispatch, no re-run
+    for a, b, c in zip(got1, want, got0):
+        assert set(a) == set(b) == set(c)
+        for d in a:
+            assert abs(a[d] - b[d]) < 1e-3
+
+
+def test_refine_tier_keeps_certified_rows_unchanged():
+    """A batch mixing certified and uncertified rows: the refine branch
+    returns the whole batch from the deeper pool — rows the base pool
+    already certified must come back with identical ids/scores (superset
+    pool, same exact rescore), so refinement can never degrade a result."""
+    vocab = 400
+    toks, ws = _diffuse_corpus(2000, vocab, l_max=24)
+    q_tok, q_w = _corpus_queries(toks, ws, n_q=32, width=5, seed=7)
+    kw = dict(postings_cap=2000, query_terms=8, inverted_rescore_expand=8,
+              exact_escalate=True, deep_escalate=False)
+    base = _build_rows("inverted", toks, ws, vocab, refine_expand=0, **kw)
+    got0 = base.search_tokens(q_tok, q_w, k=5)
+    cert0 = base.last_certified.copy()
+    ref = _build_rows("inverted", toks, ws, vocab, refine_expand=512, **kw)
+    got1 = ref.search_tokens(q_tok, q_w, k=5)
+    assert cert0.any()  # the premise: some rows certified at the base pool
+    assert ref.last_certified[cert0].all()  # refinement preserves them
+    for was_cert, a, b in zip(cert0, got0, got1):
+        if was_cert:
+            assert set(a) == set(b)
+            for d in a:
+                # same exact rescore up to XLA reduction order at the
+                # wider pool shape (a few f32 ulps)
+                assert abs(a[d] - b[d]) < 1e-4 * max(abs(b[d]), 1.0)
+
+
 def test_deep_escalation_exact_and_certified():
     """postings_ext_cap + exact_escalate + deep_escalate: uncertified rows
     first re-run through the full-depth inverted re-lookup (every term reads
