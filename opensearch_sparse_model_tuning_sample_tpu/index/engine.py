@@ -50,7 +50,8 @@ logger = logging.getLogger(__name__)
 
 def _fetch_packed(s_dev, i_dev, n_q, b_dev=None, e_dev=None):
     """Fetch (scores f32, ids int32, missed-score bounds f32|None,
-    escalated bool|None) with ONE host transfer: floats bitcast to int32
+    escalation stage codes int32|None) with ONE host transfer: floats
+    bitcast to int32
     and packed next to the ids, split + viewed back on the host. Per-array
     syncs cost ~30 ms each over a tunnelled runtime — one packed fetch
     halves the fixed cost of every search call.
@@ -62,8 +63,8 @@ def _fetch_packed(s_dev, i_dev, n_q, b_dev=None, e_dev=None):
     normal floats, so their int32 bit patterns survive unchanged.
 
     `e_dev` (fused-escalation engines only, requires `b_dev`): per-query
-    flags marking rows whose results were re-run through the exact scan
-    inside the same dispatch."""
+    escalation stage codes (0 = shallow-certified, 1 = deep-tier re-run,
+    2 = fell through to the exact scan), all inside the same dispatch."""
     k = s_dev.shape[1]
     cols = [
         jax.lax.bitcast_convert_type(s_dev, jnp.int32),
@@ -86,7 +87,7 @@ def _fetch_packed(s_dev, i_dev, n_q, b_dev=None, e_dev=None):
     b_np = arr[:, 2 * k : 2 * k + 1].view(np.float32)[:, 0]
     if e_dev is None:
         return s_np, i_np, b_np, None
-    return s_np, i_np, b_np, arr[:, 2 * k + 1] != 0
+    return s_np, i_np, b_np, arr[:, 2 * k + 1]
 
 
 def _round_up(x: int, m: int) -> int:
@@ -336,6 +337,9 @@ class SparseIndex:
         # `last_escalated` marks which.
         self.last_certified: Optional[np.ndarray] = None
         self.last_escalated: Optional[np.ndarray] = None
+        # of the escalated rows, which fell past the deep re-lookup tier to
+        # the corpus-linear exact scan (fused-escalation engines only)
+        self.last_scan_escalated: Optional[np.ndarray] = None
 
     # ------------------------------------------------------------- ingest
     def add(self, doc_ids: Sequence[str], reps: np.ndarray):
@@ -1119,7 +1123,12 @@ class SparseIndex:
                         s3, i3 = jax.lax.cond(
                             n_esc > 0, branch, lambda: (s, i)
                         )
-                        return s3, i3, b, esc0
+                        # stage code per row: 0 = certified by the shallow
+                        # pass, 1 = re-ran and certified by the deep
+                        # re-lookup tier, 2 = fell through to the exact scan
+                        # (`esc` at this point marks the scan rows)
+                        stage = esc0.astype(jnp.int32) + esc.astype(jnp.int32)
+                        return s3, i3, b, stage
                 else:
                     body_fn = raw
 
@@ -1385,6 +1394,7 @@ class SparseIndex:
             # inverted width check both assume >= 1 row
             self.last_certified = None
             self.last_escalated = None
+            self.last_scan_escalated = None
             return []
         # stay on device when the caller hands us a device array (no D2H/H2D
         # round-trip between encoder and index)
@@ -1428,17 +1438,23 @@ class SparseIndex:
         # transparently re-runs through the exact doc-major scan.
         self.last_certified = None
         self.last_escalated = None
+        self.last_scan_escalated = None
         if esc_np is not None:
             # fused escalation (single-device inverted + exact_escalate):
             # the device already certified every row and re-ran the
             # uncertified ones through the exact scan inside the search
-            # dispatch — results are exact everywhere, no second pass
-            self.last_escalated = esc_np
+            # dispatch — results are exact everywhere, no second pass.
+            # esc_np carries the per-row STAGE code (0 shallow-certified,
+            # 1 deep-tier certified, 2 exact scan).
+            self.last_escalated = esc_np != 0
+            self.last_scan_escalated = esc_np >= 2
             self.last_certified = np.ones(n_q, dtype=bool)
-            if esc_np.any():
+            if self.last_escalated.any():
                 logger.debug(
-                    "exact_escalate (fused): %d/%d queries re-ran on the "
-                    "exact scan in-dispatch", int(esc_np.sum()), n_q,
+                    "exact_escalate (fused): %d/%d queries re-ran "
+                    "in-dispatch (%d on the exact scan)",
+                    int(self.last_escalated.sum()), n_q,
+                    int(self.last_scan_escalated.sum()),
                 )
         elif b_np is not None:
             kth = s_np[:, -1] if s_np.shape[1] else np.full(n_q, -np.inf)
@@ -1477,6 +1493,7 @@ class SparseIndex:
                 esc = np.zeros(n_q, dtype=bool)
                 esc[idx] = True
                 self.last_escalated = esc
+                self.last_scan_escalated = esc.copy()
                 cert = cert | esc
             self.last_certified = cert
 

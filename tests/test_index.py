@@ -1854,6 +1854,31 @@ def test_deep_escalation_exact_and_certified():
             assert abs(a[d] - b[d]) < 1e-3
 
 
+def test_stage_codes_split_deep_vs_scan_escalation():
+    """`last_scan_escalated` observability: with a full-depth extension the
+    deep tier certifies every re-run row (scan_escalated empty); with
+    deep_escalate=False the same escalated rows all fall to the exact scan
+    (scan_escalated == escalated). Certified rows are never flagged."""
+    vocab = 400
+    toks, ws = _diffuse_corpus(3000, vocab, l_max=24)
+    q_tok, q_w = _corpus_queries(toks, ws, n_q=32, width=5)
+    kw = dict(postings_cap=16, postings_ext_cap=3000 - 16, deep_slots=1,
+              query_terms=8, exact_escalate=True)
+
+    deep = _build_rows("inverted", toks, ws, vocab, deep_escalate=True, **kw)
+    deep.search_tokens(q_tok, q_w, k=5)
+    assert deep.last_escalated.sum() > 0
+    assert deep.last_scan_escalated.sum() == 0  # deep tier certified all
+
+    scan = _build_rows("inverted", toks, ws, vocab, deep_escalate=False, **kw)
+    scan.search_tokens(q_tok, q_w, k=5)
+    assert scan.last_escalated.sum() > 0
+    np.testing.assert_array_equal(
+        scan.last_scan_escalated, scan.last_escalated
+    )
+    assert not scan.last_scan_escalated[~scan.last_escalated].any()
+
+
 def test_deep_escalation_off_still_exact():
     """deep_escalate=False falls back to the scan-only ladder — results
     stay exact either way (the knob is perf-only)."""
