@@ -907,13 +907,15 @@ def test_fetch_packed_roundtrips_scores_and_ids():
     np.testing.assert_array_equal(i2, np.asarray(ids)[:5])
     np.testing.assert_array_equal(s2, np.asarray(s)[:5])
     np.testing.assert_array_equal(b2, np.asarray(bounds)[:5])
-    # with fused-escalation flags packed as a fourth segment
-    esc = jnp.asarray(np.array([True, False, True, False, True, False]))
+    # with fused-escalation stage codes packed as a fourth segment
+    # (0 = shallow-certified, 1 = deep-tier re-run, 2 = exact-scan
+    # fallthrough — int32 on the wire since the stage-code change)
+    esc = jnp.asarray(np.array([0, 1, 2, 0, 1, 2], dtype=np.int32))
     s3, i3, b3, e3 = _fetch_packed(s, ids, 5, bounds, esc)
     np.testing.assert_array_equal(i3, np.asarray(ids)[:5])
     np.testing.assert_array_equal(b3, np.asarray(bounds)[:5])
     np.testing.assert_array_equal(e3, np.asarray(esc)[:5])
-    assert e3.dtype == bool
+    assert e3.dtype == np.int32
 
 
 # ------------------------------------------------- exactness certificate
