@@ -193,16 +193,19 @@ def main():
     # the scan engine degrades linearly but postings cost stays constant —
     # the Lucene-analog path that must hold the ">10x OpenSearch" north star
     # (BASELINE.md) at production corpus sizes. Round 4: this segment now
-    # carries the certified-exact contract too (cap 8192 + extension +
-    # deep-tier escalation — j58: 1 138 q/s certified 1.0 vs 3 810
-    # uncertified at cap 2048 where only 5% of queries certify)
+    # carries the certified-exact contract too (cap 4096 + extension +
+    # deep-tier escalation — j59 A/B at 2M: this shape 1 230 q/s certified
+    # 1.0 with 28/512 deep-tier rows, vs 1 148 at cap8192 s2 x8 and 3 810
+    # uncertified at cap 2048 where only 5% of queries certify; the
+    # compacted cut-refinement tier measured slower here — see
+    # IndexConfig.refine_expand)
     n_large = 1 << 21  # 2.1M docs (16x the headline corpus, 8x auto-threshold)
     ltoks, lws = make_corpus(n_large, vocab, avg_terms=80, seed=2, l_max=96)
     inv_cfg = IndexConfig(
         engine="inverted", l_max=96, block_docs=4096, query_batch=qbatch,
-        weight_dtype="bfloat16", postings_cap=8192, query_terms=8,
-        inverted_rescore_expand=8, exact_escalate=True,
-        postings_ext_cap=24576, deep_slots=2, deep_escalate=True,
+        weight_dtype="bfloat16", postings_cap=4096, query_terms=8,
+        inverted_rescore_expand=16, exact_escalate=True,
+        postings_ext_cap=28672, deep_slots=3, deep_escalate=True,
         incremental_postings=False,
     )
     t0 = time.time()

@@ -164,9 +164,14 @@ class IndexConfig:
     # recover certified rows more cheaply when few rows fail (the failing
     # rows are compacted to the front and only a geometric slice pays the
     # wider gather). Applies to both inf-free and full-forward paths;
-    # 0 disables (default — a FULL-batch refine measured a net loss at 2M
-    # docs on TPU: the k2*l_max doc-row gather outweighs the deep tier it
-    # saves; enable explicitly after measuring on your corpus shape).
+    # 0 disables (default). Measured at 2M docs on TPU (j59 A/B, 512
+    # zipf queries): the COMPACTED refine cuts deep-tier escalations
+    # 28 -> 1 (refine256) / 40 -> 7 (refine128) but every batch with any
+    # uncertified row pays the slice's k2*l_max doc-row gather, which
+    # outweighs the rare deep-tier re-lookups it saves — 1 230 q/s
+    # without refine vs 1 157 (refine64) / 1 008 (x16 refine256). Enable
+    # only where deep re-lookups are the dominant cost (very deep
+    # postings) after measuring on your corpus shape.
     refine_expand: int = 0
     # Tiered ADAPTIVE read depths (inverted engines): store the top
     # `postings_cap + postings_ext_cap` postings per token, but keep the
