@@ -584,6 +584,30 @@ def test_full_exact_escalate_pins_exact_wide_results():
             assert h[d] == pytest.approx(want[d], rel=1e-5)
 
 
+def test_full_exact_escalate_flip_on_live_index():
+    """Flipping cfg.full_exact_escalate between searches on a LIVE index
+    takes effect: the search-fn cache keys on the resolved flag
+    (engine._get_search_fn), so no stale compiled fn answers the new
+    contract. This is also how A/B perf jobs measure both contracts on
+    one multi-GB build instead of building twice."""
+    dense_q = make_sparse_reps(N_Q, nnz=64, seed=3)
+    idx = build("inverted", postings_cap=8, query_terms=4,
+                weight_dtype="float32", full_query_terms=8,
+                full_postings_cols=4, full_rescore_expand=2,
+                full_exact_escalate=False)
+    idx.search(dense_q, k=10)
+    assert not idx.last_certified.all()  # approximate contract, honest flags
+    assert idx.last_escalated is None
+    idx.cfg.full_exact_escalate = True
+    got = idx.search(dense_q, k=10)
+    assert idx.last_certified.all()
+    assert idx.last_escalated.any()
+    for h, want in zip(got, _exact_full_forward_want(dense_q)):
+        assert set(h) == set(want)
+        for d in want:
+            assert h[d] == pytest.approx(want[d], rel=1e-5)
+
+
 def test_inverted_inf_free_skips_fallback():
     """Queries within the term budget stay on the inverted path."""
     idx = build("inverted", postings_cap=N_DOCS, query_terms=16,
