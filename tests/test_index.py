@@ -1981,6 +1981,137 @@ def test_deep_escalation_tier_ladder_many_rows():
             assert abs(a[d] - b[d]) < 1e-3
 
 
+def test_refine_tier_ladder_bq64():
+    """Every tier of the cut-refinement ladder (inverted.make_search_fn
+    refine_slice: compact slices 8, 32, then the full batch at B=64) must
+    certify its rows in-dispatch with scan-exact results. The existing
+    refine tests run at query_batch=8, where the ladder collapses to the
+    single full-batch branch — the compact-slice tiers were never exercised
+    by CI (the same gap ADVICE r3 found for the scan ladder).
+
+    Deterministic band construction (a purpose-built corpus with exact
+    document frequencies): with postings deeper than every df a
+    single-term query's run sums ARE its exact scores, so at rescore pool
+    k1=k the bound's cut term equals the k-th score exactly and the margin
+    rule rejects — every single-term query on a df=64 token fails the base
+    certificate, while df=4 tokens (fewer matches than k1) certify via the
+    zero-miss rule. Batches with 3 / 20 / 50 failing rows land in each
+    ladder band; refine_expand=0 on the same batches pins the
+    pre-refinement counts."""
+    vocab = 2048
+    n_docs = 2000
+    r = np.random.default_rng(13)
+    # doc i: [maybe one common token, two rare tokens] — common tokens
+    # 1..8 each cover 64 docs (df=64), rare tokens 1000+i%500 /
+    # 1500+i%500 each cover 4 docs (df=4), all unique within a doc
+    toks = np.zeros((n_docs, 3), np.int32)
+    ws = r.uniform(0.5, 3.0, size=(n_docs, 3)).astype(np.float32)
+    for c in range(1, 9):
+        lo = (c - 1) * 200
+        toks[lo : lo + 64, 0] = c
+    toks[:, 1] = 1000 + np.arange(n_docs) % 500
+    toks[:, 2] = 1500 + np.arange(n_docs) % 500
+    ws[:, 0] = np.where(toks[:, 0] > 0, ws[:, 0], 0.0)
+    scan = _build_rows("sparse", toks, ws, vocab)
+    common = np.arange(1, 9)
+    rare = np.arange(1000, 2000)
+
+    def single_term_batch(n_unc):
+        q_tok = np.zeros((64, 8), np.int32)
+        q_w = np.zeros((64, 8), np.float32)
+        q_tok[:n_unc, 0] = r.choice(common, size=n_unc)
+        q_tok[n_unc:, 0] = r.choice(rare, size=64 - n_unc)
+        q_w[:, 0] = r.uniform(2.0, 10.0, size=64)
+        return q_tok, q_w
+
+    def build(refine):
+        cfg = IndexConfig(engine="inverted", l_max=3, block_docs=256,
+                          query_batch=64, weight_dtype="float32",
+                          postings_cap=128, query_terms=8,
+                          inverted_rescore_expand=1, refine_expand=refine,
+                          exact_escalate=True, deep_escalate=False)
+        ix = SparseIndex(vocab, cfg)
+        ix.doc_ids = [str(i) for i in range(toks.shape[0])]
+        ix._tok_chunks = [toks]
+        ix._w_chunks = [ws]
+        ix.finalize()
+        return ix
+
+    base = build(0)
+    ref = build(512)
+    for n_unc in (3, 20, 50):  # ladder bands <=8, 9-32, >32
+        q_tok, q_w = single_term_batch(n_unc)
+        base.search_tokens(q_tok, q_w, k=5)
+        n_base = int(base.last_escalated.sum())
+        assert n_base == n_unc, (n_base, n_unc)  # the band premise
+        got = ref.search_tokens(q_tok, q_w, k=5)
+        assert ref.last_certified.all()
+        assert int(ref.last_escalated.sum()) == 0  # refined in-dispatch
+        want = scan.search_tokens(q_tok, q_w, k=5)
+        for a, b in zip(got, want):
+            assert set(a) == set(b)
+            for d in a:
+                assert abs(a[d] - b[d]) < 1e-3
+
+
+def test_deep_tier_ladder_bands_bq64():
+    """Pinned per-band coverage of the geometric deep re-lookup ladder
+    (engine body_fn d_tiers: 8, 32, then Bq at query_batch=64). The
+    existing deep tests run at Bq=8/32 where at most two rungs exist, so
+    the three-rung ladder's middle tier never ran with a pinned count.
+
+    Deterministic construction: common tokens have df=64 but the base cap
+    reads only 4 postings — a single-term query on one finds just 4
+    candidates (< k), so its k-th score is -inf and the positive postings
+    tail keeps the bound open: deterministically uncertified. Rare tokens
+    have df=2 (< cap, < pool): tail 0, cut 0 — zero-miss certified. The
+    deep tier reads base+extension = the full 128-deep postings, so every
+    escalated row certifies there (scan_escalated stays empty) with
+    scan-exact results."""
+    vocab = 4096
+    n_docs = 2000
+    r = np.random.default_rng(17)
+    toks = np.zeros((n_docs, 3), np.int32)
+    ws = r.uniform(0.5, 3.0, size=(n_docs, 3)).astype(np.float32)
+    for c in range(1, 9):  # df=64 common tokens
+        lo = (c - 1) * 200
+        toks[lo : lo + 64, 0] = c
+    toks[:, 1] = 1000 + np.arange(n_docs) % 1000  # df=2
+    toks[:, 2] = 2000 + np.arange(n_docs) % 1000  # df=2
+    ws[:, 0] = np.where(toks[:, 0] > 0, ws[:, 0], 0.0)
+    scan = _build_rows("sparse", toks, ws, vocab)
+    common = np.arange(1, 9)
+    rare = np.arange(1000, 3000)
+
+    cfg = IndexConfig(engine="inverted", l_max=3, block_docs=256,
+                      query_batch=64, weight_dtype="float32",
+                      postings_cap=4, postings_ext_cap=124, deep_slots=0,
+                      query_terms=8, exact_escalate=True,
+                      deep_escalate=True)
+    inv = SparseIndex(vocab, cfg)
+    inv.doc_ids = [str(i) for i in range(n_docs)]
+    inv._tok_chunks = [toks]
+    inv._w_chunks = [ws]
+    inv.finalize()
+
+    for n_esc in (3, 20, 50):  # ladder bands <=8, 9-32, 33-64
+        q_tok = np.zeros((64, 8), np.int32)
+        q_w = np.zeros((64, 8), np.float32)
+        q_tok[:n_esc, 0] = r.choice(common, size=n_esc)
+        q_tok[n_esc:, 0] = r.choice(rare, size=64 - n_esc)
+        q_w[:, 0] = r.uniform(2.0, 10.0, size=64)
+        got = inv.search_tokens(q_tok, q_w, k=5)
+        assert inv.last_certified.all()
+        n_got = int(inv.last_escalated.sum())
+        assert n_got == n_esc, (n_got, n_esc)
+        assert inv.last_scan_escalated.sum() == 0  # deep tier covered all
+        want = scan.search_tokens(q_tok, q_w, k=5)
+        for a, b in zip(got, want):
+            assert set(a) == set(b)
+            for d in a:
+                assert abs(a[d] - b[d]) < 1e-3
+
+
 def test_full_exact_escalate_default_follows_deep_availability():
     """full_exact_escalate=None resolves ON exactly when deep escalation
     can absorb wide-query escalations at postings cost (postings_ext_cap >
