@@ -332,3 +332,27 @@ def test_parse_config_coerces_yaml11_scalars(tmp_path):
     )
     assert ma2.model_name_or_path == "x/y"
     assert ma2.prune_ratio is None
+
+
+def test_inverted_breakdown_harness_smoke(tmp_path):
+    """tools/bench_inverted_breakdown.py (the PERFORMANCE.md round-4
+    addendum harness) must stay runnable: tiny shapes via BD_* envs, CPU
+    backend, all six probes printing a q/s line and the delta table."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu", BD_VOCAB="512",
+               BD_DOCS="1024", BD_CAP="32", BD_BQ="16", BD_NQ="32",
+               BD_EXT="64", BD_AVG_TERMS="24")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools",
+                                      "bench_inverted_breakdown.py")],
+        env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    for stage in ("topk_gather", "sort", "merge", "rescore", "bound",
+                  "tiered", "deltas"):
+        assert stage in out.stdout, (stage, out.stdout)

@@ -21,12 +21,24 @@ import jax.numpy as jnp
 from bench import make_corpus, make_queries
 from opensearch_sparse_model_tuning_sample_tpu.index import inverted
 
-vocab, n_docs, cap, T, k, Bq, n_q = 30522, 131072, 2048, 8, 10, 128, 512
-ext_cap = 14336
+def _env(name, default):
+    return int(os.environ.get(name, default))
+
+
+# headline bench shape by default; BD_* env overrides let the test suite
+# smoke this harness at tiny shapes on CPU
+vocab = _env("BD_VOCAB", 30522)
+n_docs = _env("BD_DOCS", 131072)
+cap = _env("BD_CAP", 2048)
+T, k = 8, 10
+Bq = _env("BD_BQ", 128)
+n_q = _env("BD_NQ", 512)
+ext_cap = _env("BD_EXT", 14336)
+avg_terms = _env("BD_AVG_TERMS", 110)
 k1 = 8 * k
 PAD = np.iinfo(np.int32).max
 
-toks, ws = make_corpus(n_docs, vocab, avg_terms=110, seed=1)
+toks, ws = make_corpus(n_docs, vocab, avg_terms=avg_terms, seed=1)
 t0 = time.time()
 pd_full, pw_full = inverted.build_postings(toks, ws, vocab, cap + ext_cap)
 bd, bw, ed, ew, dm = inverted.split_postings(pd_full, pw_full, cap)
