@@ -35,7 +35,13 @@ Bq = _env("BD_BQ", 128)
 n_q = _env("BD_NQ", 512)
 ext_cap = _env("BD_EXT", 14336)
 avg_terms = _env("BD_AVG_TERMS", 110)
-k1 = 8 * k
+if n_q % Bq:
+    raise SystemExit(f"BD_NQ={n_q} must be a multiple of BD_BQ={Bq}")
+# rescore pool: headline 8*k, clamped so tiny BD_CAP overrides keep the
+# lax.top_k(sums, k1) inside jit valid (k1 <= T*cap candidate columns)
+k1 = min(8 * k, T * cap)
+if T * cap < k:
+    raise SystemExit(f"BD_CAP={cap} too small: T*cap={T*cap} < k={k}")
 PAD = np.iinfo(np.int32).max
 
 toks, ws = make_corpus(n_docs, vocab, avg_terms=avg_terms, seed=1)
@@ -52,8 +58,12 @@ packed = jnp.asarray(inverted.pack_doc_rows(toks, ws))
 
 q_tok, q_w = make_queries(n_q, vocab, n_terms=6, seed=3)
 q = np.zeros((n_q, vocab), np.float32)
-np.put_along_axis(q, q_tok.astype(np.int64), q_w, axis=1)
-q[:, 0] = 0.0
+# scatter only ACTIVE slots: padding slots are (token 0, weight 0) and a
+# blanket q[:, 0] = 0 would also drop genuinely drawn token-0 terms that the
+# headline engine path (search_tokens' on-device scatter) keeps
+act = q_w > 0
+rows = np.broadcast_to(np.arange(n_q)[:, None], q_tok.shape)
+q[rows[act], q_tok[act]] = q_w[act]
 qs = jnp.asarray(q).reshape(n_q // Bq, Bq, vocab)
 
 TC = T * cap
