@@ -184,6 +184,17 @@ class IndexConfig:
     # 0 disables (exact round-3 behavior).
     postings_ext_cap: int = 0
     deep_slots: int = 2
+    # Per-doc-block maxima over each token's postings TAIL (block-max WAND,
+    # inverted.build_tail_blockmax): tightens the certificate's tail term
+    # from "one doc carries every term's whole tail" to "a doc carries at
+    # most its own block's per-term maxima" — the Lucene BMW analog the
+    # whole-tail bound lacks. Value of the knob = docs per block (4096 is
+    # a good default at multi-M scale: [T, n_blocks] stays small and the
+    # per-block joint-tail mass is what certifies shallow reads). 0
+    # disables. Single-device inverted engines only (inf-free + token
+    # paths; the full-forward narrow read can't use it — see
+    # make_search_fn tail_blockmax).
+    tail_block_docs: int = 0
     # With postings_ext_cap > 0 and exact_escalate, uncertified rows first
     # re-run through a DEEP re-lookup (every query term reads its full
     # base+extension postings, candidate pool widened to
@@ -329,6 +340,12 @@ class SparseIndex:
         self._ext_docs = None
         self._ext_w = None
         self._deep_map = None
+        # block-max tail bound arrays (tail_block_docs > 0): device arrays
+        # from inverted.build_tail_blockmax, else None
+        self._bm = None
+        self._bmap = None
+        self._bm_full = None
+        self._bmap_full = None
         self._inc = None  # async device postings builder (inverted engines)
         self._inc_fed = 0
         # per-query exactness flags from the LAST inverted search (None for
@@ -643,6 +660,30 @@ class SparseIndex:
                         self._ext_w = ew
                         self._deep_map = jnp.asarray(dm)
 
+                if (self.cfg.tail_block_docs > 0 and n_shards == 1
+                        and not self._shard_queries):
+                    # block-max tail bounds (single-device engines; see
+                    # IndexConfig.tail_block_docs), one per entry mode's
+                    # shallowest read: base postings_cap for the inf-free /
+                    # token paths, full_postings_cols for the full-forward
+                    # narrow read (both from ONE impact sort). f32 on
+                    # purpose: a nearest-rounding bf16 cast could round a
+                    # block max DOWN and unsoundly tighten the certificate.
+                    (bm, bmap), (bmf, bmapf) = (
+                        inverted.build_tail_blockmax_multi(
+                            toks[:n] if n else toks, ws[:n] if n else ws,
+                            self.vocab_size,
+                            (self.cfg.postings_cap,
+                             min(self.cfg.full_postings_cols,
+                                 self.cfg.postings_cap)),
+                            n_pad, self.cfg.tail_block_docs,
+                        )
+                    )
+                    self._bm = jnp.asarray(bm)
+                    self._bmap = jnp.asarray(bmap)
+                    self._bm_full = jnp.asarray(bmf)
+                    self._bmap_full = jnp.asarray(bmapf)
+
         if self.mesh is not None:
             sh = NamedSharding(
                 self.mesh, P() if self._shard_queries else P(DATA_AXIS)
@@ -710,6 +751,10 @@ class SparseIndex:
         self._ext_docs = None
         self._ext_w = None
         self._deep_map = None
+        self._bm = None
+        self._bmap = None
+        self._bm_full = None
+        self._bmap_full = None
         self._search_fns = {}
         self._q_builder = None
         self._finalized = False
@@ -733,6 +778,10 @@ class SparseIndex:
         self._ext_docs = None
         self._ext_w = None
         self._deep_map = None
+        self._bm = None
+        self._bmap = None
+        self._bm_full = None
+        self._bmap_full = None
         self._search_fns = {}
         self._q_builder = None
         self._finalized = False
@@ -873,9 +922,16 @@ class SparseIndex:
 
             return local_topk
 
-        if engine in ("inverted", "inverted_full"):
+        if engine in ("inverted", "inverted_full", "inverted_tokens"):
             from . import inverted
 
+            # "inverted_tokens": the serving-path fast entry — queries are
+            # (q_tok, q_w) slot pairs, never a dense [B, V] matrix (no
+            # scatter, no [B, V] top_k / matvec, match-path rescore; see
+            # inverted.make_search_fn token_entry). Single-device only;
+            # search_tokens routes here when the slot width fits
+            # cfg.query_terms.
+            is_tok = engine == "inverted_tokens"
             if engine == "inverted_full":
                 # full-forward mode: wide-but-shallow lookup + exact rescore
                 # (see IndexConfig.full_* and inverted.make_search_fn docs)
@@ -896,6 +952,7 @@ class SparseIndex:
                     rescore_expand=cfg.inverted_rescore_expand,
                     refine_expand=cfg.refine_expand,
                     with_bound=True,
+                    token_entry=is_tok,
                 )
             ext_args = None
             if self._ext_docs is not None:
@@ -908,13 +965,76 @@ class SparseIndex:
                 # considers tokens >= ratio * max weight; the rescore and
                 # the exactness bound still see the full query (the
                 # pruned-out terms' mass rides the bound's unselected term,
-                # so certificates remain sound). Requires rescore.
-                if inv_kw["rescore"]:
+                # so certificates remain sound). Requires rescore. Token
+                # entry never two-phases (search_tokens routes 2p calls
+                # through the dense path — with static slot shapes there is
+                # no phase-1 work to save).
+                if inv_kw["rescore"] and not is_tok:
                     inv_kw["phase1_ratio"] = cfg.two_phase_ratio
+            bmx_args = None
+            if self._bm is not None:
+                # block-max tail bound (IndexConfig.tail_block_docs): the
+                # full-forward narrow read uses the bm built at its own
+                # read depth (full_postings_cols); single-device only, so
+                # the sharded branches below never see it
+                inv_kw["tail_blockmax"] = True
+                bmx_args = (
+                    (self._bm_full, self._bmap_full)
+                    if engine == "inverted_full"
+                    else (self._bm, self._bmap)
+                )
+            if (engine == "inverted" and inv_kw["rescore"]
+                    and "phase1_ratio" not in inv_kw):
+                # dense-entry inf-free path: the engine's width routing
+                # (search()'s full_forward check) guarantees every active
+                # query term wins a lookup slot, which is exactly the
+                # match-rescore precondition — the rescore then runs T
+                # compares instead of the B*k1*l_max-index dense gather
+                # (57% of the round-4 hot path). Callers that pass
+                # full_forward=False assert that width contract (search()
+                # docstring).
+                inv_kw["match_rescore"] = True
 
             post_docs, post_w = self._post_docs, self._post_w
             n_shards = self.mesh.devices.size if self.mesh is not None else 1
+            # qb-shape helpers: the token entry's query batch is the pair
+            # (q_tok, q_w) instead of a dense [Bq, V] matrix. `_densify`
+            # scatters the slots to dense — only the exact-scan escalation
+            # branch needs it, and only for its compacted row slice.
+            V = self.vocab_size
+            if is_tok:
+                def _nrows(qb):
+                    return qb[0].shape[0]
+
+                def _activity(qb):
+                    return jnp.sum(qb[1] > 0, axis=1)
+
+                def _take_rows(qb, idx):
+                    return tuple(jnp.take(a, idx, axis=0) for a in qb)
+
+                def _densify(qb):
+                    tok, w = qb
+                    bq = tok.shape[0]
+                    bi = jnp.broadcast_to(
+                        jnp.arange(bq, dtype=jnp.int32)[:, None], tok.shape
+                    )
+                    return jnp.zeros((bq, V), jnp.float32).at[bi, tok].add(
+                        jnp.where(w > 0, w, 0.0), mode="drop"
+                    )
+            else:
+                def _nrows(qb):
+                    return qb.shape[0]
+
+                def _activity(qb):
+                    return jnp.sum(qb > 0, axis=1)
+
+                def _take_rows(qb, idx):
+                    return jnp.take(qb, idx, axis=0)
+
+                def _densify(qb):
+                    return qb
             if self._shard_queries:
+                assert not is_tok, "token entry is single-device only"
                 # replicated index, query batch sharded over the mesh: each
                 # device answers its query slice against the FULL corpus —
                 # no collective on the hot path at all
@@ -1003,15 +1123,16 @@ class SparseIndex:
                             jit=False, **deep_kw
                         )
 
-                    def body_fn(qb, pd, pw, toks, docs, ext=None):
-                        s, i, b = raw(qb, pd, pw, toks, docs, ext)
-                        Bq = qb.shape[0]
+                    def body_fn(qb, pd, pw, toks, docs, ext=None,
+                                bmx=None):
+                        s, i, b = raw(qb, pd, pw, toks, docs, ext, bmx)
+                        Bq = _nrows(qb)
                         kth = s[:, -1]
                         cert = inverted.certified_mask(kth, b)
                         # all-zero padding rows (serve's pow2 micro-batcher,
                         # eval's chunk driver) never certify (kth=-inf) but
                         # are trivially exact: don't scan for phantoms
-                        cert = cert | (jnp.sum(qb > 0, axis=1) == 0)
+                        cert = cert | (_activity(qb) == 0)
                         esc = ~cert
                         n_esc = jnp.sum(esc)
                         esc0 = esc  # reported flags: rows that re-ran at all
@@ -1027,8 +1148,8 @@ class SparseIndex:
                                 def f():
                                     idx = jnp.argsort(~esc)[:E]
                                     ds, di, db = deep_raw(
-                                        jnp.take(qb, idx, axis=0), pd, pw,
-                                        toks, docs, ext,
+                                        _take_rows(qb, idx), pd, pw,
+                                        toks, docs, ext, bmx,
                                     )
                                     dcert = inverted.certified_mask(
                                         ds[:, -1], db
@@ -1072,7 +1193,7 @@ class SparseIndex:
                             n_esc = jnp.sum(esc)
 
                         def full_scan():
-                            es, ei = exact_topk(qb, docs, toks, zero)
+                            es, ei = exact_topk(_densify(qb), docs, toks, zero)
                             return (
                                 jnp.where(esc[:, None], es, s),
                                 jnp.where(esc[:, None], ei, i),
@@ -1085,8 +1206,8 @@ class SparseIndex:
                             def f():
                                 idx = jnp.argsort(~esc)[:E]
                                 es, ei = exact_topk(
-                                    jnp.take(qb, idx, axis=0), docs, toks,
-                                    zero,
+                                    _densify(_take_rows(qb, idx)), docs,
+                                    toks, zero,
                                 )
                                 m = jnp.take(esc, idx)[:, None]
                                 s2 = s.at[idx].set(
@@ -1140,21 +1261,25 @@ class SparseIndex:
                 fn = jax.jit(body_fn)
 
                 def inverted_search(q, docs, toks):
-                    return fn(q, post_docs, post_w, toks, docs, ext_args)
+                    return fn(q, post_docs, post_w, toks, docs, ext_args,
+                              bmx_args)
 
                 @jax.jit
-                def minv(qs, pd, pw, toks, docs, ext=None):
+                def minv(qs, pd, pw, toks, docs, ext=None, bmx=None):
                     return jax.lax.map(
-                        lambda qb: body_fn(qb, pd, pw, toks, docs, ext), qs
+                        lambda qb: body_fn(qb, pd, pw, toks, docs, ext, bmx),
+                        qs,
                     )
 
                 def inverted_multi(qs, docs, toks):
-                    return minv(qs, post_docs, post_w, toks, docs, ext_args)
+                    return minv(qs, post_docs, post_w, toks, docs, ext_args,
+                                bmx_args)
 
                 return inverted_search, inverted_multi
 
             # sharded: each device searches its local corpus stripe with its
             # local postings (LOCAL doc indices), then one all-gather merges
+            assert not is_tok, "token entry is single-device only"
             shard_n = self._n_pad // n_shards
             body = inverted.make_search_fn(
                 post_docs[0], post_w[0], None, None, jit=False, **inv_kw
@@ -1298,14 +1423,26 @@ class SparseIndex:
 
     def _run_queries(self, q, k_eff: int, two_phase: bool,
                      engine: Optional[str]):
-        """Dispatch a [n_q, V] device query matrix through the chosen engine
-        and fetch (scores, ids, bounds-or-None, escalated-or-None) as numpy.
+        """Dispatch a device query batch through the chosen engine and fetch
+        (scores, ids, bounds-or-None, escalated-or-None) as numpy. `q` is a
+        [n_q, V] dense matrix, or for engine="inverted_tokens" the slot pair
+        (q_tok [n_q, T], q_w [n_q, T]).
         Inverted engines return per-query missed-score bounds; scan/dense
         return None. Fused-escalation engines (single-device inverted with
         exact_escalate) additionally return the per-query escalated flags —
         their scores/ids are already exact everywhere."""
         Bq = self._query_batch
-        n_q = q.shape[0]
+        leaves = q if isinstance(q, tuple) else (q,)
+        n_q = leaves[0].shape[0]
+
+        def _pad_rows(x, pad):
+            return jax.tree.map(
+                lambda a: jnp.concatenate(
+                    [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)]
+                ),
+                x,
+            )
+
         fn, multi_fn = self._get_search_fn(k_eff, two_phase, engine)
         toks_arg = (
             self._tok_dev if self._tok_dev is not None
@@ -1320,12 +1457,11 @@ class SparseIndex:
             nb = -(-n_q // Bq)
             pad_rows = nb * Bq - n_q
             if pad_rows:
-                q = jnp.concatenate(
-                    [q, jnp.zeros((pad_rows, q.shape[1]), jnp.float32)]
-                )
-            out = multi_fn(
-                q.reshape(nb, Bq, q.shape[1]), self._docs_dev, toks_arg
+                q = _pad_rows(q, pad_rows)
+            qs = jax.tree.map(
+                lambda a: a.reshape((nb, Bq) + a.shape[1:]), q
             )
+            out = multi_fn(qs, self._docs_dev, toks_arg)
             s_all, i_all = out[0], out[1]
             b_all = out[2].reshape(nb * Bq) if len(out) > 2 else None
             e_all = out[3].reshape(nb * Bq) if len(out) > 3 else None
@@ -1338,12 +1474,10 @@ class SparseIndex:
         # the per-call latency), then stack on device and fetch ONCE
         pending = []
         for start in range(0, n_q, Bq):
-            qb = q[start : start + Bq]
-            pad = Bq - qb.shape[0]
+            qb = jax.tree.map(lambda a: a[start : start + Bq], q)
+            pad = Bq - (qb[0] if isinstance(qb, tuple) else qb).shape[0]
             if pad:
-                qb = jnp.concatenate(
-                    [qb, jnp.zeros((pad, q.shape[1]), jnp.float32)]
-                )
+                qb = _pad_rows(qb, pad)
             pending.append(fn(qb, self._docs_dev, toks_arg))
         if len(pending) == 1:
             parts = pending[0]
@@ -1390,6 +1524,13 @@ class SparseIndex:
         skip the check on known inf-free queries (the reference's OpenSearch
         scores every query token at speed regardless of width via Lucene
         WAND, search.py:59-70 — the full mode preserves that contract).
+        full_forward=False is a WIDTH ASSERTION: every query row has at
+        most cfg.query_terms active terms. The inverted engine's exact
+        rescore reconstructs the query from its lookup slots under that
+        guarantee (inverted.make_search_fn match_rescore); a wider query
+        passed with False gets slot-truncated scores and an uncertified
+        flag (escalation restores exactness where enabled) instead of the
+        full-forward routing it should have had.
         """
         assert self._finalized, "call finalize() first"
         if self.n_docs == 0:
@@ -1502,6 +1643,14 @@ class SparseIndex:
                 cert = cert | esc
             self.last_certified = cert
 
+        return self._collect_results(s_np, i_np, n_q, k, exclude_self)
+
+    def _collect_results(
+        self, s_np, i_np, n_q: int, k: int,
+        exclude_self: Optional[Sequence[str]],
+    ) -> List[Dict[str, float]]:
+        """Score/id arrays -> per-query {doc_id: score} maps (drops pad ids,
+        non-positive scores, and the per-query self hit)."""
         results: List[Dict[str, float]] = []
         for qi in range(n_q):
             out: Dict[str, float] = {}
@@ -1524,12 +1673,47 @@ class SparseIndex:
         **kw,
     ) -> List[Dict[str, float]]:
         """Search from (token, weight) pairs — the serving-path entry point.
+        This is the analog of the reference's `neural_sparse` query body of
+        token->weight maps (sparse_encoders.py:184-194).
 
-        Builds the dense query matrix on device with one scatter, so only
-        ~q_len*8 bytes/query cross the host boundary (vs 4*vocab for a dense
-        rep). This is the analog of the reference's `neural_sparse` query
-        body of token->weight maps (sparse_encoders.py:184-194).
+        Single-device inverted indexes whose slot width fits
+        cfg.query_terms take the TOKEN-ENTRY fast path: the slots feed the
+        postings lookup directly (inverted.make_search_fn token_entry) —
+        no dense scatter, no [B, 30522] term top_k, no bound matvec, and
+        the exact rescore runs the match path. Everything else (scan/dense
+        engines, sharded meshes, two-phase, wide slot lists) builds the
+        dense query matrix on device with one scatter, so only ~q_len*8
+        bytes/query cross the host boundary either way.
         """
+        q_tokens = np.ascontiguousarray(q_tokens, dtype=np.int32)
+        q_weights = np.ascontiguousarray(q_weights, dtype=np.float32)
+        if (
+            self._finalized
+            and self._engine == "inverted"
+            and not self._shard_queries
+            and (self.mesh is None or self.mesh.devices.size == 1)
+            and q_tokens.shape[1] <= self.cfg.query_terms
+            and not kw.get("two_phase", False)
+            and kw.get("full_forward", None) in (None, False)
+            and not set(kw) - {"query_prune", "exclude_self", "two_phase",
+                               "full_forward"}
+            and self.n_docs > 0
+            and q_tokens.shape[0] > 0
+        ):
+            # duplicate token ids across slots score identically on both
+            # paths, but query_prune thresholds per-slot here vs post-merge
+            # on the dense path — route duplicates through the dense
+            # scatter to keep one semantics
+            srt = np.sort(np.where(q_weights > 0, q_tokens, -1), axis=1)
+            dup = bool(
+                ((srt[:, 1:] == srt[:, :-1]) & (srt[:, 1:] >= 0)).any()
+            )
+            if not dup:
+                return self._search_tokens_fast(
+                    q_tokens, q_weights, k,
+                    query_prune=kw.get("query_prune", 0.0),
+                    exclude_self=kw.get("exclude_self"),
+                )
         if "full_forward" not in kw and q_tokens.shape[1] <= self.cfg.query_terms:
             # at most q_len active terms, all within the lookup budget — skip
             # the per-call device check
@@ -1552,6 +1736,51 @@ class SparseIndex:
             jnp.asarray(q_weights, dtype=jnp.float32),
         )
         return self.search(q, k=k, **kw)
+
+    def _search_tokens_fast(
+        self,
+        q_tok: np.ndarray,  # [B, S<=T] int32, no duplicate active ids/row
+        q_w: np.ndarray,  # [B, S] f32
+        k: int,
+        query_prune: float = 0.0,
+        exclude_self: Optional[Sequence[str]] = None,
+    ) -> List[Dict[str, float]]:
+        """Token-entry search (see search_tokens). Same results and
+        certificate/escalation contract as the dense path — pinned by
+        tests/test_index.py token-entry parity tests."""
+        T = self.cfg.query_terms
+        n_q, S = q_tok.shape
+        if query_prune > 0:
+            thresh = q_w.max(axis=1, keepdims=True) * query_prune
+            q_w = np.where(q_w > thresh, q_w, 0.0)
+        if S < T:  # pad the slot axis to the fn's static width
+            q_tok = np.pad(q_tok, ((0, 0), (0, T - S)))
+            q_w = np.pad(q_w, ((0, 0), (0, T - S)))
+        dev = (jnp.asarray(q_tok), jnp.asarray(q_w))
+        k_eff = min(k + (1 if exclude_self is not None else 0), self.n_docs)
+        s_np, i_np, b_np, esc_np = self._run_queries(
+            dev, k_eff, False, "inverted_tokens"
+        )
+        self.last_certified = None
+        self.last_escalated = None
+        self.last_scan_escalated = None
+        if esc_np is not None:
+            # fused escalation: results exact everywhere (see search())
+            self.last_escalated = esc_np != 0
+            self.last_scan_escalated = esc_np >= 2
+            self.last_certified = np.ones(n_q, dtype=bool)
+        elif b_np is not None:
+            kth = s_np[:, -1] if s_np.shape[1] else np.full(n_q, -np.inf)
+            from . import inverted
+
+            cert = inverted.certified_mask(kth, b_np, xp=np)
+            # all-zero padding rows are trivially exact (see search()).
+            # No host escalation branch: single-device + exact_escalate
+            # always builds the FUSED ladder, so b_np-without-esc_np only
+            # occurs when escalation is off.
+            cert = cert | ((q_w > 0).sum(axis=1) == 0)
+            self.last_certified = cert
+        return self._collect_results(s_np, i_np, n_q, k, exclude_self)
 
     # -------------------------------------------------------- persistence
     def save(self, path: str):

@@ -400,6 +400,92 @@ def split_postings(
     return base_d, base_w, ext_d, ext_w, deep_map
 
 
+def build_tail_blockmax(
+    toks: np.ndarray,  # [N, L] int32 doc-major token ids
+    ws: np.ndarray,  # [N, L] f32 weights (0 = inactive)
+    vocab_size: int,
+    read_cap: int,  # the shallow read depth the bound must cover beyond
+    n_pad: int,  # padded corpus size (blocks partition [0, n_pad))
+    block_docs: int,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-token, per-doc-id-block maxima over the postings TAIL (impact
+    rank >= read_cap) — the Lucene block-max-WAND analog for the exactness
+    certificate.
+
+    The whole-tail bound charges every query term's full tail weight to ONE
+    hypothetical missed doc: bound_tail = sum_t q_w[t] * w_tail[t]. But a
+    missed doc d can only carry, per term, the max tail weight within ITS
+    doc-id block: score_missed(d) <= sum_t q_w[t] * bm[t, block(d)], so
+
+        tail_bound = max_b sum_t q_w[t] * min(bm[t, b], w_tail[t])
+
+    is sound and usually far tighter — one block rarely holds near-tail-max
+    weights for every query term at once (Lucene's per-block maxima bound
+    missed docs locally for exactly this reason, reference search.py:59-70
+    via OpenSearch). The min() keeps per-slot ADAPTIVE read depths sound:
+    a slot that read deeper than read_cap (deep_slots extensions) has a
+    smaller actual tail, and bm — built at read_cap — stays an upper bound.
+
+    Returns (bm [R+1, NB] f32, bmap [V] int32): R = tokens with any tail
+    mass, row R all-zero, non-tail tokens map to it. Built from the same
+    doc-major rows as the postings, so it covers mass beyond the STORED
+    postings depth too (rank >= build cap) — the bound needs no
+    "beyond-storage" fudge term."""
+    return build_tail_blockmax_multi(
+        toks, ws, vocab_size, (read_cap,), n_pad, block_docs
+    )[0]
+
+
+def build_tail_blockmax_multi(
+    toks: np.ndarray,
+    ws: np.ndarray,
+    vocab_size: int,
+    read_caps,  # sequence of read depths, one (bm, bmap) each
+    n_pad: int,
+    block_docs: int,
+):
+    """Several read depths from ONE impact sort (see build_tail_blockmax):
+    the engine needs maxima at both the inf-free base depth (postings_cap)
+    and the full-forward narrow-read depth (full_postings_cols), and the
+    packed-key argsort over all nnz dominates the build."""
+    NB = -(-max(n_pad, 1) // block_docs)
+    flat_tok = toks.reshape(-1)
+    flat_w = ws.reshape(-1).astype(np.float32)
+    N, L = toks.shape
+    flat_doc = np.repeat(np.arange(N, dtype=np.int64), L)
+    keep = flat_w > 0
+    flat_tok, flat_w, flat_doc = flat_tok[keep], flat_w[keep], flat_doc[keep]
+    # impact order within each token group (same packed-key trick as
+    # _build_postings_np)
+    w_bits = flat_w.view(np.uint32).astype(np.uint64)
+    packed = (flat_tok.astype(np.uint64) << np.uint64(32)) | (
+        np.uint64(0xFFFFFFFF) - w_bits
+    )
+    order = np.argsort(packed, kind="stable")
+    flat_tok, flat_w, flat_doc = flat_tok[order], flat_w[order], flat_doc[order]
+    counts = np.bincount(flat_tok, minlength=vocab_size)
+    starts = np.zeros(vocab_size + 1, dtype=np.int64)
+    np.cumsum(counts, out=starts[1:])
+    rank = np.arange(flat_tok.shape[0], dtype=np.int64) - starts[flat_tok]
+    out = []
+    for read_cap in read_caps:
+        tail = rank >= read_cap
+        t_tok, t_w, t_doc = flat_tok[tail], flat_w[tail], flat_doc[tail]
+        tail_tokens = np.unique(t_tok)
+        R = int(tail_tokens.size)
+        bmap = np.full(vocab_size, R, dtype=np.int32)
+        bmap[tail_tokens] = np.arange(R, dtype=np.int32)
+        bm = np.zeros((R + 1, NB), dtype=np.float32)
+        if t_tok.size:
+            key = bmap[t_tok].astype(np.int64) * NB + t_doc // block_docs
+            # entries are weight-DESCENDING within each token, so the first
+            # occurrence of each (token, block) key is that cell's max
+            uk, ui = np.unique(key, return_index=True)
+            bm.reshape(-1)[uk] = t_w[ui]
+        out.append((bm, bmap))
+    return out
+
+
 CERT_MARGIN = 1e-4  # relative fp-reorder tolerance of the certificate
 
 
@@ -459,6 +545,9 @@ def make_search_fn(
     with_bound: bool = False,  # also return the missed-doc score bound
     sort_candidates: bool = False,  # gather rescore rows in doc-id order
     packed_docs: bool = False,  # doc_toks holds pack_doc_rows() output
+    token_entry: bool = False,  # q = (q_tok, q_w) slots, no dense query
+    match_rescore: bool = False,  # rescore by slot matching (see below)
+    tail_blockmax: bool = False,  # per-block tail bound (see below)
 ):
     """Build the inverted search: dense q [B, V] -> (scores, ids).
 
@@ -543,6 +632,43 @@ def make_search_fn(
     bound degenerates to -inf when nothing was truncated (certified) and
     +inf otherwise.
 
+    `match_rescore` replaces the exact-rescore's dense-query gather with
+    `query_terms` masked vector compares against the selected (q_tok, q_w)
+    slots. The dense gather `take_along_axis(q, cand_toks)` prices
+    B x k1 x l_max indices on TPU (~1.3M at the headline shape — 57% of
+    the whole hot path, PERFORMANCE.md round-4 breakdown); the match path
+    prices T fused compare+selects over the same [B, k1, L] tile and NO
+    gather. The two are BIT-IDENTICAL when every active query term
+    occupies a lookup slot (each candidate token matches at most one slot,
+    so the reconstructed per-token weights equal the dense row exactly,
+    summed in the same order): that holds for inf-free queries with
+    <= query_terms active terms — the precondition the engine's
+    full-forward width routing already enforces. NOT valid with
+    select_by_impact / phase1_ratio (the slots then deliberately exclude
+    query mass the rescore must see) — rejected at build.
+
+    `token_entry` changes the query input from a dense [B, V] matrix to
+    the pair (q_tok [B, T] int32, q_w [B, T] f32) — the serving-path
+    representation (engine.search_tokens). The query IS the slot list by
+    definition, so term selection (top_k over [B, 30522]), the bound's
+    [B, V] total-mass matvec, and the dense scatter all disappear:
+    total_ub = sum_t q_w[t] * w_max[q_tok[t]] with NO unselected term,
+    and the rescore runs the match path above (exact by construction).
+    Duplicate tokens across slots are allowed and score like a dense
+    scatter-add would (each slot contributes independently everywhere).
+    Implies match_rescore; same incompatibilities.
+
+    `tail_blockmax` (with_bound only) tightens the certificate's tail term
+    with per-doc-block maxima (build_tail_blockmax): the search fn then
+    takes a trailing `bmx = (bm [R+1, NB], bmap [V])` argument and replaces
+    sum_t q_w*w_tail with max_b sum_t q_w*min(bm[t_b], w_tail) — the
+    block-max-WAND bound. CALLER CONTRACT: bm must be built at a read_cap
+    <= the shallowest read any selected term performs (postings_cols when
+    narrowed, else the base postings width) — engine.finalize builds one
+    bm per entry mode accordingly. One [B, T] row gather + a [B, T, NB]
+    reduction — cheap next to the postings sort for NB up to a few
+    thousand blocks.
+
     `refine_expand` > rescore_expand (rescore + with_bound only) adds a
     CUT-REFINEMENT tier inside the search fn: when any row in the batch
     fails the certificate at the base pool, the SAME sorted run sums are
@@ -591,28 +717,61 @@ def make_search_fn(
             f"{query_terms}*{Cq}={TC} — raise query_terms/postings_cap or "
             "lower k (otherwise top_k fails inside jit with an opaque error)"
         )
+    if token_entry:
+        match_rescore = rescore  # no dense query exists to gather from
+        if select_by_impact or phase1_ratio is not None or Cq < C:
+            raise ValueError(
+                "token_entry is the inf-free fast path: incompatible with "
+                "select_by_impact / phase1_ratio / postings_cols (those "
+                "modes need the dense query the token entry elides)"
+            )
+    if match_rescore and (select_by_impact or phase1_ratio is not None):
+        raise ValueError(
+            "match_rescore reconstructs the query from the lookup slots — "
+            "unsound when select_by_impact/phase1_ratio deliberately "
+            "exclude query mass from them"
+        )
+    if tail_blockmax and not with_bound:
+        raise ValueError("tail_blockmax only affects the with_bound path")
     deep_slots = min(max(int(deep_slots), 0), query_terms)
 
-    def search(q: jax.Array, post_docs, post_w, doc_toks, doc_ws, ext=None):
-        B = q.shape[0]
-        if phase1_ratio is not None:
-            # query-side two-phase: lookup sees only high-weight tokens.
-            # `q` (full) still feeds the rescore and the bound's total_ub.
-            thresh = jnp.max(q, axis=1, keepdims=True) * phase1_ratio
-            q_sel = jnp.where(q >= thresh, q, 0.0)
+    def search(q, post_docs, post_w, doc_toks, doc_ws, ext=None, bmx=None):
+        if token_entry:
+            # q = (q_tok [B, T] int32, q_w [B, T] f32): the slots ARE the
+            # query — no [B, V] top_k, no dense scatter (see docstring)
+            q_tok, q_w = q
+            q_tok = q_tok.astype(jnp.int32)
+            q_w = jnp.maximum(q_w.astype(jnp.float32), 0.0)
+            B = q_tok.shape[0]
+            if q_tok.shape[1] != query_terms:  # trace-time shape contract
+                raise ValueError(
+                    f"token_entry: q_tok has {q_tok.shape[1]} slots, the "
+                    f"search fn was built for query_terms={query_terms} — "
+                    "pad/truncate the slot axis at the caller"
+                )
         else:
-            q_sel = q
-        if select_by_impact:
-            # impact upper bound per term: q_w * max posting weight. Postings
-            # are impact-sorted so column 0 is each token's max weight; terms
-            # with empty postings get bound 0 and never win a slot.
-            ub = q_sel * jnp.maximum(post_w[:, 0].astype(jnp.float32), 0.0)[None, :]
-            _, q_tok = jax.lax.top_k(ub, query_terms)  # [B, T]
-            q_w = jnp.take_along_axis(q_sel, q_tok, axis=1)
-        else:
-            # top-T terms by weight (inference-free queries have ~2-10
-            # active terms; T slots cover them)
-            q_w, q_tok = jax.lax.top_k(q_sel, query_terms)  # [B, T]
+            B = q.shape[0]
+            if phase1_ratio is not None:
+                # query-side two-phase: lookup sees only high-weight tokens.
+                # `q` (full) still feeds the rescore and the bound's total_ub.
+                thresh = jnp.max(q, axis=1, keepdims=True) * phase1_ratio
+                q_sel = jnp.where(q >= thresh, q, 0.0)
+            else:
+                q_sel = q
+            if select_by_impact:
+                # impact upper bound per term: q_w * max posting weight.
+                # Postings are impact-sorted so column 0 is each token's max
+                # weight; terms with empty postings get bound 0 and never
+                # win a slot.
+                ub = q_sel * jnp.maximum(
+                    post_w[:, 0].astype(jnp.float32), 0.0
+                )[None, :]
+                _, q_tok = jax.lax.top_k(ub, query_terms)  # [B, T]
+                q_w = jnp.take_along_axis(q_sel, q_tok, axis=1)
+            else:
+                # top-T terms by weight (inference-free queries have ~2-10
+                # active terms; T slots cover them)
+                q_w, q_tok = jax.lax.top_k(q_sel, query_terms)  # [B, T]
         term_valid = q_w > 0
 
         if Cq < C:
@@ -678,15 +837,38 @@ def make_search_fn(
             # missed-mass bound (see docstring): tails of the read postings
             # slices + terms that never won a lookup slot. One [B,V] matvec
             # + two masked [B,T] reductions — negligible next to the sort.
-            w_max = jnp.maximum(post_w[:, 0].astype(jnp.float32), 0.0)
-            total_ub = q @ w_max  # [B]
             sel_max = jnp.sum(
-                jnp.where(term_valid, q_w * pw[:, :, 0], 0.0), axis=1
+                jnp.where(
+                    term_valid,
+                    q_w * jnp.maximum(pw[:, :, 0], 0.0), 0.0,
+                ), axis=1
             )
-            unsel = jnp.maximum(total_ub - sel_max, 0.0)
+            if token_entry:
+                # every active term IS a slot: no unselected mass, and the
+                # total upper bound needs no [B, V] matvec
+                total_ub = sel_max
+                unsel = jnp.zeros((B,), jnp.float32)
+            else:
+                w_max = jnp.maximum(post_w[:, 0].astype(jnp.float32), 0.0)
+                total_ub = q @ w_max  # [B]
+                unsel = jnp.maximum(total_ub - sel_max, 0.0)
             tail = jnp.sum(
                 jnp.where(term_valid, q_w * w_tail, 0.0), axis=1
             )
+            if tail_blockmax:
+                # block-max-WAND tail: a missed doc carries at most its own
+                # block's tail max per term (see build_tail_blockmax). The
+                # min() keeps deeper-than-read_cap slots (deep_slots) sound;
+                # the whole-tail term above remains an upper bound, so take
+                # the tighter of the two.
+                bm_a, bmap_a = bmx
+                bmr = bm_a[bmap_a[q_tok]].astype(jnp.float32)  # [B, T, NB]
+                per = jnp.where(
+                    term_valid[:, :, None],
+                    q_w[:, :, None] * jnp.minimum(bmr, w_tail[:, :, None]),
+                    0.0,
+                )
+                tail = jnp.minimum(tail, jnp.max(jnp.sum(per, axis=1), axis=1))
             miss = tail + unsel
 
         # sort-merge by doc id per query row: one two-operand sort carries
@@ -740,8 +922,10 @@ def make_search_fn(
                 return s, i, bound
             return s, i
 
-        # exact rescore of the top candidate pool against doc-major rows
-        def pool_rescore(k1, sums, rid, q, miss, total_ub):
+        # exact rescore of the top candidate pool against doc-major rows.
+        # `qv` is the per-row query view: the dense [B, V] matrix, or with
+        # match_rescore the (q_tok, q_w) slot pair (see docstring).
+        def pool_rescore(k1, sums, rid, qv, miss, total_ub):
             """Exact-rescore the top-k1 run-sum pool (row-sliceable: all
             per-row tensors enter as arguments); returns the top-k
             (scores, ids) and the missed-score bound for THIS pool width
@@ -750,7 +934,7 @@ def make_search_fn(
             refine_expand*k over a compacted slice of just those rows:
             deepening the pool shrinks the bound's cut term (s1[k1-1]
             decreases in k1) without re-reading postings or re-sorting."""
-            B = q.shape[0]
+            B = (qv[0] if match_rescore else qv).shape[0]
             s1, sel = jax.lax.top_k(sums, k1)
             cand = jnp.where(
                 jnp.isfinite(s1), jnp.take_along_axis(rid, sel, axis=1),
@@ -779,9 +963,27 @@ def make_search_fn(
             else:
                 ct = doc_toks[safe].astype(jnp.int32)  # [B, k1, L]
                 cw = doc_ws[safe].astype(jnp.float32)
-            g = jnp.take_along_axis(
-                q, ct.reshape(B, -1), axis=1
-            ).reshape(B, k1, -1)
+            if match_rescore:
+                # reconstruct each candidate token's query weight by slot
+                # matching: T fused compare+selects over the [B, k1, L]
+                # tile replace the B x k1 x L-INDEX dense gather (TPU
+                # gathers price per index — this was 57% of the hot path).
+                # Each candidate token matches at most one distinct slot
+                # (duplicate slots both fire, exactly like a dense
+                # scatter-add would), so `g` is BIT-IDENTICAL to the
+                # gathered dense row and `exact` sums in the same order.
+                mt, mw = qv
+                g = jnp.zeros(ct.shape, jnp.float32)
+                for t in range(query_terms):
+                    g = g + jnp.where(
+                        (ct == mt[:, t][:, None, None])
+                        & (mw[:, t] > 0)[:, None, None],
+                        mw[:, t][:, None, None], 0.0,
+                    )
+            else:
+                g = jnp.take_along_axis(
+                    qv, ct.reshape(B, -1), axis=1
+                ).reshape(B, k1, -1)
             exact = jnp.sum(g * cw, axis=-1)
             exact = jnp.where(cand == _PAD_ID, -jnp.inf, exact)
             s, sel2 = jax.lax.top_k(exact, k)
@@ -822,8 +1024,9 @@ def make_search_fn(
             )
             return s, i, bound
 
+        qv = (q_tok, q_w) if match_rescore else q
         k1 = min(rescore_expand * k, ids.shape[1])
-        s, i, bound = pool_rescore(k1, sums, rid, q, miss, total_ub)
+        s, i, bound = pool_rescore(k1, sums, rid, qv, miss, total_ub)
         if not with_bound:
             return s, i
         k2 = min(max(int(refine_expand), 0) * k, ids.shape[1])
@@ -853,7 +1056,9 @@ def make_search_fn(
                     s2, i2, b2 = pool_rescore(
                         k2, jnp.take(sums, idx, axis=0),
                         jnp.take(rid, idx, axis=0),
-                        jnp.take(q, idx, axis=0),
+                        jax.tree.map(
+                            lambda a: jnp.take(a, idx, axis=0), qv
+                        ),
                         jnp.take(miss, idx), jnp.take(total_ub, idx),
                     )
                     m = jnp.take(~cert0, idx)

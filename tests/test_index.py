@@ -1111,7 +1111,8 @@ def test_escalation_skips_padding_rows_and_flags_read_exact():
     orig = inv._run_queries
 
     def spy(q, k, two_phase, engine=None):
-        calls.append((int(q.shape[0]), engine))
+        n = (q[0] if isinstance(q, tuple) else q).shape[0]
+        calls.append((int(n), engine))
         return orig(q, k, two_phase, engine)
 
     inv._run_queries = spy
@@ -1122,8 +1123,9 @@ def test_escalation_skips_padding_rows_and_flags_read_exact():
     assert esc is not None and esc.any() and not esc[6] and not esc[7]
     # fused path: the whole thing — search + certify + escalate — is one
     # host dispatch; a separate "sparse" pass would betray the old
-    # two-round-trip host escalation
-    assert calls == [(8, None)], calls
+    # two-round-trip host escalation (these narrow slots ride the
+    # round-5 token fast path)
+    assert calls == [(8, "inverted_tokens")], calls
     # and the escalated rows really are exact
     scan = _build_rows("sparse", toks, ws, vocab)
     sh = scan.search_tokens(q_tok, q_w, k=5)
@@ -2174,3 +2176,333 @@ def test_incremental_build_with_extension_matches_sync():
     b = sync.search(QS, k=10)
     for x, y in zip(a, b):
         assert x == y
+
+
+# --------------------------------------- round-5: match rescore / token entry
+
+
+def test_match_rescore_bit_identical_to_dense_gather():
+    """match_rescore reconstructs each candidate token's query weight from
+    the lookup slots instead of gathering the dense query row. When every
+    active query term occupies a slot (the inf-free precondition), the
+    reconstruction equals the gathered row element-for-element and the
+    products sum in the same order — scores, ids AND bounds must be
+    bit-identical, refine tier included."""
+    from opensearch_sparse_model_tuning_sample_tpu.index import inverted
+    import jax.numpy as jnp
+
+    vocab = 600
+    toks, ws = _diffuse_corpus(400, vocab, l_max=24)
+    pd, pw = inverted.build_postings(toks, ws, vocab, 32)
+    d_pd, d_pw = jnp.asarray(pd), jnp.asarray(pw)
+    d_toks = jnp.asarray(toks.astype(np.int16))
+    d_ws = jnp.asarray(ws)
+
+    q_tok, q_w = _corpus_queries(toks, ws, n_q=16, width=5)
+    qs = np.zeros((16, vocab), np.float32)
+    np.put_along_axis(qs, q_tok, q_w, axis=1)
+    qs[:, 0] = 0.0
+
+    def run(**kw):
+        fn = inverted.make_search_fn(
+            d_pd, d_pw, d_toks, d_ws, query_terms=8, k=5,
+            with_bound=True, rescore_expand=2, refine_expand=6, **kw)
+        s, ids, bound = fn(jnp.asarray(qs), d_pd, d_pw, d_toks, d_ws)
+        return np.asarray(s), np.asarray(ids), np.asarray(bound)
+
+    s0, i0, b0 = run()
+    s1, i1, b1 = run(match_rescore=True)
+    np.testing.assert_array_equal(s1, s0)
+    np.testing.assert_array_equal(i1, i0)
+    np.testing.assert_array_equal(b1, b0)
+
+
+def test_match_rescore_rejects_slot_excluding_modes():
+    from opensearch_sparse_model_tuning_sample_tpu.index import inverted
+    import jax.numpy as jnp
+
+    pd = jnp.zeros((32, 4), jnp.int32)
+    pw = jnp.zeros((32, 4), jnp.float32)
+    dt = jnp.zeros((8, 4), jnp.int32)
+    dw = jnp.zeros((8, 4), jnp.float32)
+    for bad in (dict(select_by_impact=True), dict(phase1_ratio=0.4)):
+        with pytest.raises(ValueError, match="match_rescore|token_entry"):
+            inverted.make_search_fn(
+                pd, pw, dt, dw, query_terms=4, k=2, match_rescore=True,
+                **bad)
+    with pytest.raises(ValueError, match="token_entry"):
+        inverted.make_search_fn(
+            pd, pw, dt, dw, query_terms=4, k=2, token_entry=True,
+            postings_cols=2)
+
+
+def test_token_entry_fn_matches_dense_entry():
+    """The token-entry fn fed the same slots the dense path would select
+    must return the same scores/ids and a bound that certifies the same
+    rows (the dense path's bound adds a tiny fp-noise unselected term the
+    token entry provably zeroes, so compare decisions, not bits)."""
+    from opensearch_sparse_model_tuning_sample_tpu.index import inverted
+    import jax.numpy as jnp
+
+    vocab = 600
+    toks, ws = _diffuse_corpus(500, vocab, l_max=24)
+    pd, pw = inverted.build_postings(toks, ws, vocab, 512)
+    d_pd, d_pw = jnp.asarray(pd), jnp.asarray(pw)
+    d_toks = jnp.asarray(toks.astype(np.int16))
+    d_ws = jnp.asarray(ws)
+
+    T = 8
+    q_tok, q_w = _corpus_queries(toks, ws, n_q=16, width=5)
+    q_tok8 = np.zeros((16, T), np.int32)
+    q_w8 = np.zeros((16, T), np.float32)
+    q_tok8[:, :5], q_w8[:, :5] = q_tok, q_w
+    qs = np.zeros((16, vocab), np.float32)
+    np.put_along_axis(qs, q_tok, q_w, axis=1)
+    qs[:, 0] = 0.0
+    q_w8[q_tok8 == 0] = 0.0
+
+    dense_fn = inverted.make_search_fn(
+        d_pd, d_pw, d_toks, d_ws, query_terms=T, k=5, with_bound=True)
+    tok_fn = inverted.make_search_fn(
+        d_pd, d_pw, d_toks, d_ws, query_terms=T, k=5, with_bound=True,
+        token_entry=True)
+    s0, i0, b0 = dense_fn(jnp.asarray(qs), d_pd, d_pw, d_toks, d_ws)
+    s1, i1, b1 = tok_fn(
+        (jnp.asarray(q_tok8), jnp.asarray(q_w8)), d_pd, d_pw, d_toks, d_ws)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s0), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i0))
+    c0 = inverted.certified_mask(np.asarray(s0)[:, -1], np.asarray(b0), np)
+    c1 = inverted.certified_mask(np.asarray(s1)[:, -1], np.asarray(b1), np)
+    assert c0.sum() >= 12  # the comparison must exercise certification
+    np.testing.assert_array_equal(c1, c0)
+
+
+def test_token_entry_rejects_wrong_slot_width():
+    from opensearch_sparse_model_tuning_sample_tpu.index import inverted
+    import jax.numpy as jnp
+
+    pd = jnp.zeros((32, 4), jnp.int32)
+    pw = jnp.zeros((32, 4), jnp.float32)
+    dt = jnp.zeros((8, 4), jnp.int32)
+    dw = jnp.zeros((8, 4), jnp.float32)
+    fn = inverted.make_search_fn(
+        pd, pw, dt, dw, query_terms=4, k=2, token_entry=True, jit=False)
+    with pytest.raises(ValueError, match="slots"):
+        fn((jnp.zeros((2, 6), jnp.int32), jnp.zeros((2, 6), jnp.float32)),
+           pd, pw, dt, dw)
+
+
+def _route_probe(idx, q_tok, q_w, k=5, **kw):
+    """Results + flags from BOTH search_tokens (token fast path when
+    eligible) and the dense search() entry on the same index."""
+    ht = idx.search_tokens(q_tok, q_w, k=k, **kw)
+    flags_t = (idx.last_certified, idx.last_escalated)
+    V = idx.vocab_size
+    qs = np.zeros((q_tok.shape[0], V), np.float32)
+    act = q_w > 0
+    rows = np.broadcast_to(np.arange(q_tok.shape[0])[:, None], q_tok.shape)
+    # scatter-ADD, matching search_tokens' on-device dense build (duplicate
+    # slots accumulate)
+    np.add.at(qs, (rows[act], q_tok[act]), q_w[act])
+    hd = idx.search(qs, k=k, **kw)
+    flags_d = (idx.last_certified, idx.last_escalated)
+    return ht, flags_t, hd, flags_d
+
+
+@pytest.mark.parametrize("escalate", [False, True])
+def test_search_tokens_fast_path_matches_dense_entry(escalate):
+    """Engine-level parity: the token fast path must return the same hits
+    and the same certificate/escalation flags as the dense entry, with and
+    without the fused escalation ladder, extension tiers included."""
+    vocab = 500
+    toks, ws = _diffuse_corpus(1500, vocab, l_max=24)
+    q_tok, q_w = _corpus_queries(toks, ws, n_q=12, width=5)
+    idx = _build_rows("inverted", toks, ws, vocab,
+                      postings_cap=48, postings_ext_cap=64, deep_slots=2,
+                      query_terms=8, exact_escalate=escalate)
+    ht, (ct, et), hd, (cd, ed) = _route_probe(idx, q_tok, q_w)
+    assert ht == hd
+    np.testing.assert_array_equal(ct, cd)
+    if escalate:
+        np.testing.assert_array_equal(et, ed)
+        assert ct.all()
+    else:
+        assert et is None and ed is None
+
+
+def test_search_tokens_fast_path_query_prune_parity():
+    vocab = 500
+    toks, ws = _diffuse_corpus(800, vocab, l_max=24)
+    q_tok, q_w = _corpus_queries(toks, ws, n_q=10, width=6)
+    idx = _build_rows("inverted", toks, ws, vocab,
+                      postings_cap=256, query_terms=8, exact_escalate=True)
+    ht, _, hd, _ = _route_probe(idx, q_tok, q_w, query_prune=0.4)
+    assert ht == hd
+
+
+def test_search_tokens_fast_path_ineligible_cases_fall_back():
+    """Two-phase, wide slot lists, duplicate tokens, and full_forward=True
+    must keep the dense path (identical results prove the routing is
+    transparent either way)."""
+    vocab = 500
+    toks, ws = _diffuse_corpus(800, vocab, l_max=24)
+    q_tok, q_w = _corpus_queries(toks, ws, n_q=8, width=5)
+    idx = _build_rows("inverted", toks, ws, vocab,
+                      postings_cap=256, query_terms=8, exact_escalate=True)
+    # duplicates: slot 1 repeats slot 0's token — dense path merges them
+    dup_tok, dup_w = q_tok.copy(), q_w.copy()
+    dup_tok[:, 1] = dup_tok[:, 0]
+    ht, _, hd, _ = _route_probe(idx, dup_tok, dup_w)
+    assert ht == hd
+    # wide slot axis (> query_terms): routes through the dense width check
+    wide_tok = np.pad(q_tok, ((0, 0), (0, 8)))
+    wide_w = np.pad(q_w, ((0, 0), (0, 8)))
+    ht, _, hd, _ = _route_probe(idx, wide_tok, wide_w)
+    assert ht == hd
+    # exclude_self rides both paths
+    ids = [str(i) for i in range(q_tok.shape[0])]
+    ht, _, hd, _ = _route_probe(idx, q_tok, q_w, exclude_self=ids)
+    assert ht == hd
+
+
+def test_search_tokens_fast_path_all_zero_rows_certify():
+    """Padding rows (all weights zero) must certify without escalating on
+    the token path, exactly like the dense path."""
+    vocab = 500
+    toks, ws = _diffuse_corpus(800, vocab, l_max=24)
+    q_tok, q_w = _corpus_queries(toks, ws, n_q=6, width=5)
+    q_w[3:] = 0.0
+    idx = _build_rows("inverted", toks, ws, vocab,
+                      postings_cap=16, query_terms=8, exact_escalate=True)
+    hits = idx.search_tokens(q_tok, q_w, k=5)
+    assert all(not h for h in hits[3:])
+    assert idx.last_certified.all()
+    assert not idx.last_escalated[3:].any()
+
+
+# ------------------------------------------------ round-5: block-max tail
+
+
+def test_tail_blockmax_bound_is_sound_and_tighter():
+    """The block-max tail bound must (a) still dominate the true score of
+    every doc the search could have missed — the certificate's soundness
+    contract — and (b) be no looser than the whole-tail bound (elementwise
+    min against w_tail guarantees it analytically; this pins the wiring)."""
+    from opensearch_sparse_model_tuning_sample_tpu.index import inverted
+    import jax.numpy as jnp
+
+    vocab = 500
+    n_docs = 1200
+    toks, ws = _diffuse_corpus(n_docs, vocab, l_max=24)
+    cap = 24  # small: truncation is real
+    pd, pw = inverted.build_postings(toks, ws, vocab, cap)
+    bm, bmap = inverted.build_tail_blockmax(
+        toks, ws, vocab, cap, n_docs, block_docs=64)
+    d = dict(pd=jnp.asarray(pd), pw=jnp.asarray(pw),
+             dt=jnp.asarray(toks.astype(np.int16)), dw=jnp.asarray(ws))
+    q_tok, q_w = _corpus_queries(toks, ws, n_q=24, width=5)
+    T = 8
+    q_tok8 = np.zeros((24, T), np.int32)
+    q_w8 = np.zeros((24, T), np.float32)
+    q_tok8[:, :5], q_w8[:, :5] = q_tok, q_w
+    q_w8[q_tok8 == 0] = 0.0
+    qdev = (jnp.asarray(q_tok8), jnp.asarray(q_w8))
+
+    def run(**kw):
+        fn = inverted.make_search_fn(
+            d["pd"], d["pw"], d["dt"], d["dw"], query_terms=T, k=5,
+            with_bound=True, token_entry=True, **kw)
+        args = (qdev, d["pd"], d["pw"], d["dt"], d["dw"])
+        if kw.get("tail_blockmax"):
+            args += (None, (jnp.asarray(bm), jnp.asarray(bmap)))
+        s, ids, bound = fn(*args)
+        return np.asarray(s), np.asarray(ids), np.asarray(bound)
+
+    s0, i0, b0 = run()
+    s1, i1, b1 = run(tail_blockmax=True)
+    np.testing.assert_array_equal(i1, i0)  # bound never changes results
+    # exact scores for soundness: dense query @ docs
+    dense = np.zeros((24, vocab), np.float32)
+    np.add.at(dense, (np.broadcast_to(np.arange(24)[:, None], q_tok8.shape),
+                      q_tok8), np.where(q_w8 > 0, q_w8, 0))
+    dense[:, 0] = 0.0
+    docs_dense = np.zeros((n_docs, vocab), np.float32)
+    rows = np.broadcast_to(np.arange(n_docs)[:, None], toks.shape)
+    docs_dense[rows, toks] = ws
+    true = dense @ docs_dense.T  # [24, n_docs]
+    for b, tag in ((b0, "whole-tail"), (b1, "blockmax")):
+        for qi in range(24):
+            ret = set(int(x) for x in i1[qi] if x >= 0)
+            missed = [true[qi, di] for di in range(n_docs) if di not in ret]
+            if missed and np.isfinite(b[qi]):
+                assert max(missed) <= b[qi] * (1 + 1e-4) + 1e-5, (
+                    tag, qi, max(missed), b[qi])
+    # tighter (or equal) everywhere, finite vs finite
+    fin = np.isfinite(b0) & np.isfinite(b1)
+    assert (b1[fin] <= b0[fin] * (1 + 1e-6)).all()
+    c0 = inverted.certified_mask(s0[:, -1], b0, np)
+    c1 = inverted.certified_mask(s1[:, -1], b1, np)
+    assert c1.sum() >= c0.sum()
+
+
+def test_tail_blockmax_engine_exact_and_fewer_escalations(tmp_path):
+    """Engine level: with tail_block_docs the certified+escalated results
+    must still match the exact scan, with no more escalations than the
+    whole-tail bound; the knob must survive save/load."""
+    vocab = 500
+    toks, ws = _diffuse_corpus(2500, vocab, l_max=24)
+    q_tok, q_w = _corpus_queries(toks, ws, n_q=16, width=5)
+    base = dict(postings_cap=32, query_terms=8, exact_escalate=True)
+    plain = _build_rows("inverted", toks, ws, vocab, **base)
+    bmx = _build_rows("inverted", toks, ws, vocab,
+                      tail_block_docs=128, **base)
+    assert bmx._bm is not None
+    scan = _build_rows("sparse", toks, ws, vocab)
+    sh = scan.search_tokens(q_tok, q_w, k=5)
+    hp = plain.search_tokens(q_tok, q_w, k=5)
+    esc_plain = int(plain.last_escalated.sum())
+    hb = bmx.search_tokens(q_tok, q_w, k=5)
+    esc_bmx = int(bmx.last_escalated.sum())
+    for got in (hb, hp):
+        for a, b in zip(got, sh):
+            assert sorted(a.values(), reverse=True) == pytest.approx(
+                sorted(b.values(), reverse=True), rel=1e-3)
+    assert esc_bmx <= esc_plain
+    assert bmx.last_certified.all()
+    # dense entry sees the same bound
+    hb2, _, hd2, _ = _route_probe(bmx, q_tok, q_w)
+    assert hb2 == hd2
+    # save/load keeps the block-max contract
+    bmx.save(str(tmp_path / "ix"))
+    loaded = SparseIndex.load(str(tmp_path / "ix"))
+    assert loaded._bm is not None
+    hl = loaded.search_tokens(q_tok, q_w, k=5)
+    assert hl == hb
+
+
+def test_tail_blockmax_full_forward_sound_and_certifies():
+    """Wide (full-forward) queries use the bm built at the narrow-read
+    depth (full_postings_cols). Certified rows must match the exact scan;
+    the block bound should certify at least as many rows as the whole-tail
+    bound."""
+    vocab = 500
+    toks, ws = _rich_corpus(1500, vocab, l_max=32)
+    q_tok, q_w = _corpus_queries(toks, ws, n_q=12, width=24)
+    base = dict(postings_cap=64, query_terms=8, full_query_terms=32,
+                full_postings_cols=16, full_rescore_expand=8,
+                exact_escalate=False, full_exact_escalate=False)
+    plain = _build_rows("inverted", toks, ws, vocab, **base)
+    bmx = _build_rows("inverted", toks, ws, vocab,
+                      tail_block_docs=128, **base)
+    scan = _build_rows("sparse", toks, ws, vocab)
+    sh = scan.search_tokens(q_tok, q_w, k=5)
+    hp = plain.search_tokens(q_tok, q_w, k=5)
+    cp = plain.last_certified.copy()
+    hb = bmx.search_tokens(q_tok, q_w, k=5)
+    cb = bmx.last_certified.copy()
+    assert cb.sum() >= cp.sum()
+    # soundness: certified rows match the exact scan
+    for qi in np.flatnonzero(cb):
+        assert set(hb[qi]) == set(sh[qi]), qi
+        for d, v in hb[qi].items():
+            assert v == pytest.approx(sh[qi][d], rel=1e-3)

@@ -28,6 +28,25 @@ import traceback
 JOB_DIR = os.environ.get("TPU_JOB_DIR", "/tmp/tpu_jobs")
 os.makedirs(JOB_DIR, exist_ok=True)
 
+# single-worker lock: two workers polling one spool race the job renames
+# (measured round 5: a stale worker from a previous session grabbed a job,
+# was killed, and left an orphaned .running nobody owned) — and two TPU
+# claims from one box violate the one-process rule anyway. The lock is a
+# pidfile: stale locks (dead pid) are broken automatically.
+_lock = os.path.join(JOB_DIR, "WORKER.pid")
+if os.path.exists(_lock):
+    try:
+        _pid = int(open(_lock).read().strip())
+        os.kill(_pid, 0)  # raises if dead
+        raise SystemExit(
+            f"another tpu_worker (pid {_pid}) owns {JOB_DIR}; "
+            "stop it first (touch STOP) or kill that pid"
+        )
+    except (ValueError, ProcessLookupError, PermissionError):
+        pass  # stale/garbled lock: take over
+with open(_lock, "w") as _f:
+    _f.write(str(os.getpid()))
+
 # a stale STOP from the previous worker would make this one pay the full
 # (minutes-long) TPU claim below and then immediately exit — clear it BEFORE
 # claiming: launching the worker is an explicit "run jobs" intent
@@ -109,5 +128,8 @@ while True:
                 h.close()
             except Exception:
                 pass
-    os.rename(running, src + (".done" if ok else ".failed"))
+    try:
+        os.rename(running, src + (".done" if ok else ".failed"))
+    except OSError as e:  # someone moved the .running file mid-run: the
+        print(f"note: could not retire {running}: {e}", flush=True)
     print(f"{'DONE' if ok else 'FAILED'} {name}", flush=True)
