@@ -1431,6 +1431,19 @@ class SparseIndex:
         return None. Fused-escalation engines (single-device inverted with
         exact_escalate) additionally return the per-query escalated flags —
         their scores/ids are already exact everywhere."""
+        parts, n_q = self._dispatch_queries(q, k_eff, two_phase, engine)
+        return _fetch_packed(
+            parts[0], parts[1], n_q,
+            parts[2] if len(parts) > 2 else None,
+            parts[3] if len(parts) > 3 else None,
+        )
+
+    def _dispatch_queries(self, q, k_eff: int, two_phase: bool,
+                          engine: Optional[str]):
+        """Dispatch-only half of _run_queries: returns (device result
+        tuple, n_q) WITHOUT the host fetch, so callers can pipeline many
+        dispatches before paying the ~30 ms tunnel sync each (the async
+        serving/bench pattern — see search_tokens_async)."""
         Bq = self._query_batch
         leaves = q if isinstance(q, tuple) else (q,)
         n_q = leaves[0].shape[0]
@@ -1462,13 +1475,15 @@ class SparseIndex:
                 lambda a: a.reshape((nb, Bq) + a.shape[1:]), q
             )
             out = multi_fn(qs, self._docs_dev, toks_arg)
-            s_all, i_all = out[0], out[1]
-            b_all = out[2].reshape(nb * Bq) if len(out) > 2 else None
-            e_all = out[3].reshape(nb * Bq) if len(out) > 3 else None
-            return _fetch_packed(
-                s_all.reshape(nb * Bq, -1), i_all.reshape(nb * Bq, -1),
-                n_q, b_all, e_all,
+            parts = (
+                out[0].reshape(nb * Bq, -1),
+                out[1].reshape(nb * Bq, -1),
             )
+            if len(out) > 2:
+                parts += (out[2].reshape(nb * Bq),)
+            if len(out) > 3:
+                parts += (out[3].reshape(nb * Bq),)
+            return parts, n_q
 
         # dispatch ALL batches before blocking (async dispatch pipelines
         # the per-call latency), then stack on device and fetch ONCE
@@ -1488,11 +1503,7 @@ class SparseIndex:
             )
         # per-batch pad rows only ever occur in the LAST batch (starts
         # step by Bq), so the first n_q stacked rows are the queries
-        return _fetch_packed(
-            parts[0], parts[1], n_q,
-            parts[2] if len(parts) > 2 else None,
-            parts[3] if len(parts) > 3 else None,
-        )
+        return parts, n_q
 
     def search(
         self,
@@ -1687,33 +1698,12 @@ class SparseIndex:
         """
         q_tokens = np.ascontiguousarray(q_tokens, dtype=np.int32)
         q_weights = np.ascontiguousarray(q_weights, dtype=np.float32)
-        if (
-            self._finalized
-            and self._engine == "inverted"
-            and not self._shard_queries
-            and (self.mesh is None or self.mesh.devices.size == 1)
-            and q_tokens.shape[1] <= self.cfg.query_terms
-            and not kw.get("two_phase", False)
-            and kw.get("full_forward", None) in (None, False)
-            and not set(kw) - {"query_prune", "exclude_self", "two_phase",
-                               "full_forward"}
-            and self.n_docs > 0
-            and q_tokens.shape[0] > 0
-        ):
-            # duplicate token ids across slots score identically on both
-            # paths, but query_prune thresholds per-slot here vs post-merge
-            # on the dense path — route duplicates through the dense
-            # scatter to keep one semantics
-            srt = np.sort(np.where(q_weights > 0, q_tokens, -1), axis=1)
-            dup = bool(
-                ((srt[:, 1:] == srt[:, :-1]) & (srt[:, 1:] >= 0)).any()
+        if self._tokens_fast_eligible(q_tokens, q_weights, kw):
+            return self._search_tokens_fast(
+                q_tokens, q_weights, k,
+                query_prune=kw.get("query_prune", 0.0),
+                exclude_self=kw.get("exclude_self"),
             )
-            if not dup:
-                return self._search_tokens_fast(
-                    q_tokens, q_weights, k,
-                    query_prune=kw.get("query_prune", 0.0),
-                    exclude_self=kw.get("exclude_self"),
-                )
         if "full_forward" not in kw and q_tokens.shape[1] <= self.cfg.query_terms:
             # at most q_len active terms, all within the lookup budget — skip
             # the per-call device check
@@ -1737,6 +1727,33 @@ class SparseIndex:
         )
         return self.search(q, k=k, **kw)
 
+    def _tokens_fast_eligible(self, q_tokens: np.ndarray,
+                              q_weights: np.ndarray, kw: dict) -> bool:
+        """Routing predicate for the token-entry fast path (see
+        search_tokens): single-device inverted index, slot width within
+        the lookup budget, no two-phase, no unknown kwargs, and no
+        duplicate active token ids per row (duplicates score identically
+        on both paths, but query_prune thresholds per-slot here vs
+        post-merge on the dense path — one semantics wins)."""
+        if not (
+            self._finalized
+            and self._engine == "inverted"
+            and not self._shard_queries
+            and (self.mesh is None or self.mesh.devices.size == 1)
+            and q_tokens.shape[1] <= self.cfg.query_terms
+            and not kw.get("two_phase", False)
+            and kw.get("full_forward", None) in (None, False)
+            and not set(kw) - {"query_prune", "exclude_self", "two_phase",
+                               "full_forward"}
+            and self.n_docs > 0
+            and q_tokens.shape[0] > 0
+        ):
+            return False
+        srt = np.sort(np.where(q_weights > 0, q_tokens, -1), axis=1)
+        return not bool(
+            ((srt[:, 1:] == srt[:, :-1]) & (srt[:, 1:] >= 0)).any()
+        )
+
     def _search_tokens_fast(
         self,
         q_tok: np.ndarray,  # [B, S<=T] int32, no duplicate active ids/row
@@ -1748,6 +1765,12 @@ class SparseIndex:
         """Token-entry search (see search_tokens). Same results and
         certificate/escalation contract as the dense path — pinned by
         tests/test_index.py token-entry parity tests."""
+        return self.resolve_hits(self._search_tokens_dispatch(
+            q_tok, q_w, k, query_prune, exclude_self
+        ))
+
+    def _search_tokens_dispatch(self, q_tok, q_w, k, query_prune,
+                                exclude_self) -> dict:
         T = self.cfg.query_terms
         n_q, S = q_tok.shape
         if query_prune > 0:
@@ -1758,8 +1781,54 @@ class SparseIndex:
             q_w = np.pad(q_w, ((0, 0), (0, T - S)))
         dev = (jnp.asarray(q_tok), jnp.asarray(q_w))
         k_eff = min(k + (1 if exclude_self is not None else 0), self.n_docs)
-        s_np, i_np, b_np, esc_np = self._run_queries(
-            dev, k_eff, False, "inverted_tokens"
+        parts, _ = self._dispatch_queries(dev, k_eff, False, "inverted_tokens")
+        return {
+            "parts": parts, "n_q": n_q, "k": k,
+            "exclude_self": exclude_self,
+            "n_active": (q_w > 0).sum(axis=1),
+        }
+
+    def search_tokens_async(
+        self,
+        q_tokens: np.ndarray,
+        q_weights: np.ndarray,
+        k: int = 10,
+        **kw,
+    ) -> dict:
+        """Dispatch a search_tokens call WITHOUT fetching: returns an
+        opaque handle for resolve_hits(). Pipelining N dispatches before
+        the first resolve hides the per-call device sync (~30 ms over a
+        tunnelled runtime) behind device compute — the same pattern the
+        ingest path uses (BatchEncoder.encode_batch_sparse_async). When
+        the token fast path is ineligible (see search_tokens) the call
+        degrades to a SYNCHRONOUS search whose results ride the handle,
+        so callers never need two code paths."""
+        q_tokens = np.ascontiguousarray(q_tokens, dtype=np.int32)
+        q_weights = np.ascontiguousarray(q_weights, dtype=np.float32)
+        if self._tokens_fast_eligible(q_tokens, q_weights, kw):
+            return self._search_tokens_dispatch(
+                q_tokens, q_weights, k,
+                kw.get("query_prune", 0.0), kw.get("exclude_self"),
+            )
+        results = self.search_tokens(q_tokens, q_weights, k=k, **kw)
+        return {
+            "sync_results": results,
+            "flags": (self.last_certified, self.last_escalated,
+                      self.last_scan_escalated),
+        }
+
+    def resolve_hits(self, handle: dict) -> List[Dict[str, float]]:
+        """Fetch + post-process a search_tokens_async handle. Sets the
+        last_certified/last_escalated flags exactly like the sync call."""
+        if "sync_results" in handle:
+            (self.last_certified, self.last_escalated,
+             self.last_scan_escalated) = handle["flags"]
+            return handle["sync_results"]
+        parts, n_q, k = handle["parts"], handle["n_q"], handle["k"]
+        s_np, i_np, b_np, esc_np = _fetch_packed(
+            parts[0], parts[1], n_q,
+            parts[2] if len(parts) > 2 else None,
+            parts[3] if len(parts) > 3 else None,
         )
         self.last_certified = None
         self.last_escalated = None
@@ -1778,9 +1847,11 @@ class SparseIndex:
             # No host escalation branch: single-device + exact_escalate
             # always builds the FUSED ladder, so b_np-without-esc_np only
             # occurs when escalation is off.
-            cert = cert | ((q_w > 0).sum(axis=1) == 0)
+            cert = cert | (handle["n_active"] == 0)
             self.last_certified = cert
-        return self._collect_results(s_np, i_np, n_q, k, exclude_self)
+        return self._collect_results(
+            s_np, i_np, n_q, k, handle["exclude_self"]
+        )
 
     # -------------------------------------------------------- persistence
     def save(self, path: str):

@@ -1108,14 +1108,14 @@ def test_escalation_skips_padding_rows_and_flags_read_exact():
     inv = _build_rows("inverted", toks, ws, vocab, postings_cap=8,
                       query_terms=8, exact_escalate=True)
     calls = []
-    orig = inv._run_queries
+    orig = inv._dispatch_queries
 
     def spy(q, k, two_phase, engine=None):
         n = (q[0] if isinstance(q, tuple) else q).shape[0]
         calls.append((int(n), engine))
         return orig(q, k, two_phase, engine)
 
-    inv._run_queries = spy
+    inv._dispatch_queries = spy
     hits = inv.search_tokens(q_tok, q_w, k=5)
     assert hits[6] == {} and hits[7] == {}
     cert, esc = inv.last_certified, inv.last_escalated
@@ -2506,3 +2506,27 @@ def test_tail_blockmax_full_forward_sound_and_certifies():
         assert set(hb[qi]) == set(sh[qi]), qi
         for d, v in hb[qi].items():
             assert v == pytest.approx(sh[qi][d], rel=1e-3)
+
+
+def test_search_tokens_async_pipelines_and_matches_sync():
+    """search_tokens_async + resolve_hits must return exactly what the
+    sync call returns (results AND flags), including the ineligible-path
+    degradation, and allow many dispatches in flight before a resolve."""
+    vocab = 500
+    toks, ws = _diffuse_corpus(1200, vocab, l_max=24)
+    q_tok, q_w = _corpus_queries(toks, ws, n_q=12, width=5)
+    idx = _build_rows("inverted", toks, ws, vocab,
+                      postings_cap=48, query_terms=8, exact_escalate=True)
+    want = idx.search_tokens(q_tok, q_w, k=5)
+    want_esc = idx.last_escalated.copy()
+    handles = [idx.search_tokens_async(q_tok, q_w, k=5) for _ in range(3)]
+    for h in handles:
+        got = idx.resolve_hits(h)
+        assert got == want
+        np.testing.assert_array_equal(idx.last_escalated, want_esc)
+        assert idx.last_certified.all()
+    # ineligible (two_phase) degrades to sync inside the handle
+    h = idx.search_tokens_async(q_tok, q_w, k=5, two_phase=True)
+    got = idx.resolve_hits(h)
+    want_2p = idx.search_tokens(q_tok, q_w, k=5, two_phase=True)
+    assert got == want_2p

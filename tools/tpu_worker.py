@@ -103,6 +103,17 @@ while True:
     os.rename(src, running)
     logpath = os.path.join(JOB_DIR, name[:-3] + ".log")
     print(f"RUN {name} -> {logpath}", flush=True)
+    # drop cached repo modules so each job sees the CURRENT working tree:
+    # jobs share this interpreter (that is the point — one TPU claim, one
+    # compile cache), but without this purge a job submitted after a code
+    # edit runs against the module snapshot of the FIRST job's import
+    # (measured round 5: a job crashed on an IndexConfig field added to
+    # engine.py twenty minutes earlier). jax/numpy stay cached.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for mod in list(sys.modules):
+        f = getattr(sys.modules[mod], "__file__", None)
+        if f and f.startswith(repo_root):
+            del sys.modules[mod]
     ok = True
     import logging
     saved_handlers = list(logging.root.handlers)
