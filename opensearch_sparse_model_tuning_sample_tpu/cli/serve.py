@@ -90,29 +90,54 @@ class _SearchRequest:
 
 
 class MicroBatcher:
-    """Coalesce concurrent search requests into batched engine calls.
+    """Coalesce concurrent search requests into batched engine calls, and
+    PIPELINE those calls against the device.
 
-    A single dispatcher thread drains the queue: whatever is waiting when it
-    loops (bounded by max_batch) forms the next batch, so batching emerges
-    under load without adding latency when idle; window_ms > 0 additionally
-    holds the first request open to let near-simultaneous arrivals join.
-    Compatible requests (same index / k / prune / two_phase / query kind)
-    execute as ONE `index.search_tokens` / `index.search` call.
+    Two stages, bounded by `pipeline_depth` in-flight engine calls:
+
+      * the DISPATCH thread drains the queue — whatever is waiting when it
+        loops (bounded by max_batch) forms the next batch, so batching
+        emerges under load without adding latency when idle; window_ms > 0
+        additionally holds the first request open to let near-simultaneous
+        arrivals join. Token-kind groups dispatch through
+        `index.search_tokens_async` (no device sync); text-kind groups
+        dispatch their encoder forward.
+      * the RESOLVE thread fetches results in FIFO order and completes the
+        requests.
+
+    Round-4 measurement showed serving saturating at ~90 q/s because the
+    single-threaded drain paid a full ~55 ms dispatch+sync round trip per
+    engine call (~16 calls/s): with the fetch split off, call N+1's
+    dispatch overlaps call N's sync, so the saturation point is set by the
+    device compute + one pipeline stage instead of the tunnel round trip.
+
+    Exactness flags (`index.last_*`) are only ever written by resolve/sync
+    search calls, all of which run on the resolve thread — reading them
+    right after each resolve is race-free by construction.
     """
 
     def __init__(self, state: "ServingState", window_ms: float = 0.0,
-                 max_batch: int = 64):
+                 max_batch: int = 64, pipeline_depth: int = 4):
+        import queue as _queue
+
         self.state = state
         self.window_s = max(window_ms, 0.0) / 1e3
         self.max_batch = max(max_batch, 1)
         self._q: deque = deque()
         self._cv = threading.Condition()
+        self._inflight: "_queue.Queue" = _queue.Queue(
+            maxsize=max(int(pipeline_depth), 1)
+        )
         self.stats = {"requests": 0, "engine_calls": 0, "batches": 0,
                       "max_batch_seen": 0}
         self._thread = threading.Thread(
             target=self._run, daemon=True, name="serve-microbatch"
         )
         self._thread.start()
+        self._resolver = threading.Thread(
+            target=self._resolve_loop, daemon=True, name="serve-resolve"
+        )
+        self._resolver.start()
 
     def submit(self, req: _SearchRequest) -> Dict[str, float]:
         with self._cv:
@@ -150,14 +175,46 @@ class MicroBatcher:
             for reqs in groups.values():
                 try:
                     self.stats["engine_calls"] += 1
-                    self._execute(reqs)
+                    produce = self._dispatch(reqs)
                 except Exception as e:  # noqa: BLE001 — serving surface
                     for r in reqs:
                         r.error = e
+                        r.event.set()
+                    continue
+                # bounded: back-pressures the drain (and thus the HTTP
+                # clients) when the device falls behind
+                self._inflight.put((reqs, produce))
+
+    def _resolve_loop(self):
+        while True:
+            reqs, produce = self._inflight.get()
+            try:
+                produce()
+            except Exception as e:  # noqa: BLE001 — serving surface
                 for r in reqs:
-                    r.event.set()
+                    r.error = e
+            for r in reqs:
+                r.event.set()
+
+    @staticmethod
+    def _assign(reqs, index, hits):
+        """Attach results + per-query exactness flags (resolve thread)."""
+        cert = getattr(index, "last_certified", None)
+        esc = getattr(index, "last_escalated", None)
+        for b, (r, h) in enumerate(zip(reqs, hits)):
+            r.result = h
+            if cert is not None:
+                r.certified = bool(cert[b])
+                r.escalated = bool(esc[b]) if esc is not None else False
 
     def _execute(self, reqs: List[_SearchRequest]):
+        """Dispatch + resolve one group synchronously (the un-pipelined
+        round-4 behavior; kept for tests and direct callers)."""
+        self._dispatch(reqs)()
+
+    def _dispatch(self, reqs: List[_SearchRequest]):
+        """Dispatch one compatible group; returns the produce() closure the
+        resolve thread runs to complete it."""
         state = self.state
         r0 = reqs[0]
         # pad the batch dim to power-of-two buckets: the jitted encoder
@@ -176,54 +233,66 @@ class MicroBatcher:
                 index.finalize()
             if r0.kind == "tokens":
                 # L buckets to powers of two as well; <= query_terms keeps
-                # the engine's inf-free fast path (search_tokens skips the
-                # per-call width check at that budget)
+                # the engine's token-entry fast path (search_tokens skips
+                # the per-call width check at that budget)
                 L = next_pow2(max(max(len(r.payload) for r in reqs), 1))
                 q_tok = np.zeros((Bp, L), np.int32)
                 q_w = np.zeros((Bp, L), np.float32)
                 for b, r in enumerate(reqs):
                     for j, (i, w) in enumerate(r.payload):
                         q_tok[b, j], q_w[b, j] = i, w
-                hits = index.search_tokens(
-                    q_tok, q_w, k=r0.k, query_prune=r0.prune,
-                    two_phase=r0.two_phase,
-                )
-            else:
-                texts = [r.payload[0] for r in reqs] + [""] * (Bp - B)
-                inf_free = r0.payload[1]
-                reps = state.encoder.encode_batch_device(
-                    texts, inf_free=inf_free
-                )
-                if not inf_free and Bp > B:
-                    # "" pads encode to NONZERO full-forward reps (CLS/SEP
-                    # still produce MLM logits), which defeat the engine's
-                    # all-zero phantom-row guard: on an exact_escalate
-                    # inverted index every pad row would re-run the
-                    # corpus-linear exact scan for a result that is sliced
-                    # off. Hand the engine only the real rows — it re-pads
-                    # with true zero rows on its own query_batch grid.
-                    # (inf-free "" rows tokenize to nothing and are already
-                    # zero-mass.)
-                    reps = reps[:B]
-                # full_forward: True for full-forward queries; None for
-                # inf-free so the engine still checks the active-term count
-                # (a long inf-free query can exceed the inverted engine's
-                # query_terms lookup budget too)
+                kw = dict(query_prune=r0.prune, two_phase=r0.two_phase)
+                if index._tokens_fast_eligible(q_tok, q_w, kw):
+                    # async: device work starts NOW; the resolve thread
+                    # pays the sync while the drain moves on
+                    handle = index._search_tokens_dispatch(
+                        q_tok, q_w, r0.k, r0.prune, None
+                    )
+
+                    def produce(index=index, handle=handle):
+                        hits = index.resolve_hits(handle)
+                        self._assign(reqs, index, hits[:B])
+
+                    return produce
+
+                def produce(index=index, q_tok=q_tok, q_w=q_w, kw=kw):
+                    with state.lock:
+                        hits = index.search_tokens(q_tok, q_w, k=r0.k, **kw)
+                        self._assign(reqs, index, hits[:B])
+
+                return produce
+
+            texts = [r.payload[0] for r in reqs] + [""] * (Bp - B)
+            inf_free = r0.payload[1]
+            # the encoder forward dispatches asynchronously here (device
+            # array handle) and overlaps earlier groups' resolution
+            reps = state.encoder.encode_batch_device(texts, inf_free=inf_free)
+            if not inf_free and Bp > B:
+                # "" pads encode to NONZERO full-forward reps (CLS/SEP
+                # still produce MLM logits), which defeat the engine's
+                # all-zero phantom-row guard: on an exact_escalate
+                # inverted index every pad row would re-run the
+                # corpus-linear exact scan for a result that is sliced
+                # off. Hand the engine only the real rows — it re-pads
+                # with true zero rows on its own query_batch grid.
+                # (inf-free "" rows tokenize to nothing and are already
+                # zero-mass.)
+                reps = reps[:B]
+
+        def produce(index=index, reps=reps, inf_free=inf_free):
+            # full_forward: True for full-forward queries; None for
+            # inf-free so the engine still checks the active-term count
+            # (a long inf-free query can exceed the inverted engine's
+            # query_terms lookup budget too)
+            with state.lock:
                 hits = index.search(
                     reps, k=r0.k, query_prune=r0.prune,
                     two_phase=r0.two_phase,
                     full_forward=True if not inf_free else None,
                 )
-            # read the per-query flags while still holding the device lock:
-            # they are mutable index attributes, and another thread touching
-            # the same index could overwrite them between search and read
-            cert = getattr(index, "last_certified", None)
-            esc = getattr(index, "last_escalated", None)
-        for b, (r, h) in enumerate(zip(reqs, hits[:B])):
-            r.result = h
-            if cert is not None:
-                r.certified = bool(cert[b])
-                r.escalated = bool(esc[b]) if esc is not None else False
+                self._assign(reqs, index, hits[:B])
+
+        return produce
 
 
 class ServingState:
@@ -231,7 +300,7 @@ class ServingState:
 
     def __init__(self, model, indexes: Dict[str, object], max_length: int = 512,
                  index_cfg=None, batch_window_ms: float = 0.0,
-                 max_batch: int = 64):
+                 max_batch: int = 64, pipeline_depth: int = 4):
         from ..index.engine import IndexConfig
         from ..models.sparse_encoder import BatchEncoder
 
@@ -242,7 +311,8 @@ class ServingState:
         self.index_cfg = index_cfg or IndexConfig()
         self.pipelines: Dict[str, dict] = {}
         self.batcher = MicroBatcher(
-            self, window_ms=batch_window_ms, max_batch=max_batch
+            self, window_ms=batch_window_ms, max_batch=max_batch,
+            pipeline_depth=pipeline_depth,
         )
 
     def encode(self, texts, inf_free: bool = True):
@@ -530,6 +600,9 @@ def main(argv=None):
                         "to 0 for latency-sensitive single clients)")
     p.add_argument("--max-batch", type=int, default=64,
                    help="max concurrent searches per engine dispatch")
+    p.add_argument("--pipeline-depth", type=int, default=4,
+                   help="engine calls in flight between the dispatch and "
+                        "resolve stages (1 = round-4 sequential behavior)")
     args = p.parse_args(argv)
 
     logging.basicConfig(level=logging.INFO)
@@ -545,6 +618,7 @@ def main(argv=None):
     state = ServingState(
         model, indexes, max_length=args.max_length,
         batch_window_ms=args.batch_window_ms, max_batch=args.max_batch,
+        pipeline_depth=args.pipeline_depth,
     )
     serve(state, args.host, args.port).serve_forever()
 
