@@ -787,7 +787,7 @@ def evaluate_datasets(
     result = {
         "dataset": [], "flops": [], "NDCG@10": [],
         **{c: [] for c in extra_cols},
-        "q_length": [], "d_length": [],
+        "q_length": [], "d_length": [], "qps": [],
         # exactness-certificate tally (inverted engines; None elsewhere)
         "certified_frac": [], "escalated_frac": [],
     }
@@ -870,6 +870,7 @@ def evaluate_datasets(
         result["flops"].append(res["flops"])
         result["q_length"].append(res["q_length"])
         result["d_length"].append(res["d_length"])
+        result["qps"].append(res["qps"])
         result["certified_frac"].append(res.get("certified_frac"))
         result["escalated_frac"].append(res.get("escalated_frac"))
 
@@ -878,7 +879,8 @@ def evaluate_datasets(
 
     avg_res = {
         key: sum(result[key]) / len(result[key])
-        for key in ["flops", "q_length", "d_length", "NDCG@10", *extra_cols]
+        for key in ["flops", "q_length", "d_length", "NDCG@10", "qps",
+                    *extra_cols]
     }
     cert_vals = [v for v in result["certified_frac"] if v is not None]
     if cert_vals:  # only inverted-engine runs produce the certificate
@@ -887,7 +889,7 @@ def evaluate_datasets(
         avg_res["escalated_frac"] = sum(esc_vals) / len(esc_vals)
     tag = f"_step{step}" if step is not None else ""
     cols = ["dataset", "flops", "NDCG@10", *extra_cols, "q_length", "d_length",
-            "certified_frac", "escalated_frac"]
+            "qps", "certified_frac", "escalated_frac"]
     with open(os.path.join(eval_dir, f"beir_statistics{tag}.csv"), "w", newline="") as f:
         w = csv.writer(f)
         w.writerow(cols)

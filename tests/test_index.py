@@ -2530,3 +2530,55 @@ def test_search_tokens_async_pipelines_and_matches_sync():
     got = idx.resolve_hits(h)
     want_2p = idx.search_tokens(q_tok, q_w, k=5, two_phase=True)
     assert got == want_2p
+
+
+def test_resolve_hits_many_matches_individual_resolves():
+    """resolve_hits_many must return exactly the per-handle resolve_hits
+    results with ONE fetch, set the flags to the row concatenation, and
+    tolerate mixed windows (sync-degraded handles, mismatched k)."""
+    vocab = 500
+    toks, ws = _diffuse_corpus(1200, vocab, l_max=24)
+    q_tok, q_w = _corpus_queries(toks, ws, n_q=12, width=5)
+    idx = _build_rows("inverted", toks, ws, vocab,
+                      postings_cap=48, query_terms=8, exact_escalate=True)
+    want = idx.search_tokens(q_tok, q_w, k=5)
+    want_cert = idx.last_certified.copy()
+    want_esc = idx.last_escalated.copy()
+
+    handles = [idx.search_tokens_async(q_tok, q_w, k=5) for _ in range(4)]
+    outs = idx.resolve_hits_many(handles)
+    assert outs == [want] * 4
+    np.testing.assert_array_equal(idx.last_certified,
+                                  np.concatenate([want_cert] * 4))
+    np.testing.assert_array_equal(idx.last_escalated,
+                                  np.concatenate([want_esc] * 4))
+
+    # mixed window: a sync-degraded handle (two_phase) + a different k
+    want_2p = idx.search_tokens(q_tok, q_w, k=5, two_phase=True)
+    want_k3 = idx.search_tokens(q_tok, q_w, k=3)
+    cert_k3 = idx.last_certified.copy()
+    handles = [
+        idx.search_tokens_async(q_tok, q_w, k=5),
+        idx.search_tokens_async(q_tok, q_w, k=5, two_phase=True),
+        idx.search_tokens_async(q_tok, q_w, k=3),
+    ]
+    outs = idx.resolve_hits_many(handles)
+    assert outs[0] == want
+    assert outs[1] == want_2p
+    assert outs[2] == want_k3
+    # 2p path carries no exact certificate -> concatenated flags are None
+    assert idx.last_certified is None or len(idx.last_certified) == 12 * 3
+
+    # flag concat across homogeneous handles of different query sets
+    handles = [
+        idx.search_tokens_async(q_tok, q_w, k=3),
+        idx.search_tokens_async(q_tok[:7], q_w[:7], k=3),
+    ]
+    outs = idx.resolve_hits_many(handles)
+    assert outs[0] == want_k3
+    assert outs[1] == [want_k3[i] for i in range(7)]
+    assert len(idx.last_certified) == 12 + 7
+    np.testing.assert_array_equal(
+        idx.last_certified, np.concatenate([cert_k3, cert_k3[:7]])
+    )
+    assert idx.resolve_hits_many([]) == []
