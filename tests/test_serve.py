@@ -543,3 +543,72 @@ def test_unknown_search_pipeline_is_rejected(tiny_model):
         assert "hits" in res
     finally:
         httpd.shutdown()
+
+
+def test_resolve_loop_batches_token_windows(tiny_model):
+    """The resolve stage coalesces backlogged token-handle windows into ONE
+    packed fetch (engine.resolve_hits_many) — results and per-request
+    exactness flags must match the per-handle produce() path exactly.
+    Exercises the grouping/flag-slicing logic deterministically (the
+    threaded loop itself is covered by the burst drives)."""
+    from opensearch_sparse_model_tuning_sample_tpu.cli.serve import (
+        _SearchRequest,
+    )
+
+    V = tiny_model.vocab_size
+    rng = np.random.default_rng(5)
+    idx = SparseIndex(V, IndexConfig(
+        engine="inverted", l_max=16, block_docs=64, query_batch=8,
+        postings_cap=16, query_terms=8, exact_escalate=True))
+    toks = rng.integers(1, V, (96, 16)).astype(np.int32)
+    ws = rng.uniform(0.2, 2.0, (96, 16)).astype(np.float32)
+    # unique tokens per row (engine run-merge contract)
+    for r in range(96):
+        u, fi = np.unique(toks[r], return_index=True)
+        keep = np.zeros(16, bool)
+        keep[fi] = True
+        ws[r][~keep] = 0.0
+    order = np.argsort(-ws, axis=1)
+    toks = np.take_along_axis(toks, order, axis=1)
+    ws = np.take_along_axis(ws, order, axis=1)
+    idx.add_topk([str(i) for i in range(96)], toks, ws)
+    idx.finalize()
+
+    state = ServingState(tiny_model, {"ix": idx}, max_length=32)
+    batcher = state.batcher
+
+    def mk_reqs(seed, n):
+        r = np.random.default_rng(seed)
+        reqs = []
+        for _ in range(n):
+            terms = r.choice(np.unique(toks[toks > 0]), 4, replace=False)
+            pairs = [(int(t), float(r.uniform(0.5, 1.5))) for t in terms]
+            reqs.append(_SearchRequest("ix", "tokens", pairs, 5, 0.0, False))
+        return reqs
+
+    # two independently dispatched groups -> both carry batched-resolve hooks
+    g1, g2 = mk_reqs(1, 3), mk_reqs(2, 5)
+    p1, p2 = batcher._dispatch(g1), batcher._dispatch(g2)
+    assert p1.handle is not None and p2.handle is not None
+
+    # reference: per-handle produce() on fresh dispatches of the same groups
+    r1, r2 = mk_reqs(1, 3), mk_reqs(2, 5)
+    batcher._dispatch(r1)()
+    batcher._dispatch(r2)()
+
+    # the batched path exactly as _resolve_loop runs it
+    outs = idx.resolve_hits_many([p1.handle, p2.handle])
+    cert, esc = idx.last_certified, idx.last_escalated
+    off = 0
+    for p, hits in zip((p1, p2), outs):
+        n_q = p.handle["n_q"]
+        c = cert[off:off + n_q] if cert is not None else None
+        e = esc[off:off + n_q] if esc is not None else None
+        off += n_q
+        p.finish(hits, c, e)
+
+    for got, want in zip(g1 + g2, r1 + r2):
+        assert got.result == want.result
+        assert got.certified == want.certified
+        assert got.escalated == want.escalated
+    assert any(r.certified is not None for r in g1 + g2)
