@@ -117,7 +117,7 @@ class MicroBatcher:
     """
 
     def __init__(self, state: "ServingState", window_ms: float = 0.0,
-                 max_batch: int = 64, pipeline_depth: int = 4):
+                 max_batch: int = 128, pipeline_depth: int = 4):
         import queue as _queue
 
         self.state = state
@@ -361,7 +361,7 @@ class ServingState:
 
     def __init__(self, model, indexes: Dict[str, object], max_length: int = 512,
                  index_cfg=None, batch_window_ms: float = 0.0,
-                 max_batch: int = 64, pipeline_depth: int = 4):
+                 max_batch: int = 128, pipeline_depth: int = 4):
         from ..index.engine import IndexConfig
         from ..models.sparse_encoder import BatchEncoder
 
@@ -669,8 +669,13 @@ def main(argv=None):
                         "drain-available batching only; 5 ms measured best "
                         "under load, PERFORMANCE.md round-4 serving — drop "
                         "to 0 for latency-sensitive single clients)")
-    p.add_argument("--max-batch", type=int, default=64,
-                   help="max concurrent searches per engine dispatch")
+    p.add_argument("--max-batch", type=int, default=128,
+                   help="max concurrent searches per engine dispatch "
+                        "(128 measured p95-optimal under 64-client load: "
+                        "a whole burst coalesces into one engine call — "
+                        "366 q/s at p95 212 ms vs 286/583 at 64, "
+                        "PERFORMANCE.md round-5 serving sweep; 256 "
+                        "over-batches and triples p50)")
     p.add_argument("--pipeline-depth", type=int, default=4,
                    help="engine calls in flight between the dispatch and "
                         "resolve stages (1 = round-4 sequential behavior)")
