@@ -233,6 +233,14 @@ class IndexConfig:
     # wholesale scan fallback (corpus-linear, 22 q/s @ 8.8M docs) with a
     # corpus-size-independent path (reference Lucene WAND,
     # /root/reference/scripts/search.py:59-70).
+    # Wide-query certification guidance (round-5 j78w sweep, trained-rep
+    # workload @20K docs with a full-depth extension): the CUT term binds
+    # for wide queries — full_rescore_expand=32 + full_postings_cols=512
+    # certified 99.2% of rows pre-escalation (vs 90.2% at these defaults)
+    # and ran the exact contract within ~3% of the approximate floor
+    # (291 vs 297 q/s). The defaults stay conservative because
+    # full_postings_cols scales per-term gather volume with every corpus;
+    # raise both where the exact contract on full-forward queries matters.
     full_query_terms: int = 64
     full_postings_cols: int = 256
     full_rescore_expand: int = 16
