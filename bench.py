@@ -218,20 +218,24 @@ def main():
     # inverted engine at scale: corpus far beyond the auto-threshold, where
     # the scan engine degrades linearly but postings cost stays constant —
     # the Lucene-analog path that must hold the ">10x OpenSearch" north star
-    # (BASELINE.md) at production corpus sizes. Round 4: this segment now
-    # carries the certified-exact contract too (cap 4096 + extension +
-    # deep-tier escalation — j59 A/B at 2M: this shape 1 230 q/s certified
-    # 1.0 with 28/512 deep-tier rows, vs 1 148 at cap8192 s2 x8 and 3 810
-    # uncertified at cap 2048 where only 5% of queries certify; the
-    # compacted cut-refinement tier measured slower here — see
-    # IndexConfig.refine_expand)
+    # (BASELINE.md) at production corpus sizes. Carries the certified-exact
+    # contract (round-4 j59 established it at cap4096+ds3 = 1 230 q/s;
+    # round-5 j74 re-measured that shape at 1 808 with the token-entry path
+    # and j78x's deep-base sweep moved it to cap8192+ds0 = 2 405 — see the
+    # inv_cfg comment below)
     n_large = 1 << 21  # 2.1M docs (16x the headline corpus, 8x auto-threshold)
     ltoks, lws = make_corpus(n_large, vocab, avg_terms=80, seed=2, l_max=96)
     inv_cfg = IndexConfig(
+        # round-5 winning 2M shape (j78x deep-BASE sweep, PERFORMANCE.md):
+        # cap8192 + ds0 certifies 80% shallow and routes the remaining
+        # 102/512 rows through the in-dispatch deep tier — 2 405 q/s
+        # certified 1.0 vs 1 813 at the round-4 cap4096+ds3 ladder shape
+        # (whose 3x28672 extension reads taxed EVERY row). Same corpus-
+        # scale lesson as the 128K ds0 headline, one octave deeper base.
         engine="inverted", l_max=96, block_docs=4096, query_batch=qbatch,
-        weight_dtype="bfloat16", postings_cap=4096, query_terms=8,
+        weight_dtype="bfloat16", postings_cap=8192, query_terms=8,
         inverted_rescore_expand=16, exact_escalate=True,
-        postings_ext_cap=28672, deep_slots=3, deep_escalate=True,
+        postings_ext_cap=24576, deep_slots=0, deep_escalate=True,
         incremental_postings=False,
     )
     t0 = time.time()
